@@ -1,0 +1,58 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM; the configs are chosen so the
+same code is correct on a 1000-executor cluster against ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, join-strategy switch).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalesces from a high initial number, so the setting is a
+  local-mode nicety, not a correctness knob.
+- Arrow on for every pandas interchange (Pandas UDFs, toPandas).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive-UTC) and are stable across machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "labelmain_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture events.ts is parquet TIMESTAMP(NANOS), which the Spark
+        # reader rejects; read as long and convert in the loader (the
+        # same ns→µs truncation DuckDB applies).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,55 @@
+"""Table readers over the parquet landing zone.
+
+The reference ingests from paginated HTTP/GraphQL sources straight into a
+document store (bitcoinabuse/main.go:86-119, chainabuse/main.py:10-39).
+Spark-first, ingestion lands raw pages as files (bronze) and every
+relational operator reads columnar parquet — Catalyst then gets predicate
+pushdown, column pruning and partition pruning for free.
+
+At 100 TB the only changes are paths (object store) and layout (tables
+partitioned by ingest date, big facts additionally bucketed by their join
+key); the reader API is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimensions that should be broadcast in joins at any scale.
+SMALL_DIMS = {"region", "nation", "supplier"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain columnar scan — filters/projections
+    applied by callers reach the parquet reader via Catalyst pushdown."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to
+        # µs exactly as DuckDB does. div is exact integer floor-division.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view so operators can use spark.sql."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

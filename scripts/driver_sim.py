@@ -1,0 +1,104 @@
+"""Driver simulation: exercise the __spark_entry__ contract end-to-end
+exactly as the round driver does — import the module from the repo root,
+smoke `entry(spark)`, then run every `queries()` entry at sf0.01 against
+its `oracle_sql()` twin in DuckDB with an order-insensitive value hash.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return f"{round(v, 9):.9f}"
+    if isinstance(v, (pd.Timestamp, datetime, date)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if hasattr(v, "asDict"):
+        return _norm(tuple(v.asDict().items()))
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(x)}" for k, x in v.items()) + "}"
+    if hasattr(v, "item"):
+        return _norm(v.item())
+    return str(v)
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted("|".join(_norm(v) for v in row) for row in pdf.itertuples(index=False, name=None))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as e
+
+    from labelmain_spark.session import build_session
+
+    spark = build_session(app_name="driver_sim")
+
+    t0 = time.time()
+    edf = e.entry(spark)
+    rows = edf.collect()
+    print(f"entry: {len(rows)} rows, schema={[f.name for f in edf.schema]}, {time.time()-t0:.1f}s")
+    assert len(rows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    results, failures = {}, []
+    for key in sorted(qs):
+        t0 = time.time()
+        sdf = qs[key](spark, sf_dir).toPandas()
+        spark_s = time.time() - t0
+        if key not in oracles:
+            results[key] = {"mode": "rows_only", "rows": len(sdf), "spark_s": round(spark_s, 2)}
+            print(f"  {key:24s} rows-only rows={len(sdf)} {spark_s:.2f}s")
+            continue
+        t0 = time.time()
+        ddf = con.execute(oracles[key]).fetchdf()
+        duck_s = time.time() - t0
+        sh, dh = value_hash(sdf), value_hash(ddf)
+        ok = sh == dh and len(sdf) == len(ddf) and sorted(sdf.columns) == sorted(ddf.columns)
+        results[key] = {
+            "mode": "oracle", "ok": ok, "rows": len(sdf), "oracle_rows": len(ddf),
+            "spark_s": round(spark_s, 2), "duck_s": round(duck_s, 2),
+        }
+        mark = "OK " if ok else "FAIL"
+        print(f"  {key:24s} {mark} rows={len(sdf)}/{len(ddf)} hash={sh}/{dh} spark={spark_s:.2f}s duck={duck_s:.2f}s")
+        if not ok:
+            failures.append(key)
+
+    print(json.dumps({"sf_dir": sf_dir, "n_queries": len(qs), "failures": failures}))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
