@@ -1,0 +1,161 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's joins are implicit: the upsert key-match (Mongo
+UpdateOne filter, bitcoinabuse/main.go:244-245) is an outer equi-join on
+addr, and the TTL-cache skip (main.go:218-221) is an anti-join against
+recently-seen keys. The query surface over the label store needs the
+explicit forms:
+
+- J1 `join_inner` — enrichment join. The dim side is broadcast
+  (`F.broadcast`): at 100 TB the fact side never shuffles for a
+  dimension join; Catalyst's BroadcastHashJoin streams the fact
+  partitions against an in-memory hash map. `join_semi` is the EXISTS
+  form (no fact-side duplication, no payload columns shuffled).
+- J3 `join_anti` — NOT EXISTS (the TTL-skip shape).
+- J4 `join_asof` — as-of join, which Spark lacks natively. Implemented
+  as a union + single window pass: tag both sides, sort within user by
+  (ts, side), carry the last click forward with `last(..., ignorenulls)`.
+  One shuffle on the partition key, no range-explosion, no per-row
+  Python — this is the scalable form (the pd.merge_asof-per-group
+  alternative ships all data through Arrow and is kept only as a
+  reference implementation in tests). Skew note: partition key is
+  user_id; a hot user is split by AQE skew handling since the window is
+  per-user sequential only within the final sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.parity import dsum
+from labelmain_spark.sources.readers import load_table
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment join: orders ⋈ customer → spend per segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having at least one order (left semi)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders (the already-seen skip)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _clicks_purchases(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = load_table(spark, sf_dir, "events")
+    # One click per (user, ts): dedup ties so the as-of match is unique.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return clicks, purchases
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it.
+
+    Union both sides with a side tag, one window pass per user ordered
+    by (ts, side) — clicks sort before purchases at equal ts so `>=`
+    semantics hold — and carry the last click forward.
+    """
+    clicks, purchases = _clicks_purchases(spark, sf_dir)
+    c = clicks.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("ts").alias("c_ts"),
+        "click_value",
+    )
+    p = purchases.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        c.unionByName(p)
+        .withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "click_ts",
+            F.col("last_click_value").alias("click_value"),
+        )
+    )
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_asof": join_asof,
+}
+
+ORACLE = {
+    "join_inner": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_asof": """
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), purchases AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS click_ts, c.click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+}

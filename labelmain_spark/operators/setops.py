@@ -1,0 +1,65 @@
+"""Set operations (SURVEY.md §2.7): union / except / intersect over
+per-source key sets — the cross-source consolidation primitives (two
+connectors writing one collection, bitcoinabuse/main.go:78 vs
+walletexplorer/main.go:73).
+
+All three compile to a single shuffle on the full row as key
+(HashAggregate for distinct-union; left-anti/semi joins for
+except/intersect under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users seen by either of two 'sources' (click ∪ view)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users in source A but not in source B (click \\ view)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.subtract(b)  # EXCEPT DISTINCT (exceptAll would keep bag counts)
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users present in both sources (click ∩ view)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersect(b)
+
+
+QUERIES = {
+    "set_union": set_union,
+    "set_except": set_except,
+    "set_intersect": set_intersect,
+}
+
+ORACLE = {
+    "set_union": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+    "set_except": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+    "set_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+}

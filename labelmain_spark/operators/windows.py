@@ -1,0 +1,138 @@
+"""Window functions + time bucketing (SURVEY.md §2.5, T6).
+
+- W1 `window_rank` — latest report per address: the reference keeps only
+  current state by overwriting the whole doc (bitcoinabuse/main.go:245);
+  relationally that's row_number()=1 per key by recency.
+- W2 `window_lag` — per-key sequence deltas.
+- W3 `window_running` — the chainabuse running totals
+  (main.py:58-60,92-94) as a frame-spec window. Running sums aggregate
+  in DECIMAL so every prefix is exact (see operators/parity.py).
+- T6 `window_tumbling` — event-time tumbling window aggregation
+  (`F.window`), the batch twin of the Structured-Streaming form in
+  streaming/. 1-hour tumbling ≡ date_trunc('hour') for the oracle.
+- `date_trunc` — calendar bucketing of the orders fact.
+
+Scale note: every window here partitions by a high-cardinality key
+(user_id) — state per partition is small and the single shuffle is on
+the natural key. No global (unpartitioned) windows anywhere: those
+serialize the whole table through one task and are banned in this
+codebase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.parity import DEC, dsum, sql_dsum
+from labelmain_spark.sources.readers import load_table
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (row_number over recency, deterministic
+    tie-break on event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-event value delta (lag)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running total of value per user (frame-spec window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order rollup via calendar truncation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )
+
+
+QUERIES = {
+    "window_rank": window_rank,
+    "window_lag": window_lag,
+    "window_running": window_running,
+    "window_tumbling": window_tumbling,
+    "date_trunc": date_trunc,
+}
+
+ORACLE = {
+    "window_rank": """
+        SELECT user_id, event_id, ts, event_type FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "window_lag": """
+        SELECT event_id, user_id, ts,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 4) AS delta
+        FROM events
+    """,
+    "window_running": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    "window_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "date_trunc": f"""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+}

@@ -20,6 +20,11 @@ _MODULES = [
     "labelmain_spark.operators.scans",
     "labelmain_spark.operators.filters",
     "labelmain_spark.operators.aggregates",
+    "labelmain_spark.operators.projections",
+    "labelmain_spark.operators.joins",
+    "labelmain_spark.operators.windows",
+    "labelmain_spark.operators.setops",
+    "labelmain_spark.operators.merge",
 ]
 
 
