@@ -22,14 +22,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "scan_project",
     "filter_nonempty",
-    "group_count",
     "count_sum",
     "count_distinct",
-    "wallet_map",
     "collect_nested",
     "rollup_agg",
     "topk",
     "filter_null",
+    "join_inner",
+    "join_asof",
+    "merge_upsert",
+    "window_rank",
+    "window_running",
+    "reshape_3col",
+    "regex_extract",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "similarity_topk",
+    "udaf_grouped",
 ]
 
 

@@ -1,0 +1,388 @@
+"""Deduplication operators for the training-data pipeline (SURVEY.md
+§2.11 north-star): exact, MinHash+LSH near-dup, SimHash, n-gram
+Jaccard.
+
+Scale design:
+
+- Exact dedup hashes the normalized text once (sha256) and groups on
+  the 32-byte digest — the shuffle carries digests, not documents.
+- MinHash+LSH is the canonical sub-quadratic near-dup join: per-doc
+  signature (K min-hashes over 3-gram shingles) → band buckets →
+  candidate pairs only where a band collides → Jaccard verification on
+  the candidates. Everything is built-in expressions; the hash family is
+  derived from one md5 per shingle so the DuckDB oracle can reproduce
+  signatures byte-for-byte (a full oracle check for LSH, not rows-only).
+  At 100 TB: the shingle explode is a narrow map; the signature groupBy
+  shuffles (doc_id, shingle-digest) pairs; band buckets are tiny
+  relative to the corpus, and the candidate join is banded so no
+  all-pairs blowup. Skewed buckets (boilerplate shingles) are the known
+  hazard — mitigated by distinct-ing shingles per doc and by AQE skew
+  splitting on the band join.
+- n-gram Jaccard is the blocked all-pairs verifier: only within
+  (lang, source) blocks, for corpora where blocking keys exist.
+- SimHash packs a doc into a 60-bit signature by per-bit voting over
+  token hashes; near-dups differ in ≤ 3 bits. Implemented with 60
+  bit-extraction aggregates (JVM-side), grouped by signature bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+MINHASH_K = 12
+BANDS = 4  # rows per band = MINHASH_K // BANDS = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 over normalized text; survivor = min doc_id.
+    Output only duplicate-cluster survivors plus cluster sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        docs.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingles_from_tokens(t: Column, text: Column) -> Column:
+    """Distinct word 3-gram shingles from a MATERIALIZED token array.
+
+    `t` must be a projected column, not an inline split(...): Catalyst
+    does no common-subexpression elimination inside lambda bodies, so an
+    inline split would re-tokenize the document for every element_at —
+    O(len²) per doc (measured 8 s vs 0.3 s at sf0.1)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return F.array_distinct(F.when(F.size(t) >= 3, grams).otherwise(F.array(text)))
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """doc_id → shingle array. Repartitions first: the fixture lands in
+    one parquet file → one task; shingling is CPU-bound and must spread
+    across cores (on a real cluster the input is already many splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    # The repartition sits AFTER the split: the shuffle is a
+    # materialization barrier, so the token array is a physical column
+    # on the reduce side (Catalyst's projection collapse would otherwise
+    # inline split() into every element_at of the lambda → O(len²) per
+    # doc), and the CPU-heavy shingling spreads over all cores even when
+    # the input is a single file split.
+    return (
+        docs.select("doc_id", *extra, F.split(F.col("text"), " ").alias("t"), "text")
+        .repartition(n)
+        .select(
+            "doc_id",
+            *extra,
+            _shingles_from_tokens(F.col("t"), F.col("text")).alias("shingles"),
+        )
+    )
+
+
+def _exploded_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    # explode_outer, not explode: plain explode pushes a size()>0
+    # predicate below the repartition exchange, re-evaluating the whole
+    # shingle expression on the unparallelized scan side (measured 5 s
+    # vs 0.4 s at sf0.1). Shingle arrays are never empty, so the outer
+    # variant is semantically identical here.
+    #
+    # The dedup DAGs are diamonds: signatures, set sizes, and both
+    # sides of the common-shingle join all consume this table. Exchange
+    # reuse does NOT fire here (column pruning pushes per-branch
+    # projections below the exchange, so the subtrees stop being
+    # canonical-identical — verified on the physical plan), so the
+    # shared table is persisted instead: shingling executes once, every
+    # branch reads the in-memory columnar copy. Spark's CacheManager
+    # keys entries by canonical plan, so repeated calls share one entry
+    # per sf_dir rather than accumulating copies. The hash-repartition
+    # on doc_id makes the cached layout satisfy the doc_id groupBys
+    # with no further shuffle.
+    from pyspark import StorageLevel
+
+    n = spark.sparkContext.defaultParallelism
+    e = (
+        _shingle_df(spark, sf_dir, *extra)
+        .select("doc_id", *extra, F.explode_outer("shingles").alias("s"))
+        .repartition(n, F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Prime eagerly: otherwise the first action runs all diamond
+    # branches concurrently against a not-yet-populated cache and each
+    # recomputes the shingling (observed 4× work on first run).
+    e.count()
+    return e
+
+
+def _pair_jaccard(e: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Jaccard for given (doc_a, doc_b) pairs from the inverted index.
+
+    Arrays never flow through the pair join: common-shingle counts come
+    from joining the exploded (doc, shingle) table to the (small) pair
+    set, set sizes from a per-doc count, and
+    jaccard = common / (|A| + |B| - common). At 100 TB this is the only
+    viable shape — per-pair array materialization is O(pairs × doclen)
+    memory, while this is three hash joins on scalar keys.
+    """
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "s")
+    # Candidate pairs are tiny relative to the corpus by LSH
+    # construction — broadcast them so the exploded table never
+    # shuffles for the semi-enrichment.
+    common = (
+        ea.join(F.broadcast(pairs), "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k min-hashes.
+
+    Hash family: ONE md5 per shingle, k members derived as 16-hex-char
+    windows of the rotated digest (substr(d||d, i+1, 16)) — 12× fewer
+    digest computations than md5(seed|shingle) per member, identical
+    LSH behavior for near-dup detection, and byte-reproducible in the
+    DuckDB oracle.
+
+    Accepts the EXPLODED (doc_id, s) shingle table so callers can share
+    one materialized exchange across the whole dedup DAG."""
+    d = F.md5(F.col("s"))
+    ed = sh.select("doc_id", F.concat(d, d).alias("dd"))
+    aggs = [
+        F.min(F.substring(F.col("dd"), i + 1, 16)).alias(f"h{i}") for i in range(k)
+    ]
+    return ed.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with Jaccard verification."""
+    e = _exploded_shingles(spark, sf_dir)
+    sig = minhash_signatures(e)
+
+    rows_per_band = MINHASH_K // BANDS
+    band_cols = []
+    for b in range(BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*cols).alias("sig"))
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    return _pair_jaccard(e, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked 3-gram Jaccard via inverted index: the shingle table
+    self-joins on (lang, source, shingle) so only pairs that actually
+    share a shingle are ever scored — no blocked all-pairs cross
+    product, no array payloads in the join. Pairs below threshold>0
+    that share nothing never appear, which is exactly the candidate
+    semantics an all-pairs scorer would discard anyway."""
+    e = _exploded_shingles(spark, sf_dir, "lang", "source")
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "lang", "source", "s")
+    b = e.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("s").alias("s_b"),
+    )
+    common = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        4,
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "lang", "source", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(0.3))
+    )
+
+
+SIMHASH_BITS = 60  # fits a signed 64-bit long from 15 hex chars of md5
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc 60-bit SimHash: per-bit majority vote over token hashes.
+
+    Token hash = first 15 hex chars of md5(token) as a long (engine-
+    reproducible, unlike xxhash64 which has no DuckDB twin). The 60
+    bit-vote aggregates are plain conditional sums — JVM codegen, one
+    shuffle on doc_id.
+    """
+    t = df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    t = t.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = t.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidate generation by identical
+    top-16-bit bucket, verified by Hamming distance ≤ 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash(docs)
+    bucket = F.shiftright(F.col("simhash"), SIMHASH_BITS - 16)
+    s = sig.select("doc_id", "simhash", bucket.alias("bucket"))
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+def _sql_shingles(src: str = "text") -> str:
+    return f"""
+        list_distinct(CASE WHEN len(string_split({src}, ' ')) >= 3
+            THEN list_transform(range(1, len(string_split({src}, ' ')) - 1),
+                 i -> string_split({src}, ' ')[i] || ' ' ||
+                      string_split({src}, ' ')[i+1] || ' ' ||
+                      string_split({src}, ' ')[i+2])
+            ELSE [{src}] END)
+    """
+
+
+_SIG_COLS = ",\n".join(
+    f"min(substr(dd, {i + 1}, 16)) AS h{i}" for i in range(MINHASH_K)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, {concat} AS sig FROM sig".format(
+        b=b,
+        concat=" || ".join(f"h{b * (MINHASH_K // BANDS) + r}" for r in range(MINHASH_K // BANDS)),
+    )
+    for b in range(BANDS)
+)
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "ngram_jaccard": ngram_jaccard,
+    "dedup_simhash": dedup_simhash,  # rows-only: bit_count/conv have no exact DuckDB twin
+}
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT sha256(lower(trim(text))) AS h,
+               MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_minhash": f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), ed AS (
+            SELECT doc_id, md5(s) || md5(s) AS dd FROM e
+        ), sig AS (
+            SELECT doc_id, {_SIG_COLS} FROM ed GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                     / len(list_distinct(x.shingles || y.shingles)), 4) AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / len(list_distinct(x.shingles || y.shingles)), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "ngram_jaccard": """
+        WITH d AS (
+            SELECT doc_id, lang, source,
+                   list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+                       THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i+1] || ' ' ||
+                                 string_split(text, ' ')[i+2])
+                       ELSE [text] END) AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(a.sh || b.sh)), 4) >= 0.3
+    """,
+}

@@ -1,0 +1,168 @@
+"""Text-analysis operators for the training-data pipeline (SURVEY.md
+§2.11 north-star): token statistics, language ID, quality scoring,
+document fingerprinting.
+
+All of these run as pure JVM-side column expressions (split / explode /
+array_* / md5) — no Python in the hot path — so they scale linearly
+with executors and stay inside whole-stage codegen. Per-doc stats never
+shuffle (narrow transforms); only the corpus-level aggregations do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+# Deterministic per-language marker sets for the n-gram/stopword
+# language-ID heuristic. Ordered dict: ties break on first-listed lang.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "data", "merge", "window"],
+    "en": ["the", "a", "join", "order", "key"],
+    "es": ["el", "la", "filter", "batch", "row"],
+    "fr": ["le", "et", "column", "value", "stream"],
+    "zh": ["spark", "query", "vector", "hash", "table"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics + BPE-ish token-count estimate
+    (chars/4, the common LLM heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("ttr"),
+        F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each language by distinct-token
+    overlap with its marker set; argmax with fixed tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = F.array_distinct(_toks())
+    scores = {
+        lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(m) for m in ms])))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # Reverse order so the first-listed language wins ties.
+    for lang in reversed(list(scores)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        best.alias("score"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality scoring —
+    the cheap pre-filter every LLM data pipeline runs before expensive
+    stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_len = (F.col("n_chars") - (n_tok - F.lit(1))).cast("double") / n_tok
+    sw_ratio = n_sw.cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - sw_ratio), 4
+        ).alias("quality_score"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
+    expose exact-duplicate clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def _sql_markers(ms: list[str]) -> str:
+    inner = ", ".join(f"'{m}'" for m in ms)
+    return f"[{inner}]"
+
+
+_LANG_SCORE = {
+    lang: f"len(list_intersect(list_distinct(string_split(text, ' ')), {_sql_markers(ms)}))"
+    for lang, ms in LANG_MARKERS.items()
+}
+_BEST = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_MARKERS
+) + " END"
+_SQL_SW = _sql_markers(STOPWORDS)
+
+QUERIES = {
+    "text_tokens": text_tokens,
+    "lang_id": lang_id,
+    "text_quality": text_quality,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "text_tokens": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS ttr,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang_actual, {_PRED_CASE} AS lang_pred,
+               CAST({_BEST} AS INTEGER) AS score
+        FROM (
+            SELECT doc_id, lang AS lang_actual,
+                   {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORE.items())}
+            FROM documents
+        )
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               CAST(n_tok AS INTEGER) AS n_tokens,
+               ROUND(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4) AS mean_token_len,
+               ROUND(CAST(n_sw AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+               ROUND(LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(n_sw AS DOUBLE) / n_tok), 4)
+                   AS quality_score
+        FROM (
+            SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> list_contains({_SQL_SW}, t))) AS n_sw
+            FROM documents
+        )
+    """,
+    "doc_fingerprint": """
+        SELECT md5(lower(trim(text))) AS fingerprint,
+               COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+        FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+}

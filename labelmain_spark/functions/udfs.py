@@ -1,0 +1,101 @@
+"""Pandas-UDF surface (SURVEY.md §2.10).
+
+The reference's procedural layer is its HTML/XPath parsing
+(bitcoinabuse/main.go:272-289, walletexplorer/main.go:178-191) — code
+that genuinely can't be a column expression. The Spark-side contract
+for that class of logic:
+
+- scalar `pandas_udf` — vectorized per-row transforms (Arrow batches,
+  no per-row serde).
+- `applyInPandas` — grouped-map: whole group in, whole frame out
+  (custom UDAF surface).
+- `mapInPandas` — partition-batch iterator: one input row → many output
+  rows (the page → report-rows parser shape); see multimodal/ for the
+  binary-decode variant.
+
+The demonstration UDFs here compute deterministic arithmetic so DuckDB
+can mirror them exactly — proving the plumbing without giving up the
+oracle check. Anything expressible as built-ins should NOT be a UDF in
+production code; these exist to pin the UDF execution path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+
+def _est_tokens_fn(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
+    """ceil(chars/4) + small deterministic per-doc jitter — stands in
+    for a real tokenizer-length estimator."""
+    return (n_chars.add(3).floordiv(4)).add(doc_id.mod(7)).astype("int64")
+
+
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas-UDF path: vectorized token-count estimate.
+
+    The udf is constructed lazily (pandas_udf parses its DDL return
+    type against the active session, so module import must stay
+    session-free).
+    """
+    est_tokens = F.pandas_udf(_est_tokens_fn, "bigint")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", est_tokens(F.col("n_chars"), F.col("doc_id")).alias("est_tokens")
+    )
+
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    vals = pdf["value"]
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(pdf)],
+            "median_value": [round(float(vals.median()), 4)],
+            "iqr": [round(float(vals.quantile(0.75, interpolation="linear")
+                                - vals.quantile(0.25, interpolation="linear")), 4)],
+        }
+    )
+
+
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF surface: per-type median + IQR via
+    applyInPandas. Linear-interpolation quantiles match DuckDB's
+    continuous `quantile_cont` exactly.
+
+    Scale note: applyInPandas materializes each group in one Python
+    worker — fine for bounded per-key groups (event types, addresses);
+    for unbounded groups pre-aggregate or use approx quantiles
+    (`percentile_approx`) instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        _group_stats,
+        schema="event_type string, n bigint, median_value double, iqr double",
+    )
+
+
+QUERIES = {
+    "udf_scalar": udf_scalar,
+    "udaf_grouped": udaf_grouped,
+}
+
+ORACLE = {
+    "udf_scalar": """
+        SELECT doc_id,
+               CAST((n_chars + 3) // 4 + doc_id % 7 AS BIGINT) AS est_tokens
+        FROM documents
+    """,
+    "udaf_grouped": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(CAST(median(value) AS DOUBLE), 4) AS median_value,
+               ROUND(CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                     AS DOUBLE), 4) AS iqr
+        FROM events GROUP BY event_type
+    """,
+}

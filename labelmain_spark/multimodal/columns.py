@@ -1,0 +1,122 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(SURVEY.md §2.11 north-star).
+
+Design: image/audio/video ride as `binary` columns with a metadata
+struct (mime, n_bytes, checksum). Decode / feature-extraction runs as
+Arrow-batched `mapInPandas` so payload bytes never round-trip through
+per-row Python serde. The decode step itself is STUBBED here — the
+image/audio libraries are not in this container — behind
+`decode_stub`, with a deterministic fake feature extractor so the
+Spark-side plumbing (schema, batch shape, partitioning) is real and
+tested.
+
+Scale notes: binary payloads dominate bytes, so (1) metadata-only
+queries must prune the payload column (columnar parquet does this for
+free — never pack payload+metadata in one struct), (2) feature
+extraction repartitions by a content-hash prefix to spread decode cost
+evenly, (3) payload columns should be stored with a large row-group
+size and never flow through a shuffle — extract features first, shuffle
+features only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+FEATURE_DIM = 8
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: treat each document's UTF-8 bytes as an opaque
+    media payload with typed metadata."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(F.col("text")).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> bytes:
+    """Real decode (image/audio) is unavailable in this container."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this image; "
+        "deterministic fake features are used instead (extract_features)"
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector:
+    per-bucket byte histogram, normalized."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = max(1, len(payload))
+    return [round(c / total, 6) for c in counts]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": pdf["payload"].map(_fake_features),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, n_bytes integer, features array<double>"
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection over binary columns — must not read the
+    payload bytes downstream (column pruning keeps this cheap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = with_binary_payload(docs)
+    return d.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction via mapInPandas (rows-only check:
+    the Python batch path has no SQL twin); features returned in long
+    format for stable comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id", "n_bytes", F.posexplode("features").alias("dim", "feat")
+    )
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,  # rows-only: mapInPandas decode path
+}
+
+ORACLE = {
+    "multimodal_meta": """
+        SELECT doc_id, 'text/plain' AS mime,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS checksum
+        FROM documents
+    """,
+}

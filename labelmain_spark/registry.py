@@ -25,6 +25,11 @@ _MODULES = [
     "labelmain_spark.operators.windows",
     "labelmain_spark.operators.setops",
     "labelmain_spark.operators.merge",
+    "labelmain_spark.functions.text",
+    "labelmain_spark.functions.dedup",
+    "labelmain_spark.functions.vectors",
+    "labelmain_spark.functions.udfs",
+    "labelmain_spark.multimodal.columns",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Property tests for operators whose oracle check is rows-only, plus
+semantic properties the driver's hash compare can't express
+(idempotence, recall, invariants). FIXTURES.md §2: $addToSet
+idempotence (run MERGE twice ⇒ identical result), TTL dedup, reshape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from labelmain_spark.functions import dedup, vectors
+from labelmain_spark.multimodal import columns as mm
+from labelmain_spark.operators import merge
+from labelmain_spark.sources.readers import load_table
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """ANN bucket probe must recover a reasonable share of the true
+    top-k (recall measured, not assumed)."""
+    brute = {r.vec_id for r in vectors.similarity_topk(spark, sf_dir).collect()}
+    ann = {r.vec_id for r in vectors.ann_lsh_topk(spark, sf_dir).collect()}
+    assert ann, "ANN returned nothing — bucket signature is broken"
+    recall = len(ann & brute) / len(brute)
+    # 8-bit single-table LSH on random vectors: recall is modest by
+    # design; the floor asserts the bucketing is correlated with
+    # similarity at all (random bucketing at sf0.001 gives ~0).
+    assert recall >= 0.2, f"ANN recall {recall} vs brute force too low"
+
+
+def test_simhash_identical_docs_same_signature(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    dup = docs.union(docs)  # every doc duplicated
+    sig = dedup.simhash(dup)
+    # each doc_id appears twice with equal signatures → distinct rows = 5
+    assert sig.distinct().count() == 5
+
+
+def test_simhash_pairs_are_similar(spark, sf_dir):
+    """Every SimHash pair reported at hamming ≤ 6 must share real
+    token overlap (sanity: the signature reflects content)."""
+    pairs = dedup.dedup_simhash(spark, sf_dir).limit(5).collect()
+    if not pairs:
+        pytest.skip("no simhash pairs at this SF")
+    docs = {
+        r.doc_id: set(r.text.split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for p in pairs:
+        a, b = docs[p.doc_a], docs[p.doc_b]
+        jac = len(a & b) / len(a | b)
+        assert jac > 0.5, f"simhash pair ({p.doc_a},{p.doc_b}) jaccard {jac}"
+
+
+def test_addtoset_idempotent(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("labels")
+    )
+    once = merge.merge_add_to_set(labels, labels, "user_id", "labels")
+    twice = merge.merge_add_to_set(once, labels, "user_id", "labels")
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_upsert_prefers_updates(spark, sf_dir):
+    cur = spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    upd = spark.createDataFrame([(2, "new"), (3, "new")], "k long, v string")
+    out = {r.k: r.v for r in merge.upsert(cur, upd, "k").collect()}
+    assert out == {1: "old", 2: "new", 3: "new"}
+
+
+def test_upsert_null_update_column_still_overwrites(spark):
+    """$set semantics: the update doc replaces the whole row, even when
+    an update field is NULL (doc-level, not field-level, wins)."""
+    cur = spark.createDataFrame([(1, "old")], "k long, v string")
+    upd = spark.createDataFrame([(1, None)], "k long, v string")
+    out = merge.upsert(cur, upd, "k").collect()
+    assert out[0].v is None
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every pair LSH reports above threshold must verify; spot-check
+    that the top ngram_jaccard pair is also found by minhash (banded
+    LSH at t≈(1/b)^(1/r)=0.63 should catch 0.9+ pairs)."""
+    mh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    exact = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    ]
+    for pair in exact:
+        assert pair in mh, f"minhash missed near-identical pair {pair}"
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"\x89PNG")
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    a = mm.multimodal_features(spark, sf_dir).collect()
+    b = mm.multimodal_features(spark, sf_dir).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    # feature vector rows: FEATURE_DIM dims per doc, normalized buckets
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r.doc_id, []).append(r.feat)
+    for doc, feats in per_doc.items():
+        assert len(feats) == mm.FEATURE_DIM
+        assert abs(sum(feats) - 1.0) < 1e-3, f"doc {doc} histogram not normalized"
