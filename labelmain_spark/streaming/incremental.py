@@ -1,0 +1,117 @@
+"""Structured-Streaming forms of the reference's incremental-ingest
+semantics (SURVEY.md §2.9).
+
+The reference is a forever-loop ingester; each of its control-flow
+tricks maps onto a first-class streaming concept:
+
+- T1 micro-batch trigger with interval (5 s/10 s page sleeps,
+  bitcoinabuse/main.go:40-41,112-113; 8 h ticker walletexplorer
+  main.go:78; 1 h tail-poll chainabuse/main.py:110-115)
+  → ``trigger(processingTime=...)`` / ``availableNow`` here.
+- T2 stateful dedup with TTL (12 h ttlcache keyed by addr,
+  bitcoinabuse/main.go:43-45,218-221,248)
+  → ``withWatermark + dropDuplicatesWithinWatermark``.
+- T3 offset/cursor checkpointing (GraphQL endCursor carried in memory —
+  and LOST on restart — chainabuse/main.py:107-109)
+  → ``checkpointLocation`` (durable, exactly-once restart).
+- T4 at-least-once + idempotent upsert sink (S6-S8)
+  → ``foreachBatch`` + the merge operators → exactly-once effect.
+- T6/T7 event-time windows + late data → watermarked window aggs.
+
+At scale the streaming state store is RocksDB-backed
+(``spark.sql.streaming.stateStore.providerClass``), watermarks bound
+state size, and ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` provide
+backpressure — config, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from labelmain_spark.operators.merge import upsert
+from labelmain_spark.operators.parity import DEC
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events landing zone — the streaming
+    twin of readers.load_table(events), same ns→µs conversion."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """T6: watermarked tumbling event-time aggregation (streaming twin
+    of operators.windows.window_tumbling)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def ttl_dedup(events: DataFrame, ttl: str = "12 hours") -> DataFrame:
+    """T2: the 12 h ttlcache as streaming state — drop repeat
+    (user_id, event_type) keys within the watermark window. State is
+    evicted by the watermark exactly like the reference's TTL expiry."""
+    return events.withWatermark("ts", ttl).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_upsert_sink(
+    events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+) -> None:
+    """T4: foreachBatch + last-write-wins merge into a parquet state
+    table — the UpdateOne(upsert:true) sink. Re-running a batch is
+    idempotent because the merge is keyed (exactly-once effect from
+    at-least-once delivery, the same property the reference leans on).
+    """
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        doc = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        import os
+
+        if os.path.isdir(state_path):
+            current = spark.read.parquet(state_path)
+            merged = upsert(current, doc, "user_id")
+        else:  # first batch: no state yet
+            merged = doc
+        merged.write.mode("overwrite").parquet(state_path + "_next")
+        spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(state_path)
+
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

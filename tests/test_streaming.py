@@ -1,0 +1,69 @@
+"""Streaming semantics tests: the streaming forms must agree with their
+batch twins (the oracle-checked queries), and the upsert sink must be
+idempotent across replays."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.windows import window_tumbling
+from labelmain_spark.streaming import incremental as inc
+
+
+def _run_to_memory(df, name: str) -> None:
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    """Streaming watermarked tumbling agg == batch window_tumbling for
+    windows the watermark has closed (all of them, with availableNow +
+    a final empty trigger... append mode emits only closed windows, so
+    compare on the emitted subset)."""
+    ev = inc.stream_events(spark, sf_dir)
+    agg = inc.tumbling_counts(ev)
+    _run_to_memory(agg, "stream_tumbling")
+    got = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM stream_tumbling").collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in window_tumbling(spark, sf_dir).collect()
+    }
+    assert got, "stream produced no closed windows"
+    for k, v in got.items():
+        assert want[k] == v, f"window {k}: stream {v} != batch {want[k]}"
+
+
+def test_stream_ttl_dedup(spark, sf_dir):
+    ev = inc.stream_events(spark, sf_dir)
+    out = inc.ttl_dedup(ev)
+    _run_to_memory(out, "stream_dedup")
+    rows = spark.sql("SELECT user_id, event_type, count(*) c FROM stream_dedup "
+                     "GROUP BY user_id, event_type HAVING count(*) > 1").collect()
+    # within one availableNow run over one file there is one batch, so
+    # every (user, type) key must appear exactly once
+    assert rows == [], f"duplicate keys survived dedup: {rows[:5]}"
+
+
+def test_upsert_sink_idempotent_replay(spark, sf_dir):
+    """Running the sink twice (fresh checkpoint → full replay) must
+    converge to the same state — the at-least-once + idempotent-merge
+    contract (T4)."""
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        inc.run_upsert_sink(inc.stream_events(spark, sf_dir), state, f"{tmp}/cp1")
+        first = sorted(map(str, spark.read.parquet(state).collect()))
+        inc.run_upsert_sink(inc.stream_events(spark, sf_dir), state, f"{tmp}/cp2")
+        second = sorted(map(str, spark.read.parquet(state).collect()))
+        assert first == second
