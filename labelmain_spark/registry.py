@@ -25,7 +25,10 @@ _MODULES = [
     "labelmain_spark.operators.windows",
     "labelmain_spark.operators.setops",
     "labelmain_spark.operators.merge",
+    "labelmain_spark.operators.analytics",
+    "labelmain_spark.operators.nested",
     "labelmain_spark.functions.text",
+    "labelmain_spark.functions.simjoin",
     "labelmain_spark.functions.dedup",
     "labelmain_spark.functions.vectors",
     "labelmain_spark.functions.udfs",

@@ -94,6 +94,18 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
         assert pair in mh, f"minhash missed near-identical pair {pair}"
 
 
+def test_mllib_similarity_join_agrees_with_native_minhash(spark, sf_dir):
+    """The MLlib LSH path and the DataFrame-native minhash must find
+    the same near-dup pairs (same shingles, same jaccard threshold)."""
+    from labelmain_spark.functions import simjoin
+
+    sj = {(r.doc_a, r.doc_b) for r in simjoin.similarity_join(spark, sf_dir).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in dedup.dedup_minhash(spark, sf_dir).collect()}
+    assert mh, "no near-dup pairs found at this SF"
+    missed = mh - sj
+    assert len(missed) <= max(1, len(mh) // 10), f"MLlib path missed {missed}"
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"\x89PNG")
