@@ -1,0 +1,175 @@
+"""Advanced relational patterns (pyspark_guide common-OLAP set):
+sessionization, pivot/unpivot, approximate aggregates, multi-dim join
+chains.
+
+- `sessionize` — gap-based sessionization (lag + cumulative sum over a
+  per-user window). The batch twin of streaming `session_window`; one
+  shuffle on user_id, state linear in events-per-user.
+- `pivot_counts` / `unpivot_metrics` — wide↔long reshaping with an
+  explicit value list (pivot with an unspecified list triggers an extra
+  distinct scan — never at 100 TB).
+- `approx_distinct` — HLL `approx_count_distinct` vs exact, per group;
+  at 100 TB the approx form avoids the per-key expansion shuffle
+  entirely. Rows-only (HLL internals differ per engine); the accuracy
+  bound is property-tested.
+- `region_revenue` — 4-table star join chain with broadcast dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.parity import dsum, sql_dsum
+from labelmain_spark.sources.readers import load_table
+
+SESSION_GAP_S = 1800.0  # 30 min
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap
+    from the previous event exceeds 30 min."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")  # epoch seconds w/ µs fraction, same as DuckDB epoch()
+    gap = sec - F.lag(sec).over(w)
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", "session_value"),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted wide by event type (explicit value list)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long: part numeric attributes as (key, metric, value)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type, with the exact count alongside
+    (accuracy bound asserted in tests; rows-only for the driver)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation within one region: lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region, dims broadcast, fact never re-shuffled
+    except for the final small-key aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+QUERIES = {
+    "sessionize": sessionize,
+    "pivot_counts": pivot_counts,
+    "unpivot_metrics": unpivot_metrics,
+    "approx_distinct": approx_distinct,  # rows-only: HLL sketches differ across engines
+    "region_revenue": region_revenue,
+}
+
+_PIVOT_COLS = ",\n".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in EVENT_TYPES
+)
+
+ORACLE = {
+    "sessionize": f"""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - LAG(epoch(ts)) OVER w > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM seq
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               {sql_dsum('value')} AS session_value
+        FROM sess GROUP BY user_id, session_seq
+    """,
+    "pivot_counts": f"""
+        SELECT date_trunc('day', ts) AS day,
+               {_PIVOT_COLS}
+        FROM events GROUP BY date_trunc('day', ts)
+    """,
+    "unpivot_metrics": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+    """,
+    "region_revenue": f"""
+        SELECT n_name,
+               {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+}

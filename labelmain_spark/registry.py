@@ -27,6 +27,8 @@ _MODULES = [
     "labelmain_spark.operators.merge",
     "labelmain_spark.operators.analytics",
     "labelmain_spark.operators.nested",
+    "labelmain_spark.operators.advanced",
+    "labelmain_spark.labelstore.store",
     "labelmain_spark.functions.text",
     "labelmain_spark.functions.simjoin",
     "labelmain_spark.functions.dedup",
