@@ -67,3 +67,38 @@ def test_upsert_sink_idempotent_replay(spark, sf_dir):
         inc.run_upsert_sink(inc.stream_events(spark, sf_dir), state, f"{tmp}/cp2")
         second = sorted(map(str, spark.read.parquet(state).collect()))
         assert first == second
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running totals == batch groupBy agg after
+    one availableNow pass (update mode emits the final accumulator per
+    key once per batch that touches it)."""
+    from labelmain_spark.streaming import stateful
+
+    ev = inc.stream_events(spark, sf_dir)
+    out = stateful.running_user_totals(ev)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep only the LAST emission per key (multi-file streams emit
+    # intermediate accumulators in update mode)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts_us)
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_events DESC) rn "
+            "FROM stateful_totals) WHERE rn = 1"
+        ).collect()
+    }
+    from labelmain_spark.sources.readers import load_table
+
+    want = {
+        r.user_id: (r.n_events, round(r.total_value, 6), r.last_ts_us)
+        for r in stateful.batch_user_totals(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == want
