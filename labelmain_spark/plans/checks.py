@@ -47,6 +47,17 @@ def assert_read_schema(df: DataFrame, cols: set[str], table_hint: str = "") -> N
     raise AssertionError(f"no scan restricted to {cols}; plan:\n{plan[:2000]}")
 
 
+def assert_partition_filter(df: DataFrame, column: str) -> None:
+    """The scan must prune directories on `column` (partition pruning,
+    not a post-scan filter)."""
+    plan = explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and column in m.group(1), (
+        f"no partition filter on {column}; "
+        f"PartitionFilters={m.group(1) if m else 'NONE'}"
+    )
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     assert "BroadcastHashJoin" in physical_plan(df), "expected a broadcast hash join"
 

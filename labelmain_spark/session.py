@@ -15,6 +15,7 @@ same code is correct on a 1000-executor cluster against ~100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -50,6 +51,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed tables (bucketed-layout demos) go to tmp, not the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "labelmain_warehouse"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
