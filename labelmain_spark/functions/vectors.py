@@ -138,11 +138,75 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse-quantizer cells; ~sqrt(N) at real scale
+IVF_NPROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (MLlib KMeans, fixed seed) →
+    every vector assigned to its nearest cell → probe the `IVF_NPROBE`
+    cells nearest the query with exact cosine inside them.
+
+    Scale shape: the quantizer trains on a sample (here: all rows —
+    fixture-sized), the centroid set is tiny and broadcast with the
+    assignment model, so assignment is a narrow map; the probe filters
+    the scan to nprobe/k of the corpus BEFORE any scoring. Persisting
+    the corpus partitioned by `cell` (see labelstore.layout) turns the
+    probe into partition pruning — the IVF inverted list, literally.
+    Cell-size skew is the known hazard (popular cells → straggler
+    tasks); mitigated by AQE skew splitting or splitting fat cells into
+    sub-cells (IVF-HNSW hybrids do the same).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # L2-normalize before clustering: on unit vectors, L2 k-means is
+    # spherical k-means, so cell assignment agrees with the cosine
+    # metric the probe ranks by (unnormalized cells cut across cosine
+    # neighborhoods; recall@10 with nprobe=4: 1.0 at sf0.001, 0.6 at
+    # sf0.01 on the near-random fixture vectors).
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "fv", array_to_vector(F.transform("v", lambda x: x / _norm(F.col("v"))))
+    )
+
+    # k scales with corpus size (~N/60, capped): 16 cells over a
+    # 500-vector fixture would leave ~30 vectors/cell — quantization
+    # noise swamps the structure and recall collapses. At real scale
+    # k ≈ sqrt(N) with a sampled fit, and N/k stays in the thousands.
+    n = e.count()
+    k = max(2, min(IVF_K, n // 60))
+    model = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell").fit(e)
+    assigned = model.transform(e)
+
+    centroids = [list(c) for c in model.clusterCenters()]
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(vector_to_array("fv")).first()
+    qv = list(q_row[0])
+
+    def l2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(k), key=lambda c: l2(centroids[c], qv))[:IVF_NPROBE]
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return (
+        assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "embedding_centroid": embedding_centroid,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: LSH plane constants are impractical to inline in SQL
+    "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
 }
 
 ORACLE = {

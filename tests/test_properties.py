@@ -122,3 +122,14 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     for doc, feats in per_doc.items():
         assert len(feats) == mm.FEATURE_DIM
         assert abs(sum(feats) - 1.0) < 1e-3, f"doc {doc} histogram not normalized"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 cells must beat single-table LSH recall:
+    the quantizer adapts to the data distribution, the hyperplanes
+    don't."""
+    brute = {r.vec_id for r in vectors.similarity_topk(spark, sf_dir).collect()}
+    ivf = {r.vec_id for r in vectors.ann_ivf_topk(spark, sf_dir).collect()}
+    assert ivf, "IVF returned nothing — probe set is broken"
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall} vs brute force too low"
