@@ -70,9 +70,65 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped (adapted: the fixture has no commit/receipt
+    dates, so the EXISTS predicate is "has a returned lineitem"):
+    orders with ≥1 'R' lineitem, counted per priority. The plan to
+    want: the semi-join dedups l_orderkey DURING the join (no distinct
+    pre-agg), and the filter on l_returnflag is pushed to the lineitem
+    scan so the semi-join's build side is already small."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: orders-per-customer via left outer join
+    (customers with no orders count as 0), then the histogram of those
+    counts — two cascaded aggregations where the second's key is the
+    first's output. The first groupBy reuses the join's partitioning on
+    c_custkey (no extra exchange); the second shuffles a tiny
+    (count, freq) set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: revenue per supplier, keep the max-revenue
+    supplier(s). The max is a one-row broadcast joined back against the
+    per-supplier aggregate (exact decimal revenue ⇒ the equality join
+    on the max is deterministic); supplier names come from a broadcast
+    dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
+    "order_priority_count": order_priority_count,
+    "customer_distribution": customer_distribution,
+    "top_supplier": top_supplier,
 }
 
 ORACLE = {
@@ -102,5 +158,33 @@ ORACLE = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """,
+    "customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "top_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
 }
