@@ -41,6 +41,14 @@ HEADLINE = [
     "ngram_jaccard",
     "similarity_topk",
     "udaf_grouped",
+    "pricing_summary",
+    "shipping_priority",
+    "region_revenue",
+    "order_priority_count",
+    "customer_distribution",
+    "top_supplier",
+    "sessionize",
+    "label_consolidate",
 ]
 
 
