@@ -49,20 +49,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_from_tokens(t: Column, text: Column) -> Column:
+def _shingles_from_tokens(t: Column) -> Column:
     """Distinct word 3-gram shingles from a MATERIALIZED token array.
 
     `t` must be a projected column, not an inline split(...): Catalyst
     does no common-subexpression elimination inside lambda bodies, so an
     inline split would re-tokenize the document for every element_at —
-    O(len²) per doc (measured 8 s vs 0.3 s at sf0.1)."""
+    O(len²) per doc (measured 8 s vs 0.3 s at sf0.1).
+
+    The <3-token fallback rebuilds the original text from the tokens
+    (split/concat_ws on ' ' round-trips exactly, including empty
+    tokens from consecutive spaces) rather than carrying the raw text
+    column through the repartition shuffle — at 100 TB that halves the
+    shuffle payload of the shingling stage."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
             " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
         ),
     )
-    return F.array_distinct(F.when(F.size(t) >= 3, grams).otherwise(F.array(text)))
+    return F.array_distinct(
+        F.when(F.size(t) >= 3, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    )
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
@@ -78,12 +86,12 @@ def _shingle_df(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     # doc), and the CPU-heavy shingling spreads over all cores even when
     # the input is a single file split.
     return (
-        docs.select("doc_id", *extra, F.split(F.col("text"), " ").alias("t"), "text")
+        docs.select("doc_id", *extra, F.split(F.col("text"), " ").alias("t"))
         .repartition(n)
         .select(
             "doc_id",
             *extra,
-            _shingles_from_tokens(F.col("t"), F.col("text")).alias("shingles"),
+            _shingles_from_tokens(F.col("t")).alias("shingles"),
         )
     )
 
