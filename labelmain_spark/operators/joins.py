@@ -122,11 +122,66 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALT = 16
+
+EVENT_WEIGHTS = [
+    ("click", 1.0),
+    ("error", 0.0),
+    ("purchase", 5.0),
+    ("signup", 10.0),
+    ("view", 0.5),
+]
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salt: int = N_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for hot-key skew.
+
+    The big side gets a deterministic per-row salt (hash of a unique
+    column mod n_salt); the dim side is replicated n_salt× with an
+    exploded salt sequence; the join runs on (key, salt), spreading one
+    hot key over n_salt reducers. Results are exactly the plain join's.
+
+    When to reach for this instead of letting AQE's skew-join handle
+    it: AQE splits skewed SHUFFLE PARTITIONS of sort-merge joins, but
+    cannot help when the join feeds an aggregation pinned to the same
+    key (the agg re-concentrates the key), in streaming-static joins
+    (no AQE), or when a handful of keys dominate so completely — as
+    with a 5-value key over a billion rows — that per-partition
+    splitting still leaves one task per key doing all the work. The
+    `merge` hint keeps the demo honest locally (a tiny dim would
+    otherwise broadcast, and a broadcast join has no skew problem to
+    begin with — at real scale the dim is past the broadcast
+    threshold, which is the only case salting is for)."""
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    d = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return b.join(d.hint("merge"), [key, "_salt"], how).drop("_salt")
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⋈dim: events (5-value hot key) joined to a
+    per-type weight dim on salted keys, then weighted totals per type."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(EVENT_WEIGHTS, "event_type string, weight double")
+    j = salted_join(ev, dim, "event_type", "event_id")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value") * F.col("weight"), "weighted_value"),
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_asof": join_asof,
+    "join_salted": join_salted,
 }
 
 ORACLE = {
@@ -157,5 +212,15 @@ ORACLE = {
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join_salted": """
+        SELECT e.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value * d.weight AS DECIMAL(28,6))) AS DOUBLE)
+                   AS weighted_value
+        FROM events e
+        JOIN (VALUES ('click', 1.0), ('error', 0.0), ('purchase', 5.0),
+                     ('signup', 10.0), ('view', 0.5)) AS d(event_type, weight)
+          ON e.event_type = d.event_type
+        GROUP BY e.event_type
     """,
 }

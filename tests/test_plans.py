@@ -41,3 +41,30 @@ def test_text_pipeline_has_no_python(spark, sf_dir):
 def test_aggregates_prune_columns(spark, sf_dir):
     df = aggregates.group_count(spark, sf_dir)
     checks.assert_read_schema(df, {"o_orderpriority"})
+
+
+def test_salted_join_spreads_and_matches(spark, sf_dir):
+    """The salted join must (a) sort-merge on (key, salt) — the skew
+    spread — and (b) return exactly the plain join's aggregate."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.operators.parity import dsum
+    from labelmain_spark.sources.readers import load_table
+
+    df = joins.join_salted(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "SortMergeJoin" in plan and "_salt" in plan, plan[:1500]
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(joins.EVENT_WEIGHTS, "event_type string, weight double")
+    plain = (
+        ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value") * F.col("weight"), "weighted_value"),
+        )
+    )
+    got = {(r.event_type, r.n_events, r.weighted_value) for r in df.collect()}
+    want = {(r.event_type, r.n_events, r.weighted_value) for r in plain.collect()}
+    assert got == want
