@@ -111,6 +111,19 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-granularity stats: cube(returnflag, linestatus) — rollup's
+    superset (adds the (∅, linestatus) slices). Same partial→final
+    HashAggregate shape; the expand node multiplies rows by the number
+    of grouping sets BEFORE the shuffle, so at 100 TB prefer rollup
+    when the drill path is hierarchical (4 sets vs 3 here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
 QUERIES = {
     "group_count": group_count,
     "count_sum": count_sum,
@@ -118,6 +131,7 @@ QUERIES = {
     "wallet_map": wallet_map,
     "collect_nested": collect_nested,
     "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
 }
 
 ORACLE = {
@@ -158,5 +172,10 @@ ORACLE = {
                {sql_dsum('l_quantity')} AS sum_qty,
                {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 }

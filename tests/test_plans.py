@@ -68,3 +68,20 @@ def test_salted_join_spreads_and_matches(spark, sf_dir):
     got = {(r.event_type, r.n_events, r.weighted_value) for r in df.collect()}
     want = {(r.event_type, r.n_events, r.weighted_value) for r in plain.collect()}
     assert got == want
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    """The star-join chain must broadcast every dim — the fact table
+    never shuffles for the joins (only the final small-key agg)."""
+    from labelmain_spark.operators import advanced
+
+    df = advanced.region_revenue(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    from labelmain_spark.operators import analytics
+
+    df = analytics.pricing_summary(spark, sf_dir)
+    checks.assert_pushed_filter(df, "l_shipdate")
