@@ -49,6 +49,7 @@ HEADLINE = [
     "top_supplier",
     "sessionize",
     "label_consolidate",
+    "doc_winnow",
 ]
 
 

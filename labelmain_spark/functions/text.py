@@ -104,6 +104,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme): hash every
+    k-char-gram, slide a w-hash window, keep each window's minimum —
+    guaranteed to share fingerprints with any document overlapping by
+    ≥ w+k-1 chars, at ~1/w the storage of all grams.
+
+    The gram hash is the first 15 hex chars of md5 kept AS A STRING:
+    winnowing needs any total order, and lexicographic order on hex
+    digests is one DuckDB reproduces exactly (a numeric conversion has
+    no DuckDB twin — that's why dedup_simhash is rows-only).
+
+    Plan shape: two narrow projections with a repartition barrier
+    between hashing and window-min so the hash array materializes once
+    (Catalyst would otherwise inline the md5 transform into every
+    slice() of the window pass — the same O(len·w) blowup
+    _shingles_from_tokens documents); then explode + distinct. One
+    shuffle total (the distinct), scales linearly in corpus bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - (k - 1))),
+        lambda i: F.col("text").substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 15))
+    hashed = docs.select("doc_id", hashes.alias("h")).repartition(n)
+    nwin = F.greatest(F.lit(1), F.size(F.col("h")) - (w - 1))
+    mins = F.transform(
+        F.sequence(F.lit(1), nwin), lambda j: F.array_min(F.slice(F.col("h"), j, w))
+    )
+    return (
+        hashed.select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def _sql_markers(ms: list[str]) -> str:
     inner = ", ".join(f"'{m}'" for m in ms)
     return f"[{inner}]"
@@ -124,6 +165,7 @@ QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
     "doc_fingerprint": doc_fingerprint,
+    "doc_winnow": doc_winnow,
 }
 
 ORACLE = {
@@ -164,5 +206,23 @@ ORACLE = {
         SELECT md5(lower(trim(text))) AS fingerprint,
                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
         FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+    "doc_winnow": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(1, length(text) - {WINNOW_K - 1}) + 1),
+                       i -> substr(md5(substr(text, CAST(i AS INTEGER), {WINNOW_K})), 1, 15)
+                   ) AS h
+            FROM documents
+        )
+        SELECT DISTINCT doc_id, fingerprint FROM (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(1, len(h) - {WINNOW_W - 1}) + 1),
+                       j -> list_min(h[CAST(j AS BIGINT):CAST(j + {WINNOW_W - 1} AS BIGINT)])
+                   ))) AS fingerprint
+            FROM h
+        )
     """,
 }

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import davg, sql_davg
+from labelmain_spark.operators.parity import (
+    davg,
+    sql_davg,
+    sql_stable_round,
+    stable_round,
+)
 from labelmain_spark.sources.readers import load_table
 
 QUERY_VEC_ID = 0
@@ -72,7 +77,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
         )
         .groupBy("label", "dim")
-        .agg(F.round(davg("x"), 6).alias("centroid"))
+        .agg(stable_round(davg("x"), 6).alias("centroid"))
     )
 
 
@@ -225,7 +230,7 @@ ORACLE = {
     """,
     "embedding_centroid": f"""
         SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
-               ROUND({sql_davg('x')}, 6) AS centroid
+               {sql_stable_round(sql_davg('x'), 6)} AS centroid
         FROM (
             SELECT label,
                    unnest(CAST(embedding AS DOUBLE[])) AS x,

@@ -42,6 +42,32 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def stable_round(col: Column, n: int) -> Column:
+    """Cross-engine-deterministic rounding of a double.
+
+    ``ROUND(double, n)`` is NOT portable at half-way boundaries: Spark
+    rounds the shortest decimal representation Java derives for the
+    double (BigDecimal.valueOf), DuckDB rounds the full binary
+    expansion — for a mean whose true value sits at x.xxxxx5 they emit
+    different 6th digits (hit in practice by embedding_centroid at
+    sf0.1: 0.003214 vs 0.003213). This variant uses only IEEE ops —
+    scale, add 0.5, floor, unscale — which every engine evaluates
+    bit-identically. (Half-negative values round toward +inf rather
+    than away from zero; consistency across engines is what matters
+    here, not the tie convention.)
+
+    SQL twin: ``FLOOR(x * 1e{n} + 0.5) / 1e{n}``.
+    """
+    s = float(10**n)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def sql_stable_round(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`stable_round`."""
+    s = float(10**n)
+    return f"(FLOOR(({expr}) * {s} + 0.5) / {s})"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for an arbitrary SQL expression."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
