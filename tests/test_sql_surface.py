@@ -1,0 +1,52 @@
+"""SQL-surface parity: the engine is DataFrame-first, but every table
+registers as a temp view and the same queries must be expressible via
+``spark.sql`` — users of the reference's output collections get a full
+SQL interface, not just the Python API."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.analytics import pricing_summary
+from labelmain_spark.operators.joins import join_inner
+from labelmain_spark.sources.readers import load_table
+
+TABLES = ["lineitem", "orders", "customer"]
+
+
+def _register(spark, sf_dir):
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def test_sql_matches_dataframe_pricing_summary(spark, sf_dir):
+    _register(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    want = pricing_summary(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "count_order"
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+def test_sql_matches_dataframe_join(spark, sf_dir):
+    _register(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    assert sorted(map(str, got.collect())) == sorted(
+        map(str, join_inner(spark, sf_dir).collect())
+    )
