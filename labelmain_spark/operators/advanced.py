@@ -82,6 +82,24 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles per event type — the
+    100 TB form of udaf_grouped's exact median/IQR: `percentile_approx`
+    is a mergeable JVM-side sketch (partial per partition → merged at
+    the reducer), so no group ever materializes in one worker and no
+    Python boundary is crossed. Rows-only for the driver (DuckDB's
+    approx_quantile is a different sketch — t-digest); the error bound
+    vs the exact quantiles is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p50"),
+        q.getItem(2).alias("p75"),
+    )
+
+
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per nation within one region: lineitem ⋈ orders ⋈
     customer ⋈ nation ⋈ region, dims broadcast, fact never re-shuffled
@@ -122,6 +140,7 @@ QUERIES = {
     "pivot_counts": pivot_counts,
     "unpivot_metrics": unpivot_metrics,
     "approx_distinct": approx_distinct,  # rows-only: HLL sketches differ across engines
+    "approx_quantiles": approx_quantiles,  # rows-only: GK vs t-digest sketches differ
     "region_revenue": region_revenue,
 }
 

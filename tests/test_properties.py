@@ -133,3 +133,22 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert ivf, "IVF returned nothing — probe set is broken"
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall} vs brute force too low"
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """GK sketch quantiles must sit within 2% rank error of the exact
+    per-group quantiles (accuracy=10000 → ±0.01% nominal; 2% is slack
+    for tiny fixture groups)."""
+    from labelmain_spark.operators.advanced import approx_quantiles
+    from labelmain_spark.sources.readers import load_table
+
+    got = {r.event_type: (r.p25, r.p50, r.p75)
+           for r in approx_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    for etype, grp in ev.groupby("event_type"):
+        vals = grp["value"].sort_values().reset_index(drop=True)
+        n = len(vals)
+        for approx, frac in zip(got[etype], (0.25, 0.5, 0.75)):
+            lo = vals.iloc[max(0, int((frac - 0.02) * n))]
+            hi = vals.iloc[min(n - 1, int((frac + 0.02) * n))]
+            assert lo <= approx <= hi, (etype, frac, approx, lo, hi)
