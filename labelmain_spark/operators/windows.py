@@ -83,6 +83,36 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: account-balance quartile + percent_rank of
+    each customer within its nation — the segmentation shape ("which
+    addresses are in the top quartile of report counts per chain")."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
+
+
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic over the silver layer: order age at a fixed
+    as-of date, fulfilment-month distance, next-week follow-up date —
+    datediff / date_add / month extraction in one projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = F.lit("1998-12-31").cast("date")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(asof, od).alias("age_days"),
+        F.date_add(od, 7).alias("followup_date"),
+        F.month(od).alias("order_month"),
+        F.year(od).alias("order_year"),
+    )
+
+
 def date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order rollup via calendar truncation."""
     orders = load_table(spark, sf_dir, "orders")
@@ -100,6 +130,8 @@ QUERIES = {
     "window_lag": window_lag,
     "window_running": window_running,
     "window_tumbling": window_tumbling,
+    "window_ntile": window_ntile,
+    "date_arith": date_arith,
     "date_trunc": date_trunc,
 }
 
@@ -134,5 +166,21 @@ ORACLE = {
         SELECT date_trunc('month', o_orderdate) AS month,
                COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
         FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+    "window_ntile": """
+        SELECT c_custkey, c_nationkey,
+               CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    "date_arith": """
+        SELECT o_orderkey,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                    AS INTEGER) AS age_days,
+               CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS followup_date,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year
+        FROM orders
     """,
 }
