@@ -178,7 +178,7 @@ ORACLE = {
         SELECT o_orderkey,
                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
                     AS INTEGER) AS age_days,
-               CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS followup_date,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS followup_date,
                CAST(month(o_orderdate) AS INTEGER) AS order_month,
                CAST(year(o_orderdate) AS INTEGER) AS order_year
         FROM orders

@@ -20,10 +20,10 @@ def _norm_cell(v):
         return round(v, 9)
     if isinstance(v, Decimal):
         return round(float(v), 9)
-    if isinstance(v, (pd.Timestamp, datetime)):
+    # date and midnight-timestamp normalize identically, mirroring the
+    # driver's comparator (scripts/driver_sim.py _norm) exactly.
+    if isinstance(v, (pd.Timestamp, datetime, date)):
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "asDict"):  # pyspark Row
