@@ -100,6 +100,23 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_WIDTH = 50.0
+
+
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — numeric binning via
+    floor division (portable to any engine, unlike width_bucket).
+    Shuffle key is (type, bin): bounded cardinality, perfectly
+    combinable map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / BIN_WIDTH).cast("int")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_lo", F.col("bin") * BIN_WIDTH)
+    )
+
+
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per nation within one region: lineitem ⋈ orders ⋈
     customer ⋈ nation ⋈ region, dims broadcast, fact never re-shuffled
@@ -142,6 +159,7 @@ QUERIES = {
     "approx_distinct": approx_distinct,  # rows-only: HLL sketches differ across engines
     "approx_quantiles": approx_quantiles,  # rows-only: GK vs t-digest sketches differ
     "region_revenue": region_revenue,
+    "histogram_bins": histogram_bins,
 }
 
 _PIVOT_COLS = ",\n".join(
@@ -178,6 +196,14 @@ ORACLE = {
         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
         UNION ALL
         SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+    """,
+    "histogram_bins": f"""
+        SELECT event_type,
+               CAST(FLOOR(value / {BIN_WIDTH}) AS INTEGER) AS bin,
+               COUNT(*) AS n,
+               CAST(FLOOR(value / {BIN_WIDTH}) AS INTEGER) * {BIN_WIDTH} AS bin_lo
+        FROM events
+        GROUP BY event_type, CAST(FLOOR(value / {BIN_WIDTH}) AS INTEGER)
     """,
     "region_revenue": f"""
         SELECT n_name,

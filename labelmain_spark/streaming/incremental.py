@@ -80,6 +80,26 @@ def ttl_dedup(events: DataFrame, ttl: str = "12 hours") -> DataFrame:
     )
 
 
+def enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation: each
+    micro-batch joins against the (batch) dimension — the streaming
+    form of the label-enrichment query surface (events enriched with
+    the label store by key, then aggregated per window).
+
+    At scale the static side is either broadcast (small dim) or a
+    bucketed table co-located with the stream's partitioning; the join
+    re-plans per micro-batch, so a refreshed dim is picked up on the
+    next trigger — the same freshness contract the reference gets from
+    re-reading Mongo every cycle."""
+    joined = events.join(F.broadcast(dim), "user_id", "left")
+    return (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "segment", "n")
+    )
+
+
 def run_upsert_sink(
     events: DataFrame,
     state_path: str,

@@ -102,3 +102,32 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         for r in stateful.batch_user_totals(load_table(spark, sf_dir, "events")).collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join + windowed agg == the same plan
+    run in batch."""
+    from labelmain_spark.sources.readers import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    out = inc.enriched_counts(inc.stream_events(spark, sf_dir), dim)
+    _run_to_memory(out, "stream_enriched")
+    got = {
+        (r.win_start, r.segment): r.n
+        for r in spark.sql("SELECT * FROM stream_enriched").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.win_start, r.segment): r.n
+        for r in ev.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "segment", "n")
+        .collect()
+    }
+    assert got, "stream produced no closed windows"
+    for k, v in got.items():
+        assert want[k] == v, f"{k}: stream {v} != batch {want[k]}"
