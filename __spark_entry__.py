@@ -49,8 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total_spend")
     )
+    # No broadcast hint: spend is a per-customer aggregate with unbounded
+    # cardinality at scale — let AQE pick broadcast only when it fits.
     return labels.join(
-        F.broadcast(spend), labels.user_id == spend.o_custkey, "left"
+        spend, labels.user_id == spend.o_custkey, "left"
     ).select("user_id", "labels", "n_labels", "total_spend")
 
 

@@ -34,9 +34,19 @@ TABLES = [
 SMALL_DIMS = {"region", "nation", "supplier"}
 
 
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
+    (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable, so set it
+    here rather than relying on a builder-time config — callers (the
+    correctness driver included) hand us arbitrary sessions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain columnar scan — filters/projections
     applied by callers reach the parquet reader via Catalyst pushdown."""
+    if name == "events":
+        _enable_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to

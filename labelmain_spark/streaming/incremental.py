@@ -26,12 +26,17 @@ backpressure — config, not code.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from labelmain_spark.operators.merge import upsert
 from labelmain_spark.operators.parity import DEC
+from labelmain_spark.sources.readers import _enable_nanos_as_long
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -48,6 +53,7 @@ EVENTS_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events landing zone — the streaming
     twin of readers.load_table(events), same ns→µs conversion."""
+    _enable_nanos_as_long(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -100,6 +106,15 @@ def enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read the committed state version (the one the CURRENT pointer
+    names). Versions other than CURRENT are either already-pruned
+    history or an in-flight write — never visible to readers."""
+    with open(os.path.join(state_path, "CURRENT")) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_path, version))
+
+
 def run_upsert_sink(
     events: DataFrame,
     state_path: str,
@@ -109,6 +124,16 @@ def run_upsert_sink(
     table — the UpdateOne(upsert:true) sink. Re-running a batch is
     idempotent because the merge is keyed (exactly-once effect from
     at-least-once delivery, the same property the reference leans on).
+
+    The commit is crash-atomic: each batch writes a NEW versioned dir
+    (``v<n+1>``) and then atomically swaps the ``CURRENT`` pointer file
+    (``os.replace``). A crash before the swap leaves CURRENT on the old
+    version and the streaming checkpoint un-committed, so restart
+    replays the batch; a crash after the swap replays the batch against
+    already-merged state, which the keyed last-write-wins merge makes a
+    no-op. At object-store scale the pointer file becomes a manifest
+    commit (Delta/Iceberg-style); the layout here is the same contract
+    on a filesystem.
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -118,15 +143,24 @@ def run_upsert_sink(
             F.max("ts").alias("last_ts"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
-        import os
-
-        if os.path.isdir(state_path):
-            current = spark.read.parquet(state_path)
-            merged = upsert(current, doc, "user_id")
+        cur_file = os.path.join(state_path, "CURRENT")
+        if os.path.isfile(cur_file):
+            with open(cur_file) as f:
+                prev = f.read().strip()
+            merged = upsert(read_state(spark, state_path), doc, "user_id")
+            nxt = f"v{int(prev[1:]) + 1}"
         else:  # first batch: no state yet
-            merged = doc
-        merged.write.mode("overwrite").parquet(state_path + "_next")
-        spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(state_path)
+            os.makedirs(state_path, exist_ok=True)
+            prev, merged, nxt = None, doc, "v0"
+        merged.write.mode("overwrite").parquet(os.path.join(state_path, nxt))
+        fd, tmp = tempfile.mkstemp(dir=state_path, prefix="_current_")
+        with os.fdopen(fd, "w") as f:
+            f.write(nxt)
+        os.replace(tmp, cur_file)  # atomic pointer swap = the commit
+        # prune history: keep nxt (live) and prev (crash-replay window)
+        for d in os.listdir(state_path):
+            if d.startswith("v") and d not in (nxt, prev):
+                shutil.rmtree(os.path.join(state_path, d), ignore_errors=True)
 
     q = (
         events.writeStream.foreachBatch(merge_batch)

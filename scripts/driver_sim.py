@@ -57,9 +57,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as e
 
-    from labelmain_spark.session import build_session
+    # VANILLA session on purpose — the round driver builds its own plain
+    # SparkSession (no labelmain_spark.session configs). Round 1 died on
+    # exactly that gap (nanosAsLong only set in build_session), so the
+    # simulation must not use build_session.
+    from pyspark.sql import SparkSession
 
-    spark = build_session(app_name="driver_sim")
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("driver_sim")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
     t0 = time.time()
     edf = e.entry(spark)

@@ -63,9 +63,9 @@ def test_upsert_sink_idempotent_replay(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         state = f"{tmp}/state"
         inc.run_upsert_sink(inc.stream_events(spark, sf_dir), state, f"{tmp}/cp1")
-        first = sorted(map(str, spark.read.parquet(state).collect()))
+        first = sorted(map(str, inc.read_state(spark, state).collect()))
         inc.run_upsert_sink(inc.stream_events(spark, sf_dir), state, f"{tmp}/cp2")
-        second = sorted(map(str, spark.read.parquet(state).collect()))
+        second = sorted(map(str, inc.read_state(spark, state).collect()))
         assert first == second
 
 
