@@ -92,9 +92,53 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wmean_fn(v: pd.Series, w: pd.Series) -> float:
+    """Weighted mean computed in exact integer space so the result is
+    order-independent (pandas float sums depend on shuffle arrival
+    order): quantize values to micros with floor(x*1e6+0.5) — the same
+    IEEE-only rounding as parity.stable_round — sum in int64 (exact),
+    then do the identical two float divisions DuckDB does."""
+    import numpy as np
+
+    vi = np.floor(v.to_numpy(dtype="float64") * 1e6 + 0.5).astype("int64")
+    wi = w.to_numpy(dtype="int64")
+    return float(int((vi * wi).sum())) / float(int(wi.sum())) / 1e6
+
+
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf (SURVEY §2.10): Series→scalar custom
+    aggregate — the third UDF shape next to scalar (`udf_scalar`) and
+    grouped-map (`udaf_grouped`). A grouped-agg udf gets the whole
+    group's columns as Series and returns one value; unlike grouped-map
+    it composes inside ``.agg()`` with other aggregates and supports
+    partial pipelining of the surrounding plan.
+
+    Same scale caveat as grouped-map: the group materializes in one
+    Python worker, so it fits bounded-cardinality keys (5 event types);
+    the unbounded-key twin stays `percentile_approx`-style JVM sketches.
+    """
+    wmean = F.pandas_udf(_wmean_fn, "double")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            (F.col("user_id") % 7 + 1).cast("bigint").alias("w"),
+        )
+    )
+    # NB: Spark disallows mixing a group-agg pandas UDF with JVM
+    # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # result is the UDF column alone.
+    return ev.groupBy("event_type").agg(
+        wmean(F.col("value"), F.col("w")).alias("wmean_value")
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
     "udaf_grouped": udaf_grouped,
+    "udaf_grouped_agg": udaf_grouped_agg,
 }
 
 ORACLE = {
@@ -109,5 +153,14 @@ ORACLE = {
                ROUND(CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
                      AS DOUBLE), 4) AS iqr
         FROM events GROUP BY event_type
+    """,
+    "udaf_grouped_agg": """
+        SELECT event_type,
+               (CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                         * (user_id % 7 + 1)) AS DOUBLE)
+                / CAST(SUM(user_id % 7 + 1) AS DOUBLE)) / 1000000.0
+                   AS wmean_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """,
 }

@@ -40,13 +40,45 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set semantics in one tagged result — one driver row
+    covers the whole §2.7 family (union / except / intersect share the
+    same two inputs, so Catalyst reuses the scans; each branch is still
+    its own single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        a.union(b).distinct().withColumn("op", F.lit("union"))
+        .unionByName(a.subtract(b).withColumn("op", F.lit("except")))
+        .unionByName(a.intersect(b).withColumn("op", F.lit("intersect")))
+    )
+
+
 QUERIES = {
+    "set_ops": set_ops,
     "set_union": set_union,
     "set_except": set_except,
     "set_intersect": set_intersect,
 }
 
 ORACLE = {
+    "set_ops": """
+        SELECT user_id, 'union' AS op FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'view')
+        UNION ALL
+        SELECT user_id, 'except' AS op FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'view')
+        UNION ALL
+        SELECT user_id, 'intersect' AS op FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'view')
+    """,
     "set_union": """
         SELECT user_id FROM events WHERE event_type = 'click'
         UNION
