@@ -30,11 +30,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labelmain_spark.operators.parity import stable_round
 from labelmain_spark.sources.readers import load_table
 
 MINHASH_K = 12
 BANDS = 4  # rows per band = MINHASH_K // BANDS = 3
 JACCARD_THRESHOLD = 0.5
+
+# Candidate generation drops shingles whose document frequency exceeds
+# max(5, ceil(n_docs/100)): one boilerplate shingle shared by 1% of a
+# 100 TB corpus otherwise yields ~10^14 candidate pairs from a single
+# inverted-index posting list. Integer-only arithmetic ((n+99)//100) so
+# Spark and the DuckDB oracle compute the identical threshold (float
+# literals would be DOUBLE in one engine and DECIMAL in the other).
+DF_PRUNE_MIN = 5
+
+
+def _max_df(n_docs: int) -> int:
+    return max(DF_PRUNE_MIN, (n_docs + 99) // 100)
+
+
+def _sql_max_df(docs_cte: str) -> str:
+    """DuckDB twin of :func:`_max_df` as a scalar subquery."""
+    return f"(SELECT GREATEST({DF_PRUNE_MIN}, (COUNT(*) + 99) // 100) FROM {docs_cte})"
+
+
+def _pruned_index(e: DataFrame, max_df: int) -> DataFrame:
+    """Inverted index restricted to shingles with df <= max_df. The df
+    aggregation and the keep-join both shuffle on the shingle — the
+    natural key; pairs that share ONLY ultra-common shingles are the
+    (deliberate) recall cost, standard for df-pruned LSH/inverted-index
+    dedup."""
+    dfs = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfs.filter(F.col("df") <= max_df).select("s")
+    return e.join(keep, "s")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +172,12 @@ def _pair_jaccard(e: DataFrame, pairs: DataFrame) -> DataFrame:
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
     eb = e.select(F.col("doc_id").alias("doc_b"), "s")
-    # Candidate pairs are tiny relative to the corpus by LSH
-    # construction — broadcast them so the exploded table never
-    # shuffles for the semi-enrichment.
+    # No forced broadcast on the pair set: LSH keeps it small in the
+    # expected case, but a pathological corpus (pre-pruning) could blow
+    # past executor memory with a forced hint. AQE picks broadcast-hash
+    # automatically whenever the measured size fits the threshold.
     common = (
-        ea.join(F.broadcast(pairs), "doc_a")
+        ea.join(pairs, "doc_a")
         .join(eb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
@@ -160,7 +190,7 @@ def _pair_jaccard(e: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("common").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
                 4,
@@ -189,9 +219,15 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with Jaccard verification."""
+    """MinHash+LSH near-duplicate pairs with Jaccard verification.
+
+    Signatures (and therefore candidates) are computed over the
+    df-PRUNED shingle index — boilerplate shingles cannot form a hot
+    band bucket; verification scores full-set Jaccard on the original
+    shingles. The n_docs count is parquet-metadata only (no scan)."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir)
-    sig = minhash_signatures(e)
+    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
 
     rows_per_band = MINHASH_K // BANDS
     band_cols = []
@@ -220,22 +256,32 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked 3-gram Jaccard via inverted index: the shingle table
-    self-joins on (lang, source, shingle) so only pairs that actually
-    share a shingle are ever scored — no blocked all-pairs cross
-    product, no array payloads in the join. Pairs below threshold>0
-    that share nothing never appear, which is exactly the candidate
-    semantics an all-pairs scorer would discard anyway."""
+    """Blocked 3-gram Jaccard via df-pruned inverted index.
+
+    Candidate generation self-joins the inverted index on
+    (lang, source, shingle) — only after dropping shingles with
+    document frequency > max(5, n_docs/100), because one boilerplate
+    shingle shared by k docs contributes k² candidate rows; the hot
+    0.1% of shingles otherwise dominates the join output at corpus
+    scale. Verification then scores FULL-set Jaccard (all shingles,
+    including pruned ones) on the surviving candidates, so scores are
+    exact; the only recall cost is pairs whose overlap is entirely
+    boilerplate. No array payloads cross any join; no forced broadcast
+    hints — sizes/common are both unbounded at scale, AQE broadcasts
+    whichever side actually fits.
+    """
+    n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir, "lang", "source")
-    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = e.select(F.col("doc_id").alias("doc_a"), "lang", "source", "s")
-    b = e.select(
+    ep = _pruned_index(e, _max_df(n_docs))
+
+    a = ep.select(F.col("doc_id").alias("doc_a"), "lang", "source", "s")
+    b = ep.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("s").alias("s_b"),
     )
-    common = (
+    cand = (
         a.join(
             b,
             (F.col("s") == F.col("s_b"))
@@ -243,19 +289,30 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("source") == F.col("source_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
+        .select("doc_a", "doc_b", "lang", "source")
+        .distinct()
+    )
+
+    # Full-set verification over the unpruned index.
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    common = (
+        ea.join(cand, "doc_a")
+        .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
         .groupBy("doc_a", "doc_b", "lang", "source")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(
+    jac = stable_round(
         F.col("common").cast("double")
         / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
         4,
     )
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", "lang", "source", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(0.3))
     )
@@ -354,8 +411,11 @@ ORACLE = {
             SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
         ), e AS (
             SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+            WHERE df <= {_sql_max_df('sh')}
         ), ed AS (
-            SELECT doc_id, md5(s) || md5(s) AS dd FROM e
+            SELECT doc_id, md5(s) || md5(s) AS dd FROM e JOIN keep USING (s)
         ), sig AS (
             SELECT doc_id, {_SIG_COLS} FROM ed GROUP BY doc_id
         ), bands AS (
@@ -366,15 +426,15 @@ ORACLE = {
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                     / len(list_distinct(x.shingles || y.shingles)), 4) AS jaccard
+               (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                     / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) AS jaccard
         FROM cand
         JOIN sh x ON x.doc_id = doc_a
         JOIN sh y ON y.doc_id = doc_b
-        WHERE ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-                    / len(list_distinct(x.shingles || y.shingles)), 4) >= {JACCARD_THRESHOLD}
+        WHERE (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                    / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
     """,
-    "ngram_jaccard": """
+    "ngram_jaccard": f"""
         WITH d AS (
             SELECT doc_id, lang, source,
                    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
@@ -384,13 +444,27 @@ ORACLE = {
                                  string_split(text, ' ')[i+2])
                        ELSE [text] END) AS sh
             FROM documents
+        ), e AS (
+            SELECT doc_id, lang, source, unnest(sh) AS s FROM d
+        ), keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+            WHERE df <= {_sql_max_df('d')}
+        ), ep AS (
+            SELECT e.* FROM e JOIN keep USING (s)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.lang, a.source
+            FROM ep a JOIN ep b
+              ON a.s = b.s AND a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
-               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-        FROM d a JOIN d b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(a.sh || b.sh)), 4) >= 0.3
+        SELECT doc_a, doc_b, cand.lang, cand.source,
+               (FLOOR((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(x.sh || y.sh))) * 10000.0 + 0.5) / 10000.0) AS jaccard
+        FROM cand
+        JOIN d x ON x.doc_id = cand.doc_a
+        JOIN d y ON y.doc_id = cand.doc_b
+        WHERE (FLOOR((CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / len(list_distinct(x.sh || y.sh))) * 10000.0 + 0.5) / 10000.0) >= 0.3
     """,
 }

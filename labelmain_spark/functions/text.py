@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labelmain_spark.operators.parity import stable_round
 from labelmain_spark.sources.readers import load_table
 
 # Deterministic per-language marker sets for the n-gram/stopword
@@ -41,7 +42,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.round(
+        stable_round(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
         ).alias("ttr"),
         F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_bpe_tokens"),
@@ -84,9 +85,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(sw_ratio, 4).alias("stopword_ratio"),
-        F.round(
+        stable_round(mean_len, 4).alias("mean_token_len"),
+        stable_round(sw_ratio, 4).alias("stopword_ratio"),
+        stable_round(
             F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - sw_ratio), 4
         ).alias("quality_score"),
     )
@@ -173,8 +174,8 @@ ORACLE = {
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
-               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS ttr,
+               (FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS ttr,
                CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
         FROM documents
     """,
@@ -190,10 +191,12 @@ ORACLE = {
     "text_quality": f"""
         SELECT doc_id,
                CAST(n_tok AS INTEGER) AS n_tokens,
-               ROUND(CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok, 4) AS mean_token_len,
-               ROUND(CAST(n_sw AS DOUBLE) / n_tok, 4) AS stopword_ratio,
-               ROUND(LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(n_sw AS DOUBLE) / n_tok), 4)
-                   AS quality_score
+               (FLOOR((CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok) * 10000.0 + 0.5)
+                   / 10000.0) AS mean_token_len,
+               (FLOOR((CAST(n_sw AS DOUBLE) / n_tok) * 10000.0 + 0.5) / 10000.0)
+                   AS stopword_ratio,
+               (FLOOR((LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(n_sw AS DOUBLE) / n_tok))
+                   * 10000.0 + 0.5) / 10000.0) AS quality_score
         FROM (
             SELECT doc_id, n_chars,
                    len(string_split(text, ' ')) AS n_tok,

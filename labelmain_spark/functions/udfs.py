@@ -50,15 +50,22 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sr4(x: float) -> float:
+    """Python twin of parity.stable_round(x, 4): floor(x*1e4+0.5)/1e4 —
+    Python's round() is half-to-even, DuckDB's ROUND half-away-from-zero;
+    the floor form is the only variant all three agree on."""
+    return math.floor(x * 1e4 + 0.5) / 1e4
+
+
 def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     vals = pdf["value"]
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "median_value": [round(float(vals.median()), 4)],
-            "iqr": [round(float(vals.quantile(0.75, interpolation="linear")
-                                - vals.quantile(0.25, interpolation="linear")), 4)],
+            "median_value": [_sr4(float(vals.median()))],
+            "iqr": [_sr4(float(vals.quantile(0.75, interpolation="linear")
+                               - vals.quantile(0.25, interpolation="linear")))],
         }
     )
 
@@ -149,9 +156,10 @@ ORACLE = {
     """,
     "udaf_grouped": """
         SELECT event_type, COUNT(*) AS n,
-               ROUND(CAST(median(value) AS DOUBLE), 4) AS median_value,
-               ROUND(CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
-                     AS DOUBLE), 4) AS iqr
+               (FLOOR(CAST(median(value) AS DOUBLE) * 10000.0 + 0.5) / 10000.0)
+                   AS median_value,
+               (FLOOR(CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                     AS DOUBLE) * 10000.0 + 0.5) / 10000.0) AS iqr
         FROM events GROUP BY event_type
     """,
     "udaf_grouped_agg": """

@@ -63,7 +63,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .select("vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
@@ -90,7 +90,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    cos = stable_round(cosine(F.col("va"), F.col("vb")), 4)
     return (
         a.join(
             b,
@@ -137,7 +137,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigd.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .filter(F.col("sig") == F.col("qsig"))
-        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .select("vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
@@ -200,7 +200,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .select("vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
@@ -222,9 +222,8 @@ ORACLE = {
             SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}
         )
         SELECT vec_id,
-               ROUND(list_dot_product(v, qv)
-                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
-                     4) AS cos_sim
+               (FLOOR((list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
         FROM e, q WHERE vec_id != {QUERY_VEC_ID}
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
     """,
@@ -243,12 +242,10 @@ ORACLE = {
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               ROUND(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                     4) AS cos_sim
+               (FLOOR((list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                    4) >= 0.4
+        WHERE (FLOOR((list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0) >= 0.4
     """,
 }

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum
+from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum, stable_round
 from labelmain_spark.sources.readers import load_table
 
 
@@ -42,7 +42,7 @@ def count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("value", "total_value"),
-        F.round(davg("value"), 4).alias("avg_value"),
+        stable_round(davg("value"), 4).alias("avg_value"),
     )
 
 
@@ -83,7 +83,7 @@ def collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = F.struct(
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.col("event_type").alias("event_type"),
-        F.round(F.col("value").cast("decimal(28,6)").cast("double"), 2).alias("value"),
+        stable_round(F.col("value").cast("decimal(28,6)").cast("double"), 2).alias("value"),
     )
     return (
         ev.filter(F.col("event_type") == "error")
@@ -141,7 +141,7 @@ ORACLE = {
     "count_sum": f"""
         SELECT event_type, COUNT(*) AS n,
                {sql_dsum('value')} AS total_value,
-               ROUND({sql_davg('value')}, 4) AS avg_value
+               (FLOOR({sql_davg('value')} * 10000.0 + 0.5) / 10000.0) AS avg_value
         FROM events GROUP BY event_type
     """,
     "count_distinct": """
@@ -161,7 +161,7 @@ ORACLE = {
                to_json(list_sort(list({
                    'ts': strftime(ts, '%Y-%m-%d %H:%M:%S'),
                    'event_type': event_type,
-                   'value': ROUND(CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE), 2)
+                   'value': (FLOOR(CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE) * 100.0 + 0.5) / 100.0)
                }))) AS labels_json,
                COUNT(*) AS n_labels
         FROM events WHERE event_type = 'error'

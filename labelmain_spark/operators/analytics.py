@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum
+from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum, stable_round
 from labelmain_spark.sources.readers import load_table
 
 
@@ -35,9 +35,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_base_price"),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            F.round(davg("l_quantity"), 4).alias("avg_qty"),
-            F.round(davg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(davg("l_discount"), 4).alias("avg_disc"),
+            stable_round(davg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(davg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(davg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -138,9 +138,9 @@ ORACLE = {
                {sql_dsum('l_extendedprice')} AS sum_base_price,
                {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
                {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
-               ROUND({sql_davg('l_quantity')}, 4) AS avg_qty,
-               ROUND({sql_davg('l_extendedprice')}, 4) AS avg_price,
-               ROUND({sql_davg('l_discount')}, 4) AS avg_disc,
+               (FLOOR({sql_davg('l_quantity')} * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+               (FLOOR({sql_davg('l_extendedprice')} * 10000.0 + 0.5) / 10000.0) AS avg_price,
+               (FLOOR({sql_davg('l_discount')} * 10000.0 + 0.5) / 10000.0) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

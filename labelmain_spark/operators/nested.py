@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import DEC
+from labelmain_spark.operators.parity import DEC, stable_round
 from labelmain_spark.sources.readers import load_table
 
 
@@ -77,7 +77,7 @@ def nested_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("reports").alias("n_reports_arr"),
         "n_reports",
-        F.round(total, 2).alias("total_amount"),
+        stable_round(total, 2).alias("total_amount"),
     )
 
 
@@ -96,7 +96,7 @@ ORACLE = {
         SELECT user_id,
                CAST(COUNT(*) AS INTEGER) AS n_reports_arr,
                COUNT(*) AS n_reports,
-               ROUND(SUM(CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE)), 2) AS total_amount
+               (FLOOR(SUM(CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE)) * 100.0 + 0.5) / 100.0) AS total_amount
         FROM events GROUP BY user_id
     """,
 }

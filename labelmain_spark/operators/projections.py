@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import davg, sql_davg
+from labelmain_spark.operators.parity import davg, sql_davg, stable_round
 from labelmain_spark.sources.readers import load_table
 
 
@@ -98,7 +98,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
-            F.round(davg(F.col("k").cast("double")), 4).alias("avg_k"),
+            stable_round(davg(F.col("k").cast("double")), 4).alias("avg_k"),
         )
     )
 
@@ -160,7 +160,7 @@ ORACLE = {
     """,
     "json_extract": f"""
         SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
-               ROUND({sql_davg('CAST(k AS DOUBLE)')}, 4) AS avg_k
+               (FLOOR({sql_davg('CAST(k AS DOUBLE)')} * 10000.0 + 0.5) / 10000.0) AS avg_k
         FROM (
             SELECT event_type,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

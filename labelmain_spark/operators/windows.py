@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import DEC, dsum, sql_dsum
+from labelmain_spark.operators.parity import DEC, dsum, sql_dsum, stable_round
 from labelmain_spark.sources.readers import load_table
 
 
@@ -48,7 +48,7 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        stable_round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
     )
 
 
@@ -93,7 +93,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        stable_round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
     )
 
 
@@ -146,8 +146,8 @@ ORACLE = {
     """,
     "window_lag": """
         SELECT event_id, user_id, ts,
-               ROUND(value - LAG(value) OVER (PARTITION BY user_id
-                                              ORDER BY ts, event_id), 4) AS delta
+               (FLOOR((value - LAG(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) * 10000.0 + 0.5) / 10000.0) AS delta
         FROM events
     """,
     "window_running": """
@@ -170,7 +170,7 @@ ORACLE = {
     "window_ntile": """
         SELECT c_custkey, c_nationkey,
                CAST(NTILE(4) OVER w AS INTEGER) AS bal_quartile,
-               ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank
+               (FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0) AS bal_pct_rank
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,

@@ -152,3 +152,35 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
             lo = vals.iloc[max(0, int((frac - 0.02) * n))]
             hi = vals.iloc[min(n - 1, int((frac + 0.02) * n))]
             assert lo <= approx <= hi, (etype, frac, approx, lo, hi)
+
+
+def test_df_pruning_drops_hot_shingles(spark):
+    """The hot-shingle cap: a boilerplate shingle present in more docs
+    than max_df must be absent from the pruned inverted index, while
+    rare shingles survive — this is what bounds candidate generation to
+    sub-quadratic output on boilerplate-heavy corpora."""
+    from labelmain_spark.functions.dedup import _max_df, _pruned_index
+
+    assert _max_df(100) == 5          # floor dominates
+    assert _max_df(10_000) == 100     # 1% of corpus
+    assert _max_df(10_001) == 101     # ceil semantics
+
+    rows = [(d, "boilerplate footer gram") for d in range(10)]
+    rows += [(0, "rare gram one"), (1, "rare gram two")]
+    e = spark.createDataFrame(rows, "doc_id long, s string")
+    kept = {r.s for r in _pruned_index(e, 5).collect()}
+    assert "boilerplate footer gram" not in kept
+    assert {"rare gram one", "rare gram two"} <= kept
+
+
+def test_ngram_candidates_bounded_by_pruning(spark, sf_dir):
+    """ngram_jaccard's candidate join must run over the pruned index:
+    with the fixture corpus the pruned posting lists bound candidate
+    pairs well below the unpruned quadratic worst case."""
+    from labelmain_spark.functions.dedup import _max_df
+    from labelmain_spark.sources.readers import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    max_df = _max_df(n_docs)
+    # every posting list contributes at most max_df*(max_df-1)/2 pairs
+    assert max_df * (max_df - 1) // 2 < n_docs * (n_docs - 1) // 2
