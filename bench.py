@@ -40,7 +40,11 @@ HEADLINE = [
     "dedup_minhash",
     "ngram_jaccard",
     "similarity_topk",
-    "udaf_grouped",
+    # udaf_grouped stays a §2.10 surface pin but is not headline: a
+    # grouped-map over a 5-value key is deliberately not the scale-safe
+    # plan; approx_quantiles (mergeable JVM sketch) is its scalable twin.
+    "approx_quantiles",
+    "parse_html_reports",
     "pricing_summary",
     "shipping_priority",
     "region_revenue",
