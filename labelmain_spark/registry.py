@@ -22,6 +22,7 @@ _MODULES = [
     "labelmain_spark.operators.aggregates",
     "labelmain_spark.operators.projections",
     "labelmain_spark.sources.htmlparse",
+    "labelmain_spark.sources.paged",
     "labelmain_spark.operators.joins",
     "labelmain_spark.operators.windows",
     "labelmain_spark.operators.setops",
@@ -82,6 +83,7 @@ PRIORITY = [
     "region_revenue", "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",
     "cursor_page", "nested_flatten", "nested_field_stats",
+    "paged_source_scan",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",

@@ -1,0 +1,204 @@
+"""Cursor-paginated source as a first-class Spark data source
+(SURVEY §2.1 S5, §4 "possibly custom" — now implemented).
+
+The reference walks remote pages serially, carrying a cursor forward
+(chainabuse/main.py:10-39 GraphQL ``endCursor`` loop;
+bitcoinabuse/main.go:86-119 ``?page=N`` loop) and loses the cursor on
+restart. The Spark-4 Python Data Source API lets the same protocol be a
+real ``spark.read.format(...)`` source instead of driver-side glue:
+
+- **Batch** (`PagedJsonDataSource`): the driver walks the cursor chain
+  exactly like the reference (cheap metadata hops — one small header
+  read per page), then hands ONE InputPartition PER PAGE to executors,
+  which fetch page bodies in parallel. Serial discovery, parallel I/O —
+  the shape a paginated HTTP API actually permits at scale.
+- **Streaming** (`reader` + ``readStream``): offsets are page indices;
+  each micro-batch reads exactly the pages that appeared since the last
+  committed offset, and the offset lives in the streaming CHECKPOINT —
+  restart resumes from the durable cursor, fixing the reference's
+  lost-``endCursor`` restart bug (chainabuse/main.py:107-109).
+
+Pages are JSON-lines files ``page-<n>.json`` with a sidecar chain file
+``page-<n>.next`` naming the next page (empty = last) — a faithful
+local stand-in for an HTTP endpoint + next-cursor response field; the
+container has no network, so tests render the corpus with
+:func:`write_page_fixture`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGE_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def write_page_fixture(path: str, rows: list[tuple], page_size: int = 500) -> int:
+    """Render rows into the paged landing layout (test stand-in for the
+    remote endpoint). Returns the number of pages written."""
+    os.makedirs(path, exist_ok=True)
+    pages = [rows[i : i + page_size] for i in range(0, len(rows), page_size)] or [[]]
+    for n, page in enumerate(pages):
+        with open(os.path.join(path, f"page-{n}.json"), "w") as f:
+            for event_id, user_id, event_type, value in page:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": event_id,
+                            "user_id": user_id,
+                            "event_type": event_type,
+                            "value": value,
+                        }
+                    )
+                    + "\n"
+                )
+        nxt = f"page-{n + 1}.json" if n + 1 < len(pages) else ""
+        with open(os.path.join(path, f"page-{n}.next"), "w") as f:
+            f.write(nxt)
+    return len(pages)
+
+
+def _walk_cursor_chain(path: str) -> list[str]:
+    """The reference's cursor loop: start at page-0, follow each page's
+    next-cursor until exhausted. Driver-side metadata hops only."""
+    pages, cur = [], "page-0.json"
+    while cur:
+        full = os.path.join(path, cur)
+        if not os.path.isfile(full):
+            break
+        pages.append(full)
+        nxt_file = full[: -len(".json")] + ".next"
+        with open(nxt_file) as f:
+            cur = f.read().strip()
+    return pages
+
+
+def _read_page(page_file: str) -> Iterator[tuple]:
+    with open(page_file) as f:
+        for line in f:
+            if line.strip():
+                d = json.loads(line)
+                yield (d["event_id"], d["user_id"], d["event_type"], d["value"])
+
+
+try:  # Python Data Source API (Spark 4+)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _PagePartition(InputPartition):
+        def __init__(self, page_file: str) -> None:
+            self.page_file = page_file
+
+    class _PagedReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def partitions(self) -> Sequence[InputPartition]:
+            return [_PagePartition(p) for p in _walk_cursor_chain(self.path)]
+
+        def read(self, partition: _PagePartition) -> Iterator[tuple]:
+            return _read_page(partition.page_file)
+
+    class _PageOffset:
+        @staticmethod
+        def to_json(n: int) -> dict:
+            return {"page": n}
+
+    class _PagedStreamReader(DataSourceStreamReader):
+        """Micro-batch reader: offset = number of pages consumed. The
+        checkpoint stores it — the durable form of the reference's
+        in-memory endCursor."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+
+        def initialOffset(self) -> dict:
+            return {"page": 0}
+
+        def latestOffset(self) -> dict:
+            return {"page": len(_walk_cursor_chain(self.path))}
+
+        def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+            chain = _walk_cursor_chain(self.path)
+            return [_PagePartition(p) for p in chain[start["page"] : end["page"]]]
+
+        def read(self, partition: _PagePartition) -> Iterator[tuple]:
+            return _read_page(partition.page_file)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are durable in the streaming checkpoint
+
+    class PagedJsonDataSource(DataSource):
+        """``spark.read.format("paged_json").option("path", dir)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "paged_json"
+
+        def schema(self) -> str:
+            return PAGE_SCHEMA
+
+        def reader(self, schema) -> _PagedReader:
+            return _PagedReader(self.options)
+
+        def streamReader(self, schema) -> _PagedStreamReader:
+            return _PagedStreamReader(self.options)
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    PagedJsonDataSource = None  # type: ignore[assignment]
+    HAVE_DATASOURCE_API = False
+
+
+def register(spark: SparkSession) -> None:
+    if not HAVE_DATASOURCE_API:
+        raise NotImplementedError("Python Data Source API requires Spark 4+")
+    spark.dataSource.register(PagedJsonDataSource)
+
+
+def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render the events table into the paged layout once per sf_dir —
+    the local stand-in for the remote paginated endpoint. The corpus
+    must exist OUTSIDE Spark to demonstrate ingestion, so this is
+    fixture generation (driver-side by necessity), not an operator."""
+    import tempfile
+
+    from labelmain_spark.sources.readers import load_table
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"labelmain_paged_{tag}")
+    done = os.path.join(path, "_FIXTURE_DONE")
+    if not os.path.isfile(done):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        rows = [tuple(r) for r in ev.orderBy("event_id").collect()]
+        write_page_fixture(path, rows)
+        with open(done, "w") as f:
+            f.write("ok")
+    return path
+
+
+def paged_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a real source: read the paged landing zone through the
+    custom data source and aggregate — proving rows arrive with full
+    fidelity through the page protocol."""
+    register(spark)
+    path = _fixture_dir(spark, sf_dir)
+    return spark.read.format("paged_json").option("path", path).load()
+
+
+QUERIES = {"paged_source_scan": paged_source_scan}
+
+ORACLE = {
+    "paged_source_scan": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+}
