@@ -38,8 +38,12 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
     """events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
     (PARQUET_TYPE_ILLEGAL). The legacy conf is runtime-settable, so set it
     here rather than relying on a builder-time config — callers (the
-    correctness driver included) hand us arbitrary sessions."""
+    correctness driver included) hand us arbitrary sessions. The session
+    timezone is pinned to UTC for the same reason: timestamp formatting /
+    truncation must match the tz-naive DuckDB oracle even on a session
+    built on a non-UTC box."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
