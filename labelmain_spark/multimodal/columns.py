@@ -107,9 +107,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_FRAMES = 4
+FRAME_LEN = 16
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over an opaque media payload: N frames at evenly
+    spaced byte offsets (the video-keyframe access pattern), decoded
+    procedurally in Arrow batches. A real codec would seek to keyframe
+    timestamps; the byte-offset slices here exercise the identical
+    plumbing — offsets computed per row, payload sliced in Python,
+    per-frame digest emitted — with integer-only offset arithmetic so
+    the SQL oracle reproduces the frames byte-for-byte."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            digests: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                span = max(0, len(data) - FRAME_LEN)
+                for i in range(N_FRAMES):
+                    o = (i * span) // (N_FRAMES - 1)
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(o)
+                    digests.append(hashlib.md5(data[o : o + FRAME_LEN]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_checksum": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, frame_offset long, frame_checksum string",
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the fixture payloads (full oracle: DuckDB slices the
+    same blob with integer substring offsets and digests each frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs))
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,  # rows-only: mapInPandas decode path
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLE = {
@@ -118,5 +170,24 @@ ORACLE = {
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                md5(text) AS checksum
         FROM documents
+    """,
+    # DuckDB cannot substring BLOBs; the fixture text is pure ASCII
+    # (verified octet_length == length at every SF), so character
+    # slicing of the VARCHAR is byte-identical to the engine's
+    # byte slicing of the UTF-8 payload.
+    "multimodal_frames": f"""
+        WITH p AS (
+            SELECT doc_id, text,
+                   GREATEST(0, octet_length(encode(text)) - {FRAME_LEN}) AS span
+            FROM documents
+        ), idx AS (
+            SELECT unnest(range({N_FRAMES})) AS i
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               (i * span) // {N_FRAMES - 1} AS frame_offset,
+               md5(substring(text, CAST((i * span) // {N_FRAMES - 1} AS BIGINT) + 1,
+                             {FRAME_LEN})) AS frame_checksum
+        FROM p CROSS JOIN idx
     """,
 }
