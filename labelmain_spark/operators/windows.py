@@ -125,11 +125,40 @@ def date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window): merge a user's events
+    whose inter-event gap is < 30 min; window end = last event + gap.
+    The streaming-capable twin of the manual gaps-and-islands
+    `sessionize` (operators/advanced.py) — in Structured Streaming the
+    identical expression runs stateful with watermark eviction. Spark
+    starts a NEW session at gap >= 30 min (strict boundary), which the
+    oracle's lag-epoch comparison mirrors."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
     "window_lag": window_lag,
     "window_running": window_running,
     "window_tumbling": window_tumbling,
+    "window_session": window_session,
     "window_ntile": window_ntile,
     "date_arith": date_arith,
     "date_trunc": date_trunc,
@@ -156,6 +185,27 @@ ORACLE = {
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         FROM events
+    """,
+    "window_session": """
+        WITH seq AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                             OR epoch(ts) - LAG(epoch(ts)) OVER w >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS seq
+            FROM seq
+        )
+        SELECT user_id,
+               MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS session_value
+        FROM sess GROUP BY user_id, seq
     """,
     "window_tumbling": f"""
         SELECT date_trunc('hour', ts) AS win_start, event_type,

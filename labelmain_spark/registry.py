@@ -83,7 +83,7 @@ PRIORITY = [
     "region_revenue", "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",
     "cursor_page", "nested_flatten", "nested_field_stats",
-    "paged_source_scan", "multimodal_frames",
+    "paged_source_scan", "multimodal_frames", "window_session",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",
