@@ -131,3 +131,35 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert got, "stream produced no closed windows"
     for k, v in got.items():
         assert want[k] == v, f"{k}: stream {v} != batch {want[k]}"
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """Streaming session windows (stateful, watermark-evicted) must
+    agree with the batch window_session on every session the watermark
+    has closed."""
+    from labelmain_spark.operators.windows import window_session
+
+    ev = inc.stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_sessions")
+    got = {
+        (r.user_id, r.sess_start, r.sess_end): r.n_events
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.sess_start, r.sess_end): r.n_events
+        for r in window_session(spark, sf_dir).collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
