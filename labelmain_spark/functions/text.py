@@ -34,10 +34,14 @@ def _toks(col: str = "text") -> Column:
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics + BPE-ish token-count estimate
-    (chars/4, the common LLM heuristic)."""
+    """Per-document token statistics + two BPE-ish token-count
+    estimates: chars/4 (the common LLM heuristic) and a subword-regex
+    count (alnum runs + individual punctuation — the GPT-2-ish
+    pre-tokenizer shape, char classes chosen to parse identically in
+    Java and DuckDB regex dialects)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
+    bpe_re = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -46,6 +50,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
         ).alias("ttr"),
         F.ceil(F.col("n_chars") / 4).cast("bigint").alias("est_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re), 0)).alias(
+            "n_subword_tokens"
+        ),
     )
 
 
@@ -176,7 +183,9 @@ ORACLE = {
                CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
                (FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                      / len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0) AS ttr,
-               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+                    AS INTEGER) AS n_subword_tokens
         FROM documents
     """,
     "lang_id": f"""

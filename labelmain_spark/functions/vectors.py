@@ -184,7 +184,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k ≈ sqrt(N) with a sampled fit, and N/k stays in the thousands.
     n = e.count()
     k = max(2, min(IVF_K, n // 60))
-    model = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell").fit(e)
+    # Quantizer fit is sampled above a bound: k-means cost is O(N·k·i)
+    # and the coarse centroids converge on a fraction of the corpus —
+    # at 10^9+ vectors training on everything is pure waste. Seeded
+    # sample keeps the model deterministic.
+    fit_cap = 100_000
+    fit_df = e if n <= fit_cap else e.sample(fraction=fit_cap / n, seed=42)
+    model = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell").fit(fit_df)
     assigned = model.transform(e)
 
     centroids = [list(c) for c in model.clusterCenters()]
