@@ -184,3 +184,22 @@ def test_ngram_candidates_bounded_by_pruning(spark, sf_dir):
     max_df = _max_df(n_docs)
     # every posting list contributes at most max_df*(max_df-1)/2 pairs
     assert max_df * (max_df - 1) // 2 < n_docs * (n_docs - 1) // 2
+
+
+def test_multimodal_resize_contract(spark, sf_dir):
+    """Resize: binary in → smaller binary out, refreshed metadata, no
+    shuffle (narrow 1:1 map), deterministic."""
+    from labelmain_spark.sources.readers import load_table
+
+    d = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    out = mm.resize_payload(d, factor=4)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = {r.doc_id: r for r in out.collect()}
+    orig = {r.doc_id: bytes(r.payload) for r in d.collect()}
+    import hashlib
+
+    for doc_id, r in rows.items():
+        want = orig[doc_id][::4]
+        assert bytes(r.payload) == want
+        assert r.n_bytes == len(want)
+        assert r.checksum == hashlib.md5(want).hexdigest()
