@@ -85,3 +85,38 @@ def test_pricing_summary_pushdown(spark, sf_dir):
 
     df = analytics.pricing_summary(spark, sf_dir)
     checks.assert_pushed_filter(df, "l_shipdate")
+
+
+def test_parse_html_reports_prunes_scan(spark, sf_dir):
+    """The page render+parse pipeline must read only the four needed
+    event columns (not props/value) and do exactly one shuffle (the
+    per-user page groupBy) before MapInPandas."""
+    from labelmain_spark.sources.htmlparse import parse_html_reports
+
+    df = parse_html_reports(spark, sf_dir)
+    checks.assert_read_schema(df, {"event_id", "ts", "user_id", "event_type"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_udaf_grouped_agg_pushes_null_filter(spark, sf_dir):
+    """The GROUPED_AGG pandas aggregate must push IsNotNull(value) into
+    the parquet scan and shuffle only the three projected columns."""
+    from labelmain_spark.functions.udfs import udaf_grouped_agg
+
+    df = udaf_grouped_agg(spark, sf_dir)
+    checks.assert_pushed_filter(df, "value")
+    checks.assert_read_schema(df, {"user_id", "event_type", "value"})
+
+
+def test_dedup_candidate_broadcast_strategy_flexible(spark, sf_dir):
+    """No FORCED broadcast in the dedup pair join: the plan must be
+    valid under either strategy (AQE decides from measured sizes) — a
+    ResolvedHint would pin broadcast regardless of size."""
+    from labelmain_spark.functions.dedup import dedup_minhash
+
+    df = dedup_minhash(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized and "broadcast" not in optimized.lower(), (
+        "forced broadcast hint survives in the logical plan"
+    )
