@@ -56,14 +56,19 @@ def _sql_max_df(docs_cte: str) -> str:
 
 
 def _pruned_index(e: DataFrame, max_df: int) -> DataFrame:
-    """Inverted index restricted to shingles with df <= max_df. The df
-    aggregation and the keep-join both shuffle on the shingle — the
-    natural key; pairs that share ONLY ultra-common shingles are the
-    (deliberate) recall cost, standard for df-pruned LSH/inverted-index
-    dedup."""
+    """Inverted index restricted to shingles with df <= max_df.
+
+    Implemented as LEFT ANTI join against the HOT set, not inner join
+    against the keep set: with P total postings the hot-shingle count is
+    at most P/max_df = P/(n_docs/100) = 100 × (avg shingles per doc) —
+    bounded by document shape, INDEPENDENT of corpus size — so the anti
+    side broadcasts at any scale, while a keep-side inner join would
+    shuffle the full posting table by shingle. Pairs sharing ONLY
+    ultra-common shingles are the (deliberate) recall cost, standard for
+    df-pruned inverted-index dedup."""
     dfs = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    keep = dfs.filter(F.col("df") <= max_df).select("s")
-    return e.join(keep, "s")
+    hot = dfs.filter(F.col("df") > max_df).select("s")
+    return e.join(hot, "s", "left_anti")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
