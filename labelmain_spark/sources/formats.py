@@ -67,3 +67,17 @@ def write_silver(df: DataFrame, path: str, partition_col: str | None = None) -> 
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (both are covered by test_sources round-trips; the engine is
+    format-agnostic above the scan node)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.orc(path)

@@ -110,3 +110,20 @@ def test_paged_source_stream_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 450, "restart re-read or skipped pages"
     assert got.select("event_id").distinct().count() == 450
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC silver layer: round-trip preserves rows and the scan pushes
+    filters just like parquet."""
+    from labelmain_spark.sources import formats
+    from labelmain_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    formats.write_orc(orders, str(tmp_path / "orders_orc"))
+    back = formats.read_orc(spark, str(tmp_path / "orders_orc"))
+    assert back.count() == orders.count()
+    filtered = back.filter(back.o_orderkey == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
