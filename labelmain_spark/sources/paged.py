@@ -175,14 +175,24 @@ def _fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"labelmain_paged_{tag}")
     done = os.path.join(path, "_FIXTURE_DONE")
-    if not os.path.isfile(done):
+    # Fingerprint the source parquet (size + mtime) so a regenerated
+    # testdata dir invalidates the cached page corpus instead of
+    # silently serving stale rows.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_size}:{int(st.st_mtime)}"
+    current = ""
+    if os.path.isfile(done):
+        with open(done) as f:
+            current = f.read().strip()
+    if current != fingerprint:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
         )
         rows = [tuple(r) for r in ev.orderBy("event_id").collect()]
         write_page_fixture(path, rows)
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return path
 
 
