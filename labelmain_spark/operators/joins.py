@@ -176,15 +176,91 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Irregular account-balance bands for the range join (lo inclusive,
+# hi exclusive). Literal here; at scale this is a table.
+ACCT_BANDS = [
+    ("deep_negative", -1000.0, 0.0),
+    ("low", 0.0, 500.0),
+    ("entry", 500.0, 1500.0),
+    ("mid", 1500.0, 3000.0),
+    ("upper_mid", 3000.0, 5000.0),
+    ("high", 5000.0, 7000.0),
+    ("premium", 7000.0, 9000.0),
+    ("apex", 9000.0, 10000.0),
+]
+RANGE_BIN_W = 1000.0
+
+
+def range_join(
+    left: DataFrame,
+    value_col: str,
+    bands: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = RANGE_BIN_W,
+) -> DataFrame:
+    """Generic point-in-interval range join, big-big scalable.
+
+    Spark has no native range join; the naive plan for
+    ``l.value >= r.lo AND l.value < r.hi`` is BroadcastNestedLoopJoin —
+    O(|L|·|R|) and driver-bound. The scalable shape: quantize both
+    sides into fixed-width bins — each left row lands in exactly one
+    bin, each interval is exploded to every bin it overlaps — equi-join
+    on the bin (hash shuffle, AQE-managed), then refine with the exact
+    predicate. A (row, interval) match appears exactly once because the
+    row's single bin is the only one where both sides meet. Cost is
+    O(|L| + Σ interval_spans + matches), the same strategy Databricks'
+    range-join optimization and interval libraries use.
+    """
+    b = bands.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn("_bin", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+    return (
+        l.join(b, "_bin")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_bin")
+    )
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: customers classified into irregular balance bands
+    via the binned big-big strategy, aggregated per band."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    bands = spark.createDataFrame(ACCT_BANDS, "band string, lo double, hi double")
+    j = range_join(cust, "c_acctbal", bands)
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_asof": join_asof,
     "join_salted": join_salted,
+    "join_range": join_range,
 }
 
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in ACCT_BANDS)
+
 ORACLE = {
+    "join_range": f"""
+        WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+        SELECT band, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+        FROM customer c JOIN bands b
+          ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+        GROUP BY band
+    """,
     "join_inner": f"""
         SELECT c_mktsegment, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
