@@ -203,3 +203,31 @@ def test_multimodal_resize_contract(spark, sf_dir):
         assert bytes(r.payload) == want
         assert r.n_bytes == len(want)
         assert r.checksum == hashlib.md5(want).hexdigest()
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min guarantee: estimate >= true count for every probed
+    key, and <= true + (e/w)*N with comfortable slack."""
+    import math
+
+    from labelmain_spark.functions.sketch import (
+        CMS_W,
+        cms_build,
+        cms_point_estimate,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n_total = ev.count()
+    sk = cms_build(ev, "user_id").cache()
+    sk.count()
+    true_counts = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").count().withColumnRenamed("count", "c")
+        .orderBy("user_id").limit(8).collect()
+    }
+    eps_bound = math.e / CMS_W * n_total
+    for key, true in true_counts.items():
+        est = cms_point_estimate(sk, key)
+        assert est >= true, (key, est, true)
+        assert est <= true + eps_bound, (key, est, true, eps_bound)
