@@ -52,6 +52,9 @@ HEADLINE = [
     "customer_distribution",
     "top_supplier",
     "sessionize",
+    "window_session",
+    "time_rollup",
+    "join_range",
     "label_consolidate",
     "doc_winnow",
 ]
