@@ -120,3 +120,15 @@ def test_dedup_candidate_broadcast_strategy_flexible(spark, sf_dir):
     assert "ResolvedHint" not in optimized and "broadcast" not in optimized.lower(), (
         "forced broadcast hint survives in the logical plan"
     )
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The binned range join must compile to an equi hash join on the
+    bin — a naive non-equi predicate would produce
+    BroadcastNestedLoopJoin (O(L*R), driver-bound)."""
+    from labelmain_spark.operators.joins import join_range
+
+    df = join_range(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
