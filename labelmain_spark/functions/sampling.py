@@ -1,0 +1,85 @@
+"""Deterministic sampling & splits for training-data pipelines
+(SURVEY §2.11 north-star adjunct).
+
+``df.sample()`` draws from a per-partition RNG — resample on retry,
+different rows after a repartition, and no SQL twin. Production
+pipelines instead sample by KEY HASH: a row is in the sample iff
+``hash(key) mod M < threshold`` — stable under retries, partitioning,
+and engine (the md5-hex-digit hash from functions/sketch.py is
+reproducible in DuckDB, so both sampling and splitting carry full
+value-hash oracle rows). The same predicate IS the train/validation
+split: disjoint threshold ranges partition the keyspace.
+
+Scale: a narrow filter on a hash expression — no shuffle, no state,
+pushes through any downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+HASH_MOD = 10_000  # basis points of the keyspace
+
+
+def _hash_bp_expr(key_col: str, engine: str) -> str:
+    """Key → [0, HASH_MOD) via the first 4 hex digits of md5 — the same
+    engine-portable construction as sketch._bucket_expr."""
+    cast = "CAST({c} AS STRING)" if engine == "spark" else "CAST({c} AS VARCHAR)"
+    m = f"md5(concat('smp:', {cast.format(c=key_col)}))"
+    digit = "(instr('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(m=m, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"(({val}) % {HASH_MOD})"
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int) -> DataFrame:
+    """Keep rows whose key hashes below rate_bp basis points."""
+    return df.filter(F.expr(_hash_bp_expr(key_col, "spark")) < F.lit(rate_bp))
+
+
+def train_val_split(df: DataFrame, key_col: str, val_bp: int = 1000) -> DataFrame:
+    """Tag each row train/val by disjoint hash ranges (val = lowest
+    val_bp basis points). Split is a COLUMN, not two DataFrames, so one
+    scan serves both sides and the assignment is auditable."""
+    h = F.expr(_hash_bp_expr(key_col, "spark"))
+    return df.withColumn("split", F.when(h < val_bp, "val").otherwise("train"))
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic document sample by doc_id hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return hash_sample(docs, "doc_id", 1000)
+
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val assignment summary: per (split, lang) counts prove the
+    split is deterministic, disjoint and complete."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        train_val_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES = {
+    "sample_hash": sample_hash,
+    "split_train_val": split_train_val,
+}
+
+ORACLE = {
+    "sample_hash": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {_hash_bp_expr("doc_id", "duck")} < 1000
+    """,
+    "split_train_val": f"""
+        SELECT CASE WHEN {_hash_bp_expr("doc_id", "duck")} < 1000
+                    THEN 'val' ELSE 'train' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+}
