@@ -9,6 +9,15 @@ per-key accumulators with TTL, checkpointed (survives restart, unlike
 the reference's cache) and evicted by event-time timeout exactly like
 the cache's TTL expiry.
 
+Spark 4's successor API (``transformWithStateInPandas`` — typed value/
+list/map state + timers via a StatefulProcessor) was evaluated and
+works API-wise, but its driver worker imports
+``pyspark.sql.streaming.proto.StateMessage_pb2`` which requires
+``google.protobuf`` — not present in this container (verified crash:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on the import), so
+``applyInPandasWithState`` remains the pinned custom-stateful surface;
+the migration is mechanical when protobuf is available.
+
 Scale notes: state lives in the state store (RocksDB provider at scale,
 incremental checkpoints); per-key state here is O(1) scalars, so total
 state is bounded by (live keys within TTL) × a few bytes — the same
