@@ -1,0 +1,117 @@
+"""Connected components — the wallet-clustering operator.
+
+The reference's walletexplorer source is precisely this: addresses
+belong to one wallet when they co-occur (walletexplorer/main.go:73-106
+wallet → addresses pages — the site itself derives clusters from
+co-spending). The engine form: a bipartite co-occurrence graph
+(user ↔ attribute) and hash-min label propagation to a fixpoint —
+every node ends labeled with the smallest user id reachable from it.
+
+Algorithm (alternating hash-min on the bipartite graph):
+  comp(u) := u
+  repeat: comp(p) := min comp(u) over edges; comp(u) := min(comp(u),
+  min comp(p) over edges) — converges in O(component diameter) rounds.
+Each round is two keyed aggregations + joins (all shuffles on u or p,
+map-side combinable); the driver only counts changed labels to detect
+the fixpoint — the same driver-coordinated loop structure GraphX/
+GraphFrames use for iterative algorithms. Lineage is truncated every
+round by materializing the persisted label table (otherwise the plan
+doubles per iteration and planning time explodes by round ~15).
+
+The DuckDB oracle computes the identical fixpoint with a recursive
+CTE (propagate smaller labels through 2-hop bipartite edges, take the
+per-node minimum) — a full value-hash oracle for an iterative graph
+algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+MAX_ITER = 30
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """edges: (u long, p *) bipartite adjacency. Returns (u, component)
+    where component = min u in the connected component."""
+    edges = edges.select("u", "p").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    comp = (
+        edges.select("u").distinct().select("u", F.col("u").alias("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp.count()
+    for _ in range(max_iter):
+        comp_p = (
+            edges.join(comp, "u").groupBy("p").agg(F.min("comp").alias("pcomp"))
+        )
+        proposed = (
+            edges.join(comp_p, "p").groupBy("u").agg(F.min("pcomp").alias("newcomp"))
+        )
+        merged = (
+            comp.join(proposed, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce(F.col("newcomp"), F.col("comp"))).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            merged.join(comp.withColumnRenamed("comp", "old"), "u")
+            .filter(F.col("comp") != F.col("old"))
+            .count()  # fixpoint probe — one scalar per round, as in GraphX
+        )
+        comp.unpersist()
+        comp = merged
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp.select("u", F.col("comp").alias("component"))
+
+
+def user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wallet-cluster analog: users linked by sharing a props attribute
+    on signup events; output per-component membership plus size."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("p"),
+    ).filter(F.col("p").isNotNull())
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return cc.join(sizes, "component").select(
+        F.col("u").alias("user_id"), "component", "component_size"
+    )
+
+
+QUERIES = {"user_components": user_components}
+
+ORACLE = {
+    "user_components": """
+        WITH edges AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS p
+            FROM events
+            WHERE event_type = 'signup'
+              AND json_extract(props, '$.k') IS NOT NULL
+        ),
+        reach AS (
+            WITH RECURSIVE r(u, comp) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e2.u, r.comp
+                FROM r
+                JOIN edges e1 ON e1.u = r.u
+                JOIN edges e2 ON e2.p = e1.p
+                WHERE r.comp < e2.u
+            )
+            SELECT u, MIN(comp) AS component FROM r GROUP BY u
+        )
+        SELECT reach.u AS user_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS component_size
+        FROM reach
+    """,
+}

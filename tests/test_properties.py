@@ -231,3 +231,24 @@ def test_cms_never_underestimates(spark, sf_dir):
         est = cms_point_estimate(sk, key)
         assert est >= true, (key, est, true)
         assert est <= true + eps_bound, (key, est, true, eps_bound)
+
+
+def test_connected_components_multi_component(spark):
+    """Hash-min propagation on a synthetic bipartite graph with three
+    known components (including a chain that needs >1 iteration) gives
+    exactly the min-id labels."""
+    from labelmain_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # component A: chain 1-10-2-20-3 (diameter forces iterations)
+            (1, 10), (2, 10), (2, 20), (3, 20),
+            # component B: 5-30-6
+            (5, 30), (6, 30),
+            # component C: singleton-ish 9-40
+            (9, 40),
+        ],
+        "u long, p long",
+    )
+    got = {r.u: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
