@@ -132,3 +132,33 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_hash_sampling_is_narrow(spark, sf_dir):
+    """Deterministic hash sampling must be a pure filter — zero
+    exchanges, pushable through any downstream plan."""
+    from labelmain_spark.functions.sampling import sample_hash
+
+    plan = sample_hash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_cms_single_shuffle(spark, sf_dir):
+    """The CMS build is one map-side-combinable aggregation: exactly
+    one exchange, carrying at most d*w rows per map partition."""
+    from labelmain_spark.functions.sketch import cms_user_sketch
+
+    df = cms_user_sketch(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_profile_single_scan(spark, sf_dir):
+    """The column profiler reads the table once regardless of column
+    count (5 stats x N columns ride one aggregate pass)."""
+    from labelmain_spark.functions.profile import profile_stats
+
+    plan = profile_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
