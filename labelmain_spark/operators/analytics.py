@@ -123,7 +123,40 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation computed EXACTLY: Σx, Σy, Σxy,
+    Σx², Σy² accumulated in DECIMAL (order-independent), the final
+    corr assembled from those five scalars with plain IEEE ops both
+    engines evaluate identically. Built-in `F.corr` accumulates in
+    float (partition-order-dependent final ulps — unhashable across
+    engines); this decomposition is also the textbook distributed
+    form: five mergeable partial sums, one shuffle, no second pass
+    for the means."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.col("value").cast("decimal(28,6)")
+    y = (F.col("user_id") % 100).cast("decimal(28,6)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        stable_round(num / den, 6).alias("corr_value_bucket"),
+    )
+
+
 QUERIES = {
+    "corr_stats": corr_stats,
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "order_priority_count": order_priority_count,
@@ -132,6 +165,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corr_stats": """
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(user_id % 100 AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))
+                            * CAST(user_id % 100 AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))
+                            * CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(user_id % 100 AS DECIMAL(28,6))
+                            * CAST(user_id % 100 AS DECIMAL(28,6))) AS DOUBLE) AS syy
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               (FLOOR(((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                      * 1000000.0 + 0.5) / 1000000.0) AS corr_value_bucket
+        FROM g
+    """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity')} AS sum_qty,
