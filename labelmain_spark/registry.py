@@ -39,6 +39,7 @@ _MODULES = [
     "labelmain_spark.functions.sampling",
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.graph",
+    "labelmain_spark.pipeline",
     "labelmain_spark.functions.udfs",
     "labelmain_spark.multimodal.columns",
 ]
@@ -86,7 +87,7 @@ PRIORITY = [
     # ---- driver window boundary (50) ----
     "region_revenue", "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",
-    "cursor_page", "join_range", "grouping_sets_agg", "time_rollup", "cms_user_sketch", "sample_hash", "split_train_val", "profile_stats", "user_components", "corr_stats", "nested_flatten", "nested_field_stats",
+    "cursor_page", "join_range", "grouping_sets_agg", "time_rollup", "cms_user_sketch", "sample_hash", "split_train_val", "profile_stats", "user_components", "corr_stats", "pipeline_e2e", "nested_flatten", "nested_field_stats",
     "paged_source_scan", "multimodal_frames", "window_session",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "customer_distribution", "top_supplier", "join_salted",
