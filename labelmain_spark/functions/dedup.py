@@ -108,20 +108,26 @@ def _shingles_from_tokens(t: Column) -> Column:
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
-    """doc_id → shingle array. Repartitions first: the fixture lands in
-    one parquet file → one task; shingling is CPU-bound and must spread
-    across cores (on a real cluster the input is already many splits)."""
+    """doc_id → shingle array, ONE shuffle of the raw text keyed by
+    doc_id. The repartition (a) spreads the CPU-bound shingling across
+    all cores even when the input is a single file split, and (b) keys
+    the layout by doc_id so every downstream per-doc groupBy (set
+    sizes, signatures) is shuffle-free. Shuffling the raw text beats
+    the alternative (shuffle token arrays, or shuffle the exploded
+    postings) on bytes: text ≤ tokens < postings.
+
+    split() stays its own projection under the lambda: Spark's
+    CollapseProject refuses to merge projects when it would duplicate a
+    non-cheap expression (SPARK-36718), so the token array is evaluated
+    once per row, not once per element_at — asserted on the optimized
+    plan in tests/test_plans.py (a regression here is O(len·w) per
+    doc)."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.sparkSession.sparkContext.defaultParallelism
-    # The repartition sits AFTER the split: the shuffle is a
-    # materialization barrier, so the token array is a physical column
-    # on the reduce side (Catalyst's projection collapse would otherwise
-    # inline split() into every element_at of the lambda → O(len²) per
-    # doc), and the CPU-heavy shingling spreads over all cores even when
-    # the input is a single file split.
     return (
-        docs.select("doc_id", *extra, F.split(F.col("text"), " ").alias("t"))
-        .repartition(n)
+        docs.select("doc_id", *extra, "text")
+        .repartition(n, F.col("doc_id"))
+        .select("doc_id", *extra, F.split(F.col("text"), " ").alias("t"))
         .select(
             "doc_id",
             *extra,
@@ -145,16 +151,17 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFra
     # shared table is persisted instead: shingling executes once, every
     # branch reads the in-memory columnar copy. Spark's CacheManager
     # keys entries by canonical plan, so repeated calls share one entry
-    # per sf_dir rather than accumulating copies. The hash-repartition
-    # on doc_id makes the cached layout satisfy the doc_id groupBys
-    # with no further shuffle.
+    # per sf_dir rather than accumulating copies. Explode preserves the
+    # upstream hash layout on doc_id, so the cached table satisfies the
+    # per-doc groupBys with no further shuffle (no second repartition —
+    # r2's explode-then-repartition shape paid an extra postings-sized
+    # shuffle for a layout the shingle shuffle already provides;
+    # removing it halved the materialization cost at sf0.1).
     from pyspark import StorageLevel
 
-    n = spark.sparkContext.defaultParallelism
     e = (
         _shingle_df(spark, sf_dir, *extra)
         .select("doc_id", *extra, F.explode_outer("shingles").alias("s"))
-        .repartition(n, F.col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Prime eagerly: otherwise the first action runs all diamond
