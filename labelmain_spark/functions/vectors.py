@@ -81,21 +81,145 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_R = 2  # bits per band
+NEARDUP_BANDS = 24  # bands; r·b = 48 sign planes
+
+
+def _neardup_planes() -> list[list[float]]:
+    """48 independent gaussian hyperplanes, seeded — frozen at import
+    and inlined as literals into BOTH the Spark plan and the DuckDB
+    oracle, so the two engines share bit-identical planes. (The `_plane`
+    LCG used by `ann_lsh_topk` is NOT reusable here: consecutive p
+    differ by only 12345/2³¹ per component, so its planes are nearly
+    parallel and banded bits would be fully correlated — one effective
+    band instead of 24.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return [[float(x) for x in row] for row in rng.standard_normal((NEARDUP_R * NEARDUP_BANDS, 64))]
+
+
+_NEARDUP_PLANES = _neardup_planes()
+
+
+def _sql_double(x: float) -> str:
+    """Literal that DuckDB parses as DOUBLE via strtod (E-notation),
+    never as DECIMAL — decimal-parse-then-cast can differ in the last
+    ulp from Python's repr round-trip."""
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a label block:
-    cosine above threshold → same-content candidates. The fixture embeddings are not true duplicates, so the threshold is set to the top of the fixture similarity distribution (max within-label cos ≈ 0.47); production near-dup would use ~0.95+."""
+    """Embedding-cosine near-duplicate pairs within a label block via
+    LSH-banded candidate generation + exact-cosine verification — the
+    r2 label-blocked all-pairs join is gone (at 100 TB one label block
+    was a straggler doing O(B²) work).
+
+    Shape (the `dedup_minhash` band machinery applied to sign
+    signatures):
+      1. 48-bit random-hyperplane sign signature per vector (seeded
+         gaussian planes, frozen at import, shared verbatim with the
+         oracle), split into NEARDUP_BANDS=24 bands of NEARDUP_R=2
+         bits.
+      2. Explode to (label, band_id, band_val) and self-join — only
+         vectors agreeing on ≥1 band within a label ever meet. The
+         shuffle carries ids + a 24-int band array, never the vectors.
+      3. Emit each candidate pair once WITHOUT a distinct shuffle: keep
+         only the join row whose band_id is the FIRST agreeing band
+         (both sides carry their band arrays; the filter is pure CPU in
+         the join stage).
+      4. Verify candidates with exact cosine via two scalar-key hash
+         joins back to the vectors (ids shuffle; vectors join once,
+         never pairwise).
+
+    Parameters sit on the S-curve for the fixture's deliberately-low
+    threshold (max within-label cos ≈ 0.47, so 0.4 keeps the result
+    non-empty): r=2, b=24 → a pair at cos 0.4 shares a band with
+    p = 1-(1-0.631²)²⁴ ≈ 1-5e-6, i.e. recall 1.0 on the fixture
+    (asserted against the exact all-pairs result in tests). At a
+    production near-dup threshold (~0.95) the same plan runs r=8, b=16,
+    where the band join prunes ~94% of random pairs at 99.99% recall;
+    at the fixture threshold banding admits most pairs — the *plan
+    shape* is what scales, and the oracle mirrors the banded semantics
+    exactly so correctness never depends on the S-curve.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    n_part = spark.sparkContext.defaultParallelism
+    # Repartition the raw vectors FIRST: the signature work is CPU-bound
+    # and the fixture arrives as one file split (one task otherwise); on
+    # a real cluster the exchange keys the layout by vec_id for the
+    # verify joins.
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).repartition(n_part, F.col("vec_id"))
+
+    # The 48 planes ride in as ONE nested-array Literal node — inlining
+    # them as 3072 scalar literals (the r2-style unrolled loop) blew the
+    # serialized plan to 16 MiB task binaries and ~45 s of pure
+    # plan/codegen overhead. Each band value computes its two plane dots
+    # INLINE (element_at into the literal) rather than via a shared
+    # `bits` array column: once a downstream Generate enters the plan,
+    # CollapseProject inlines such an intermediate array into all 48
+    # element_at references — a measured 48× recompute of the plane
+    # dots (24 s for 2000 rows). Inline dots are evaluated exactly once
+    # per band element by construction: 0.7 s for the same input.
+    planes_lit = F.lit(_NEARDUP_PLANES)
+
+    def _band_val(j: Column) -> Column:
+        b0 = F.when(
+            _dot(F.col("v"), F.element_at(planes_lit, j * NEARDUP_R + 1)) >= 0, 1
+        ).otherwise(0)
+        b1 = F.when(
+            _dot(F.col("v"), F.element_at(planes_lit, j * NEARDUP_R + 2)) >= 0, 1
+        ).otherwise(0)
+        return (b0 + b1 * 2).cast("int")
+
+    barr = F.transform(F.sequence(F.lit(0), F.lit(NEARDUP_BANDS - 1)), _band_val)
+    sigs = e.select("vec_id", "label", barr.alias("barr"))
+
+    bands = sigs.select(
+        "vec_id", "label", "barr", F.posexplode("barr").alias("band_id", "band_val")
     )
-    cos = stable_round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("barr").alias("barr_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("barr").alias("barr_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    first_agree = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(NEARDUP_BANDS)),
+            lambda j: F.element_at(F.col("barr_a"), j) == F.element_at(F.col("barr_b"), j),
+        ),
+        1,
+    )
+    cands = (
         a.join(
             b,
-            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+            (F.col("label") == F.col("label_b"))
+            & (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
+        .filter(first_agree == F.col("band_id") + 1)
+        .select("vec_a", "vec_b", "label")
+    )
+
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = stable_round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
     )
@@ -243,15 +367,39 @@ ORACLE = {
             FROM embeddings
         ) GROUP BY label, dim
     """,
-    "embedding_neardup": """
+    # Mirrors the banded semantics exactly: same LCG planes, same 48-bit
+    # sign signature, same band split — candidates via DISTINCT (set-
+    # identical to Spark's first-agreeing-band emission), then the same
+    # exact-cosine verify. Correctness therefore never depends on the
+    # LSH S-curve.
+    "embedding_neardup": f"""
         WITH e AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), planes AS (
+            SELECT p, w FROM (VALUES {", ".join(f"({p}, [{', '.join(_sql_double(w) for w in row)}])" for p, row in enumerate(_NEARDUP_PLANES))}) t(p, w)
+        ), sigs AS (
+            SELECT vec_id, label,
+                   CAST(SUM(CASE WHEN list_dot_product(e.v, planes.w) >= 0
+                                 THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+                                 ELSE 0 END) AS BIGINT) AS sig
+            FROM e CROSS JOIN planes GROUP BY vec_id, label
+        ), bands AS (
+            SELECT vec_id, label, j AS band_id,
+                   (sig >> CAST(j * {NEARDUP_R} AS INTEGER)) & {(1 << NEARDUP_R) - 1} AS band_val
+            FROM sigs, range(0, {NEARDUP_BANDS}) t(j)
+        ), cands AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+            FROM bands a JOIN bands b
+              ON a.label = b.label AND a.band_id = b.band_id
+             AND a.band_val = b.band_val AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               (FLOOR((list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE (FLOOR((list_dot_product(a.v, b.v)
-                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0) >= 0.4
+        SELECT c.vec_a, c.vec_b, c.label,
+               (FLOOR((list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM cands c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE (FLOOR((list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))) * 10000.0 + 0.5) / 10000.0) >= 0.4
     """,
 }

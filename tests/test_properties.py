@@ -28,6 +28,42 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"ANN recall {recall} vs brute force too low"
 
 
+def test_neardup_banded_recall_is_exact(spark, sf_dir, duck):
+    """The LSH-banded candidate generation must not lose a single
+    qualifying pair on the fixture vs exact all-pairs: at r=2, b=24 a
+    pair at cos 0.4 misses all bands with probability (1-0.631²)²⁴ ≈
+    5e-6, and the planes are frozen at import, so recall 1.0 here is
+    deterministic, not luck. (The oracle mirrors the banded semantics,
+    so the driver gate alone could not catch a recall loss.)"""
+    got = {
+        (r.vec_a, r.vec_b) for r in vectors.embedding_neardup(spark, sf_dir).collect()
+    }
+    exact = {
+        (a, b)
+        for a, b in duck.execute(
+            """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id, b.vec_id
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE (FLOOR((list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 10000.0 + 0.5) / 10000.0) >= 0.4
+            """
+        ).fetchall()
+    }
+    assert got == exact
+
+
+def test_neardup_plan_is_banded_equi_join(spark, sf_dir):
+    """The candidate join must be an equi join on (label, band_id,
+    band_val) — never a nested-loop over label blocks (the r2 all-pairs
+    shape this operator replaced) — and the vectors must not ride
+    through the band shuffle (arrays join back by scalar id only)."""
+    df = vectors.embedding_neardup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "band_val" in plan, plan
+
+
 def test_simhash_identical_docs_same_signature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     dup = docs.union(docs)  # every doc duplicated
