@@ -134,6 +134,70 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     assert "HashJoin" in plan, plan
 
 
+def test_range_join_one_shuffle_one_broadcast(spark, sf_dir):
+    """r2 benched join_range at 7.9 s (655× DuckDB) — re-measurement
+    showed box contention, but pin the plan so a real regression can't
+    hide behind that history: exactly ONE shuffle exchange (the
+    customer-side bin explode feeding the hash join), ONE broadcast
+    (the tiny bands table), and a bounded job count (AQE replanning of
+    `createDataFrame(ACCT_BANDS)` must not fan into extra jobs)."""
+    from labelmain_spark.operators.joins import join_range
+
+    sc = spark.sparkContext
+    sc.setJobGroup("join_range_jobs", "plan pin")
+    df = join_range(spark, sf_dir)
+    df.count()
+    sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("join_range_jobs"))
+    assert n_jobs <= 8, f"join_range ran {n_jobs} Spark jobs (measured 5)"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_broadcast = plan.count("BroadcastExchange")
+    n_shuffle = plan.count("Exchange") - n_broadcast
+    assert n_broadcast == 1, plan
+    assert n_shuffle <= 1, plan
+
+
+def test_pipeline_e2e_one_scan_two_exchanges(spark, sf_dir):
+    """pipeline.py's headline claim, asserted: the four chained stages
+    (quality gate → exact-dedup window → hash sample → stats) compile to
+    ONE columnar scan and exactly TWO shuffle exchanges (the content-
+    hash window partition and the final per-lang aggregation) — the
+    minimum possible for these semantics. A materialize-per-stage
+    pipeline would scan the corpus four times."""
+    from labelmain_spark.pipeline import pipeline_e2e
+
+    df = pipeline_e2e(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_broadcast = plan.count("BroadcastExchange")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") - n_broadcast == 2, plan
+
+
+def test_dedup_minhash_shares_one_shingle_materialization(spark, sf_dir):
+    """The whole dedup diamond (signatures, band join, df-pruning hot
+    set, pair sizes, common counts) must read the ONE persisted exploded
+    -shingle table — the r2 bench regression hypothesis was branches
+    recomputing the shingling. Every branch shows as InMemoryTableScan;
+    the job count stays bounded (n_docs count + cache prime + AQE stage
+    jobs for the main action)."""
+    from labelmain_spark.functions.dedup import dedup_minhash
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    sc.setJobGroup("dedup_minhash_jobs", "plan pin")
+    df = dedup_minhash(spark, sf_dir)
+    df.count()
+    sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("dedup_minhash_jobs"))
+    assert n_jobs <= 25, f"dedup_minhash ran {n_jobs} Spark jobs (measured 19)"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ≥5 branches over the cache: pruned-index signature side, hot-set
+    # groupBy, pair-join ea/eb, per-doc sizes.
+    assert plan.count("InMemoryTableScan") >= 5, plan
+    spark.catalog.clearCache()
+
+
 def test_hash_sampling_is_narrow(spark, sf_dir):
     """Deterministic hash sampling must be a pure filter — zero
     exchanges, pushable through any downstream plan."""
