@@ -35,15 +35,31 @@ from labelmain_spark.sources.readers import load_table
 MAX_ITER = 30
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = MAX_ITER, stats: dict | None = None
+) -> DataFrame:
     """edges: (u long, p *) bipartite adjacency. Returns (u, component)
-    where component = min u in the connected component."""
+    where component = min u in the connected component.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` rounds — silently returning half-propagated labels
+    would be a WRONG answer for any component with diameter beyond the
+    budget (each alternating round propagates labels ~2 hops, so
+    max_iter=30 covers diameter ≈ 60; real co-occurrence graphs are
+    far shallower). ``stats['rounds']`` reports the rounds actually
+    used, so tests can pin convergence = O(diameter) — in particular
+    that a giant star component (one hub attribute, the 100 TB skew
+    hazard) converges in 2 effective rounds, not O(n): both per-round
+    aggregations are Catalyst partial-agg (map-side local min, then
+    global min per key), so the hub key receives one partial row per
+    upstream partition rather than the whole membership."""
     edges = edges.select("u", "p").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     comp = (
         edges.select("u").distinct().select("u", F.col("u").alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     comp.count()
+    rounds = 0
     for _ in range(max_iter):
         comp_p = (
             edges.join(comp, "u").groupBy("p").agg(F.min("comp").alias("pcomp"))
@@ -66,8 +82,19 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         )
         comp.unpersist()
         comp = merged
+        rounds += 1
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        comp.unpersist()
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            f"the iteration budget; raise max_iter"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     return comp.select("u", F.col("comp").alias("component"))
 

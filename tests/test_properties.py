@@ -64,6 +64,49 @@ def test_neardup_plan_is_banded_equi_join(spark, sf_dir):
     assert "band_val" in plan, plan
 
 
+def test_components_star_skew_converges_in_diameter_rounds(spark):
+    """10k-node star through ONE hub attribute — the 100 TB skew
+    hazard (a hub p key receiving the whole component's membership).
+    Hash-min must converge in O(diameter)=1 effective round (+1
+    fixpoint probe), label every node with the min id, and the hub
+    groupBy must stay a partial-agg (one row per upstream partition
+    reaches the hot key, not 10k rows)."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions import graph
+
+    edges = spark.range(10_000).select(F.col("id").alias("u"), F.lit(1).alias("p"))
+    stats = {}
+    cc = graph.connected_components(edges, stats=stats)
+    assert stats["rounds"] <= 2, stats
+    row = cc.agg(
+        F.count_distinct("component").alias("nc"),
+        F.min("component").alias("lo"),
+        F.max("component").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert (row.nc, row.lo, row.hi, row.n) == (1, 0, 0, 10_000)
+    # the per-round p aggregation must show map-side partial agg
+    comp = cc.sparkSession.createDataFrame([(i, i) for i in range(4)], "u long, comp long")
+    agg = edges.join(comp, "u").groupBy("p").agg(F.min("comp").alias("pcomp"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("hashaggregate") >= 2, plan
+
+
+def test_components_raises_without_fixpoint(spark):
+    """A chain needs ~len/2 rounds; with max_iter=1 the loop exhausts
+    mid-propagation and MUST raise instead of returning wrong labels."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from labelmain_spark.functions import graph
+
+    rows = [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "c")]
+    edges = spark.createDataFrame(rows, "u long, p string")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        graph.connected_components(edges, max_iter=1)
+
+
 def test_simhash_identical_docs_same_signature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     dup = docs.union(docs)  # every doc duplicated
