@@ -11,24 +11,42 @@ naive per-column loop would be N scans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
+from labelmain_spark.operators.parity import sql_stable_round, stable_round
 from labelmain_spark.sources.readers import load_table
 
 PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
 
 
+def _fmt(col: Column, dtype) -> Column:
+    """Deterministic string form of a min/max: floats go through
+    stable_round + fixed-decimal printf — a bare CAST(double AS STRING)
+    hands formatting to the engine (Java shortest-repr with E-notation
+    for |x| ≥ 1e7 or < 1e-3; DuckDB renders the binary expansion), so
+    the oracle hash would break the moment a value leaves the
+    plain-notation range. After stable_round the 6th decimal is already
+    decided, so %.6f cannot hit a rounding tie in either engine."""
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return F.format_string("%.6f", stable_round(col, 6))
+    return col.cast("string")
+
+
 def profile(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-scan long-format profile of the given columns."""
+    """One-scan long-format profile of the given columns. min/max are
+    taken over the NATIVE type (not lexicographically over strings) and
+    stringified deterministically afterwards."""
     aggs = []
     for c in cols:
+        dtype = df.schema[c].dataType
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            _fmt(F.min(F.col(c)), dtype).alias(f"{c}__min"),
+            _fmt(F.max(F.col(c)), dtype).alias(f"{c}__max"),
         ]
     wide = df.agg(*aggs)
     rows = [
@@ -51,14 +69,24 @@ def profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(ev, PROFILE_COLS)
 
 
+FLOAT_COLS = {"value"}  # events schema: the one float column
+
+
+def _sql_fmt(expr: str, is_float: bool) -> str:
+    if is_float:
+        return f"printf('%.6f', {sql_stable_round(expr, 6)})"
+    return f"CAST({expr} AS VARCHAR)"
+
+
 def _sql_profile_col(c: str) -> str:
+    isf = c in FLOAT_COLS
     return f"""
         SELECT '{c}' AS column,
                COUNT({c}) AS n_nonnull,
                CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
-               MIN(CAST({c} AS VARCHAR)) AS min_str,
-               MAX(CAST({c} AS VARCHAR)) AS max_str
+               {_sql_fmt(f"MIN({c})", isf)} AS min_str,
+               {_sql_fmt(f"MAX({c})", isf)} AS max_str
         FROM events"""
 
 

@@ -212,7 +212,13 @@ def range_join(
     O(|L| + Σ interval_spans + matches), the same strategy Databricks'
     range-join optimization and interval libraries use.
     """
-    b = bands.withColumn(
+    # Degenerate intervals (hi <= lo) match nothing by [lo, hi)
+    # semantics — and MUST be dropped before the explode: for them the
+    # bin sequence's end falls below its start, and Spark's sequence()
+    # defaults to step -1 and silently emits a DESCENDING bin range
+    # (wrong bins, phantom matches survive until the exact-predicate
+    # refine — at worst an interval spanning the whole bin domain).
+    b = bands.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(

@@ -107,6 +107,41 @@ def test_components_raises_without_fixpoint(spark):
         graph.connected_components(edges, max_iter=1)
 
 
+def test_range_join_degenerate_interval_matches_nothing(spark):
+    """hi <= lo means an empty [lo, hi) interval. Without the guard,
+    sequence(start, end) with end < start runs DESCENDING (default step
+    -1) and emits wrong bins instead of none."""
+    from labelmain_spark.operators.joins import range_join
+
+    left = spark.createDataFrame([(float(v),) for v in (0.0, 500.0, 2500.0)], "v double")
+    bands = spark.createDataFrame(
+        [("empty", 2000.0, 2000.0), ("inverted", 3000.0, -1000.0), ("real", 0.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    got = {(r.band, r.v) for r in range_join(left, "v", bands).collect()}
+    assert got == {("real", 0.0), ("real", 500.0)}
+
+
+def test_profile_float_format_stable_outside_plain_range(spark, duck):
+    """Doubles beyond Spark's plain-notation range (|x| ≥ 1e7 or
+    < 1e-3) render as E-notation under CAST AS STRING while DuckDB
+    renders the binary expansion — the profile's printf path must agree
+    byte-for-byte anyway."""
+    from labelmain_spark.functions.profile import profile
+
+    vals = [1.23e9, 4.5e-8, -9.87654321e7, 0.125, None]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    row = {r.column: r for r in profile(df, ["value"]).collect()}["value"]
+    lo, hi = duck.execute(
+        """
+        SELECT printf('%.6f', FLOOR(MIN(v) * 1000000.0 + 0.5) / 1000000.0),
+               printf('%.6f', FLOOR(MAX(v) * 1000000.0 + 0.5) / 1000000.0)
+        FROM (VALUES (1.23e9), (4.5e-8), (-9.87654321e7), (0.125), (NULL)) t(v)
+        """
+    ).fetchone()
+    assert (row.min_str, row.max_str) == (lo, hi)
+
+
 def test_simhash_identical_docs_same_signature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     dup = docs.union(docs)  # every doc duplicated
@@ -253,16 +288,30 @@ def test_df_pruning_drops_hot_shingles(spark):
 
 
 def test_ngram_candidates_bounded_by_pruning(spark, sf_dir):
-    """ngram_jaccard's candidate join must run over the pruned index:
-    with the fixture corpus the pruned posting lists bound candidate
-    pairs well below the unpruned quadratic worst case."""
-    from labelmain_spark.functions.dedup import _max_df
-    from labelmain_spark.sources.readers import load_table
+    """The df-pruning must actually reach candidate generation (the r2
+    version of this test only compared two constants and could not have
+    caught the anti-join being dropped). Two teeth: (1) on a synthetic
+    corpus where every doc shares one boilerplate shingle, the pruned
+    index emits ZERO candidate pairs while the unpruned index would
+    emit all n·(n-1)/2; (2) the anti-join is present in ngram_jaccard's
+    actual optimized plan."""
+    from pyspark.sql import functions as F
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    max_df = _max_df(n_docs)
-    # every posting list contributes at most max_df*(max_df-1)/2 pairs
-    assert max_df * (max_df - 1) // 2 < n_docs * (n_docs - 1) // 2
+    from labelmain_spark.functions.dedup import _pruned_index, ngram_jaccard
+
+    n = 40
+    boiler = [(i, "the same boilerplate footer") for i in range(n)]
+    uniq = [(i, f"unique shingle {i}") for i in range(n)]
+    e = spark.createDataFrame(boiler + uniq, "doc_id long, s string")
+    ep = _pruned_index(e, max_df=5)
+    a = ep.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ep.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    cands = a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+    assert cands.count() == 0  # unpruned would be n*(n-1)/2 = 780
+    assert ep.count() == n  # only the unique postings survive
+
+    plan = ngram_jaccard(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan, plan
 
 
 def test_multimodal_resize_contract(spark, sf_dir):
