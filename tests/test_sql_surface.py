@@ -50,3 +50,27 @@ def test_sql_matches_dataframe_join(spark, sf_dir):
     assert sorted(map(str, got.collect())) == sorted(
         map(str, join_inner(spark, sf_dir).collect())
     )
+
+
+def test_coverage_doc_matches_registry():
+    """COVERAGE.md's header is the ONE place the key count is stated;
+    it must track the registry (r2 shipped three different numbers
+    across docs)."""
+    import re
+    from pathlib import Path
+
+    from labelmain_spark import registry
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(
+        r"(\d+) query keys registered.*?(\d+) with full DuckDB oracle.*?(\d+) rows-only",
+        text,
+        re.S,
+    )
+    assert m, "COVERAGE.md header sentence not found"
+    total, with_oracle, rows_only = map(int, m.groups())
+    q, o = registry.queries(), registry.oracle_sql()
+    assert total == len(q), f"COVERAGE.md says {total} keys, registry has {len(q)}"
+    assert with_oracle == len(o), f"COVERAGE.md says {with_oracle} oracles, registry has {len(o)}"
+    assert rows_only == len(q) - len(o)
+    assert set(o) <= set(q)
