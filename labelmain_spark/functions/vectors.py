@@ -267,6 +267,94 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_MP_BITS = 6
+ANN_MP_PROBES = 8
+
+
+def _mp_planes() -> list[list[float]]:
+    """6 seeded gaussian hyperplanes for the multi-probe table (own
+    seed — independent of the near-dup band planes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    return [[float(x) for x in row] for row in rng.standard_normal((ANN_MP_BITS, 64))]
+
+
+_ANN_MP_PLANES = _mp_planes()
+
+
+def _mp_probe_buckets(qv: list[float], n_probes: int) -> list[int]:
+    """Multi-probe sequence (Lv et al., VLDB'07): a true neighbor that
+    misses the query's bucket most likely flipped the SIGNS the query
+    was least confident about, so probe buckets in order of summed
+    flip penalty Σ|q·plane| over the flipped bits. Pure driver-side
+    arithmetic on one query vector — O(2^bits) tiny."""
+    import itertools
+
+    qd = [sum(w * x for w, x in zip(p, qv)) for p in _ANN_MP_PLANES]
+    qsig = [1 if d >= 0 else 0 for d in qd]
+    scored = sorted(
+        (sum(abs(qd[c]) for c in combo), combo)
+        for r in range(ANN_MP_BITS + 1)
+        for combo in itertools.combinations(range(ANN_MP_BITS), r)
+    )
+    out = []
+    for _, combo in scored[:n_probes]:
+        s = list(qsig)
+        for c in combo:
+            s[c] ^= 1
+        out.append(sum(b << i for i, b in enumerate(s)))
+    return out
+
+
+def _mp_sig() -> Column:
+    """6-bit sign signature of column `v` against the probe planes."""
+    planes_lit = F.lit(_ANN_MP_PLANES)
+    sig = F.lit(0)
+    for p in range(ANN_MP_BITS):
+        bit = F.when(_dot(F.col("v"), F.element_at(planes_lit, p + 1)) >= 0, 1).otherwise(0)
+        sig = sig + bit * (1 << p)
+    return sig
+
+
+def _ann_multiprobe(e: DataFrame, n_probes: int = ANN_MP_PROBES) -> DataFrame:
+    """Core multi-probe ANN over e(vec_id, v): probe the `n_probes`
+    most promising of the 2^6 sign buckets, exact cosine inside them.
+
+    Scale shape: one narrow scan computing a 6-dot signature, a literal
+    IN-list filter (pushes into the scan; with the corpus stored
+    partitioned by bucket it becomes partition pruning), then
+    exact-cosine TakeOrdered on the survivors — expected scan fraction
+    ≈ n_probes/2^bits on separable data. The fixture embeddings are
+    near-random (true top-10 at cos ≈ 0.4 vs background 0), where NO
+    sign-LSH parameterization reaches recall 0.9 below ~50% scan — the
+    numpy study in tests/test_properties.py pins what IS true: strictly
+    better recall than the single-bucket probe at bounded extra scan,
+    and recall ≥ 0.9 on planted true near-neighbors (cos ≈ 0.99), the
+    production near-dup operating point."""
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    probes = _mp_probe_buckets(list(q_row[0]), n_probes)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("_sig", _mp_sig())
+        .filter(F.col("_sig").isin(probes))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of `ann_lsh_topk`: same single hash table,
+    recall lifted by probing the Hamming-near buckets ranked by flip
+    confidence instead of growing tables or bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return _ann_multiprobe(e)
+
+
 IVF_K = 16  # coarse-quantizer cells; ~sqrt(N) at real scale
 IVF_NPROBE = 4
 
@@ -341,6 +429,7 @@ QUERIES = {
     "embedding_centroid": embedding_centroid,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: LSH plane constants are impractical to inline in SQL
+    "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
 }
 

@@ -142,6 +142,58 @@ def test_profile_float_format_stable_outside_plain_range(spark, duck):
     assert (row.min_str, row.max_str) == (lo, hi)
 
 
+def test_multiprobe_dominates_single_bucket(spark, sf_dir):
+    """Multi-probe with T probes must recall at least as much of the
+    true top-k as its own T=1 (single-bucket) probe — on the fixture,
+    where neighbors are near-random (cos ≈ 0.4), this is the honest
+    claim; recall ≥ 0.9 at low scan is information-theoretically out of
+    reach for sign-LSH there (numpy sweep: ~50% scan needed)."""
+    brute = {r.vec_id for r in vectors.similarity_topk(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    single = {r.vec_id for r in vectors._ann_multiprobe(e, n_probes=1).collect()}
+    multi = {r.vec_id for r in vectors._ann_multiprobe(e, n_probes=8).collect()}
+    assert len(multi & brute) >= len(single & brute)
+
+
+def test_multiprobe_planted_neighbors_recall(spark, sf_dir):
+    """At the production operating point — true near-duplicates at
+    cos ≈ 0.99 — multi-probe must reach recall ≥ 0.9 while scanning a
+    bounded slice of the corpus (8 of 64 buckets + plant noise)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = np.array(
+        e.filter(F.col("vec_id") == vectors.QUERY_VEC_ID).first()[1], dtype=float
+    )
+    rng = np.random.RandomState(3)
+    planted_ids = list(range(1_000_000, 1_000_010))
+    rows = []
+    for pid in planted_ids:
+        noise = rng.standard_normal(64)
+        v = qv + 0.03 * np.linalg.norm(qv) * noise / np.linalg.norm(noise)
+        rows.append((pid, [float(x) for x in v]))
+    corpus = e.union(spark.createDataFrame(rows, "vec_id long, v array<double>"))
+
+    got = {r.vec_id for r in vectors._ann_multiprobe(corpus, n_probes=8).collect()}
+    recall = len(got & set(planted_ids)) / len(planted_ids)
+    assert recall >= 0.9, f"planted-neighbor recall {recall}"
+
+    scanned = (
+        corpus.filter(F.col("vec_id") != vectors.QUERY_VEC_ID)
+        .withColumn("_sig", vectors._mp_sig())
+        .filter(
+            F.col("_sig").isin(
+                vectors._mp_probe_buckets([float(x) for x in qv], 8)
+            )
+        )
+        .count()
+    )
+    total = corpus.count() - 1
+    assert scanned / total <= 0.5, f"probe filter scanned {scanned}/{total}"
+
+
 def test_simhash_identical_docs_same_signature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     dup = docs.union(docs)  # every doc duplicated
