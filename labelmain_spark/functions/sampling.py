@@ -66,9 +66,44 @@ def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_N = 20
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly n rows per stratum, chosen deterministically: rank by
+    key hash within each stratum (key as tie-break — the 4-hex-digit
+    hash has only 10k values) and keep the first n. Retry- and
+    partition-stable like hash_sample, but with a HARD per-group count
+    — the shape for balanced eval sets and per-language quota sampling.
+
+    Scale: one shuffle on the stratum key + a per-stratum sort. Strata
+    are bounded (languages, sources); a pathologically fat stratum
+    sorts in parallel within its partitions first (window row_number
+    is the standard exact-quota plan; the approximate no-sort
+    alternative is hash_sample with rate = n/|stratum|)."""
+    from pyspark.sql import Window as W
+
+    h = F.expr(_hash_bp_expr(key_col, "spark"))
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota sample: STRATUM_N docs per language."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(docs, "lang", "doc_id", STRATUM_N)
+
+
 QUERIES = {
     "sample_hash": sample_hash,
     "split_train_val": split_train_val,
+    "sample_stratified": sample_stratified,
 }
 
 ORACLE = {
@@ -81,5 +116,15 @@ ORACLE = {
                     THEN 'val' ELSE 'train' END AS split,
                lang, COUNT(*) AS n_docs
         FROM documents GROUP BY 1, 2
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_hash_bp_expr("doc_id", "duck")} ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {STRATUM_N}
     """,
 }

@@ -38,6 +38,7 @@ _MODULES = [
     "labelmain_spark.functions.sketch",
     "labelmain_spark.functions.sampling",
     "labelmain_spark.functions.profile",
+    "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.graph",
     "labelmain_spark.pipeline",
     "labelmain_spark.functions.udfs",
