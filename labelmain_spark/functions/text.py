@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import stable_round
+from labelmain_spark.operators.parity import sql_stable_round, stable_round
 from labelmain_spark.sources.readers import load_table
 
 # Deterministic per-language marker sets for the n-gram/stopword
@@ -100,6 +100,55 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_DUP_FRAC = 0.3  # flag: >30% of tokens are repeats
+REP_TOP_FRAC = 0.2  # flag: most frequent token is >20% of tokens
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition rules — the quality-filter
+    family `text_quality`'s length/stopword pass doesn't cover:
+    duplicate-token fraction (1 − distinct/total) and most-frequent-
+    token fraction, flagged above the published-style thresholds.
+
+    Scale: duplicate fraction is pure array arithmetic (narrow); the
+    top-token count is explode → (doc, token) count → per-doc max, two
+    partial-agg shuffles keyed by doc_id — uniform keys, no arrays
+    cross any exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    dup_frac = stable_round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 4
+    )
+    top_frac = stable_round(
+        F.col("top_tok_n").cast("double") / F.col("n_tokens"), 4
+    )
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            "top_tok_n",
+            top_frac.alias("top_token_frac"),
+            ((dup_frac > REP_DUP_FRAC) | (top_frac > REP_TOP_FRAC))
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -172,6 +221,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "lang_id": lang_id,
     "text_quality": text_quality,
+    "quality_repetition": quality_repetition,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
 }
@@ -213,6 +263,31 @@ ORACLE = {
                                    t -> list_contains({_SQL_SW}, t))) AS n_sw
             FROM documents
         )
+    """,
+    "quality_repetition": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+            FROM documents
+        ), top AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_n FROM (
+                SELECT doc_id, tok, COUNT(*) AS c FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                ) GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tokens,
+               {sql_stable_round('1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens', 4)}
+                   AS dup_token_frac,
+               t.top_tok_n,
+               {sql_stable_round('CAST(t.top_tok_n AS DOUBLE) / b.n_tokens', 4)}
+                   AS top_token_frac,
+               CAST(({sql_stable_round('1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens', 4)} > {REP_DUP_FRAC}
+                  OR {sql_stable_round('CAST(t.top_tok_n AS DOUBLE) / b.n_tokens', 4)} > {REP_TOP_FRAC})
+                    AS INTEGER) AS flagged
+        FROM base b JOIN top t ON b.doc_id = t.doc_id
     """,
     "doc_fingerprint": """
         SELECT md5(lower(trim(text))) AS fingerprint,
