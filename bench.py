@@ -63,6 +63,7 @@ HEADLINE = [
     "join_range",
     "label_consolidate",
     "doc_winnow",
+    "contamination_check",
 ]
 
 
