@@ -239,7 +239,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant of `similarity_topk`: random-hyperplane LSH bucket
     (8-bit sign signature), probe only the query's bucket, exact cosine
     within it. Recall vs brute force is measured in tests.
-    """
+
+    Caveat, kept for the recall-tested baseline it is: the `_plane` LCG
+    produces nearly-parallel planes across p (consecutive planes differ
+    by ~1e-5 per component), so the 8 bits are highly correlated and
+    the bucket is effectively cut by only ~1-2 directions — wider
+    bucket, higher recall, less pruning than independent planes would
+    give. `ann_multiprobe_topk` is the properly-engineered variant
+    (seeded gaussian planes + confidence-ranked probing)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
