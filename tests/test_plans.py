@@ -174,6 +174,37 @@ def test_pipeline_e2e_one_scan_two_exchanges(spark, sf_dir):
     assert plan.count("Exchange") - n_broadcast == 2, plan
 
 
+def test_contamination_semi_join_shape(spark, sf_dir):
+    """Train-set n-gram membership must be a LEFT SEMI join on the
+    shingle key — never a pair product — and both per-doc counts must
+    be partial-agg HashAggregates."""
+    from labelmain_spark.functions.contamination import contamination_check
+
+    plan = (
+        contamination_check(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("LeftSemi") == 1, plan
+    assert "Cartesian" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_stratified_sample_one_scan_one_shuffle(spark, sf_dir):
+    """Exact quota sampling = one scan + one shuffle on the stratum key
+    feeding the ranking window; anything more is waste."""
+    from labelmain_spark.functions.sampling import sample_stratified
+
+    plan = (
+        sample_stratified(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    n_broadcast = plan.count("BroadcastExchange")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") - n_broadcast == 1, plan
+    assert "Window" in plan, plan
+
+
 def test_dedup_minhash_shares_one_shingle_materialization(spark, sf_dir):
     """The whole dedup diamond (signatures, band join, df-pruning hot
     set, pair sizes, common counts) must read the ONE persisted exploded
