@@ -149,6 +149,41 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOPK terms per document — the classic relevance /
+    keyword-extraction scoring over the corpus.
+
+    Scale: one explode (narrow) feeds two partial-agg aggregations —
+    per-(doc, term) tf and per-term document frequency — joined on the
+    term key (hot stopword terms are AQE skew-split), then a per-doc
+    ranking window. The rank ORDERS BY THE ROUNDED score (then term):
+    ranking on the raw double would let a last-ulp ln() difference
+    between engines reorder near-ties and break the oracle hash.
+    n_docs is a parquet-metadata count."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = stable_round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+    )
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term", "tf", score.alias("tfidf")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -222,6 +257,7 @@ QUERIES = {
     "lang_id": lang_id,
     "text_quality": text_quality,
     "quality_repetition": quality_repetition,
+    "tfidf_topk": tfidf_topk,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
 }
@@ -263,6 +299,27 @@ ORACLE = {
                                    t -> list_contains({_SQL_SW}, t))) AS n_sw
             FROM documents
         )
+    """,
+    "tfidf_topk": f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term
+        ), sc AS (
+            SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+                   {sql_stable_round(
+                       "tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / dfreq.df)",
+                       4,
+                   )} AS tfidf
+            FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS rnk FROM sc
+        ) WHERE rnk <= {TFIDF_TOPK}
     """,
     "quality_repetition": f"""
         WITH base AS (
