@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import sql_stable_round, stable_round
+from labelmain_spark.operators.parity import (
+    dsum,
+    sql_dsum,
+    sql_stable_round,
+    stable_round,
+)
 from labelmain_spark.sources.readers import load_table
 
 # Deterministic per-language marker sets for the n-gram/stopword
@@ -184,6 +189,35 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per-document
+    mean negative log probability of its tokens under the corpus
+    unigram distribution. Low = head-like/boilerplate, high = rare or
+    noisy text — the cheap stand-in for the KenLM perplexity filter in
+    the CCNet / RedPajama recipes.
+
+    Scale: explode → term-count agg (partial-agg shuffle on uniform
+    term keys), corpus total folded in via a broadcast 1-row aggregate
+    (no driver-side literal, stays one Catalyst plan), then the scored
+    postings re-aggregate per doc_id. Determinism: each token's NLL is
+    rounded to 6 decimals, per-doc sums run in DECIMAL (order-free),
+    one final IEEE division + round — bit-stable on 1000 executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    nll = stable_round(
+        F.log(F.col("total").cast("double") / F.col("cnt")), 6
+    )
+    scored = terms.join(freq.crossJoin(F.broadcast(tot)), "term").select(
+        "doc_id", nll.alias("nll")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        stable_round(dsum("nll") / F.count(F.lit(1)), 4).alias("unigram_nll"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -258,6 +292,7 @@ QUERIES = {
     "text_quality": text_quality,
     "quality_repetition": quality_repetition,
     "tfidf_topk": tfidf_topk,
+    "quality_unigram_nll": quality_unigram_nll,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
 }
@@ -320,6 +355,22 @@ ORACLE = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
             ) AS rnk FROM sc
         ) WHERE rnk <= {TFIDF_TOPK}
+    """,
+    "quality_unigram_nll": f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), f AS (
+            SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+        ), p AS (
+            SELECT doc_id,
+                   {sql_stable_round(
+                       "ln(CAST((SELECT SUM(cnt) FROM f) AS DOUBLE) / cnt)", 6
+                   )} AS nll
+            FROM t JOIN f USING (term)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               {sql_stable_round(f"{sql_dsum('nll')} / COUNT(*)", 4)} AS unigram_nll
+        FROM p GROUP BY doc_id
     """,
     "quality_repetition": f"""
         WITH base AS (

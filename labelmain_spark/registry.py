@@ -32,6 +32,7 @@ _MODULES = [
     "labelmain_spark.operators.advanced",
     "labelmain_spark.labelstore.store",
     "labelmain_spark.functions.text",
+    "labelmain_spark.functions.pii",
     "labelmain_spark.functions.simjoin",
     "labelmain_spark.functions.dedup",
     "labelmain_spark.functions.vectors",
