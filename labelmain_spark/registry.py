@@ -33,6 +33,7 @@ _MODULES = [
     "labelmain_spark.labelstore.store",
     "labelmain_spark.functions.text",
     "labelmain_spark.functions.pii",
+    "labelmain_spark.functions.web",
     "labelmain_spark.functions.simjoin",
     "labelmain_spark.functions.dedup",
     "labelmain_spark.functions.vectors",
