@@ -31,7 +31,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the previous event exceeds 30 min."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("double")  # epoch seconds w/ µs fraction, same as DuckDB epoch()
+    # Epoch seconds w/ µs fraction, same as DuckDB epoch(). The double
+    # cast is illegal straight from TIMESTAMP_NTZ (the fixtures'
+    # parquet timestamp[us] type), so hop through TIMESTAMP first —
+    # the session tz is pinned UTC (readers.py), so NTZ→LTZ is the
+    # identity and the epoch value is tz-stable. The same expression is
+    # a no-op prefix when ts is already TIMESTAMP (nanos-fallback path).
+    sec = F.col("ts").cast("timestamp").cast("double")
     gap = sec - F.lag(sec).over(w)
     new_session = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     sessions = ev.withColumn(

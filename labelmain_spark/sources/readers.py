@@ -52,10 +52,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to
-        # µs exactly as DuckDB does. div is exact integer floor-division.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) read as long ns (see session.py);
+            # truncate to µs exactly as DuckDB does. div is exact
+            # integer floor-division.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # parquet timestamp[us] infers as TIMESTAMP_NTZ; normalize
+            # to TIMESTAMP so every downstream consumer (epoch casts,
+            # watermarks — which reject NTZ — and the streaming twins)
+            # sees ONE type regardless of fixture vintage. The session
+            # tz is pinned UTC above, so the conversion is the identity
+            # on the stored values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,29 +38,59 @@ from labelmain_spark.operators.merge import upsert
 from labelmain_spark.operators.parity import DEC
 from labelmain_spark.sources.readers import _enable_nanos_as_long
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long ns
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_long_nanos(sf_dir: str) -> bool:
+    """Inspect the parquet footer: TIMESTAMP(NANOS) fixtures (which
+    Spark only reads via legacy nanosAsLong=long) vs native µs/ms
+    timestamps. Streaming requires an explicit schema, so the choice
+    must be made up front — hardcoding one layout silently emits zero
+    rows when the fixtures change (round-3 postmortem)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return pa.types.is_int64(t) or (pa.types.is_timestamp(t) and t.unit == "ns")
+
+
+def events_schema(sf_dir: str) -> T.StructType:
+    """Stream-source schema for the events table, matching what the
+    batch reader (readers.load_table) would infer for the same files."""
+    nanos = _events_ts_is_long_nanos(sf_dir)
+    ts_type: T.DataType = T.LongType() if nanos else T.TimestampNTZType()
+    # NTZ here matches the file bytes; stream_events casts to TIMESTAMP
+    # right after read so consumers (watermarks reject NTZ) see the
+    # same TimestampType the batch reader normalizes to.
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events landing zone — the streaming
-    twin of readers.load_table(events), same ns→µs conversion."""
+    twin of readers.load_table(events): schema branched on the parquet
+    footer exactly like the batch path, ns→µs conversion only when the
+    files really are long-nanos."""
     _enable_nanos_as_long(spark)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _events_ts_is_long_nanos(sf_dir):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # NTZ → TIMESTAMP under the UTC-pinned session: identity on the
+        # values, required by withWatermark (rejects TIMESTAMP_NTZ) and
+        # matches the batch reader's normalized type.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
