@@ -87,22 +87,37 @@ def main() -> None:
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # engine, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    except Exception as e:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed: {e}", file=sys.stderr)
 
     t_start = time.time()
     samples: dict[str, list[float]] = {k: [] for k in keys}
+    errors: dict[str, str] = {}
     passes_done = 0
     for p in range(n_passes):
         if p > 0 and time.time() - t_start > budget_s:
             print(f"# budget {budget_s}s hit after {p} passes", file=sys.stderr)
             break
         for key in keys:
+            if key in errors:  # failed once — don't burn budget retrying
+                continue
             # Cold-plan each run: several queries persist shared
             # intermediates (e.g. the exploded-shingle table); without
             # the clear, passes 2..n would measure the warm cache.
             spark.catalog.clearCache()
             t0 = time.time()
-            n = qs[key](spark, sf_dir).count()
+            # One broken query must never zero the whole artifact
+            # (round-3 postmortem: a plan-time AnalysisException in one
+            # key erased all 34 numbers). Record the error per-key and
+            # keep measuring the rest.
+            try:
+                n = qs[key](spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 — record and continue
+                errors[key] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# pass {p + 1}/{n_passes} {key}: ERROR {errors[key]}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             samples[key].append(dt)
             print(f"# pass {p + 1}/{n_passes} {key}: {dt}s ({n} rows)", file=sys.stderr)
@@ -113,23 +128,22 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
-    timings = {k: median(v) for k, v in samples.items()}
-    spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
+    timings = {k: median(v) for k, v in samples.items() if v}
+    spread = {k: round(max(v) - min(v), 3) for k, v in samples.items() if v}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "passes": passes_done,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "passes": passes_done,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
