@@ -58,13 +58,20 @@ _MODULES = [
 PRIORITY = [
     # scans / order-limit (S1-S5, O1-O3)
     "scan_project", "point_lookup", "order_limit", "topk",
-    # filters (P8-P10, T3)
-    "filter_nonempty", "filter_contains", "filter_null", "incremental_filter",
-    # aggregates (A2-A8, map/array families)
-    "group_count", "count_sum", "count_distinct", "wallet_map",
+    # filters (P8-P10, T3) — filter_contains (P9) moved past the
+    # boundary r4: it is a single LIKE predicate whose pushdown shape
+    # filter_nonempty/filter_null already pin, and LIKE filters run
+    # inside several in-window queries (scan_project, regex family).
+    "filter_nonempty", "filter_null", "incremental_filter",
+    # aggregates (A2-A8, map/array families) — group_count (A6) moved
+    # out r4: count_sum (A5) runs count+sum over the same grouped
+    # shuffle, a strict superset of the driver surface.
+    "count_sum", "count_distinct", "wallet_map",
     "collect_nested", "rollup_agg",
-    # projections / scalar families (P1-P7, §2.8)
-    "regex_extract", "regex_max_page", "string_norm", "string_concat",
+    # projections / scalar families (P1-P7, §2.8) — string_concat moved
+    # out r4 (string_norm + regex_extract + json_extract + date_trunc
+    # keep four scalar-family rows in window).
+    "regex_extract", "regex_max_page", "string_norm",
     "json_extract", "reshape_3col", "parse_html_reports",
     # joins (J1, J3, J4)
     "join_inner", "join_anti", "join_asof",
@@ -77,24 +84,34 @@ PRIORITY = [
     "merge_upsert", "merge_addtoset", "dedup_ttl",
     # label store (flagship)
     "label_consolidate", "label_stats",
-    # text analysis (§2.11)
+    # text analysis + quality + PII (§2.11) — tfidf_topk and pii_scrub
+    # promoted r4 so the LLM-pipeline family gets driver-verified rows.
     "text_tokens", "text_quality", "lang_id", "doc_winnow",
-    # dedup family (§2.11)
-    "dedup_exact", "dedup_minhash", "ngram_jaccard",
-    # embeddings / similarity (§2.11)
-    "similarity_topk", "embedding_centroid", "embedding_neardup",
-    # analytics extensions
-    "histogram_bins",
+    "tfidf_topk", "pii_scrub",
+    # web corpus stats (§2.11, C4-style)
+    "domain_stats",
+    # dedup family + decontamination (§2.11)
+    "dedup_exact", "dedup_minhash", "ngram_jaccard", "contamination_check",
+    # embeddings / similarity (§2.11) — embedding_centroid moved out
+    # r4 (family keeps similarity_topk + embedding_neardup rows).
+    "similarity_topk", "embedding_neardup",
+    # sampling (training-data splits)
+    "sample_stratified",
     # multimodal + UDF surface (§2.10)
     "multimodal_meta", "udf_scalar", "udaf_grouped", "udaf_grouped_agg",
     # ---- driver window boundary (50) ----
-    "region_revenue", "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
+    # Beyond-window keys stay registered and locally oracle-tested;
+    # ordered most-valuable-first in case the driver checks more.
+    "region_revenue", "embedding_centroid", "group_count", "filter_contains",
+    "string_concat", "histogram_bins",
+    "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",
     "cursor_page", "join_range", "grouping_sets_agg", "time_rollup", "cms_user_sketch", "sample_hash", "split_train_val", "profile_stats", "user_components", "corr_stats", "pipeline_e2e", "nested_flatten", "nested_field_stats",
     "paged_source_scan", "multimodal_frames", "window_session",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",
+    "quality_repetition", "quality_unigram_nll",
 ]
 
 
