@@ -64,6 +64,9 @@ HEADLINE = [
     "label_consolidate",
     "doc_winnow",
     "contamination_check",
+    "dedup_paragraph",
+    "dedup_clusters",
+    "shard_pack",
 ]
 
 

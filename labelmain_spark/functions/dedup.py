@@ -383,6 +383,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_W = 20  # words per paragraph block
+
+
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly — the
+    Dolma / RefinedWeb recipe step that strips repeated boilerplate
+    blocks (headers, navboxes, license footers) while keeping the rest
+    of the document. The corpus is single-line synthetic text, so a
+    "paragraph" is a fixed ``PARA_W``-word block — the real-corpus
+    version swaps the splitter for ``split(text, '\\n\\n')`` and the
+    rest of the plan is unchanged.
+
+    Keep rule: a paragraph survives only in its globally FIRST
+    occurrence (min (doc_id, position) over all docs sharing the md5).
+
+    Scale shape: split/slice is a narrow map; then exactly two keyed
+    shuffles — (1) groupBy paragraph-hash with a min(struct) partial
+    agg (the shuffle carries 16-byte digests + winner coordinates, and
+    a boilerplate paragraph repeated 10^9 times collapses map-side to
+    one row per upstream partition, so hash skew is harmless), and
+    (2) regroup by doc_id to reassemble surviving paragraphs in
+    position order. The final per-doc totals join reuses the doc_id
+    layout. No window over the full posting table, no per-row Python.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(toks) + {PARA_W - 1}) div {PARA_W} - 1), "
+                f"i -> array_join(slice(toks, i * {PARA_W} + 1, {PARA_W}), ' '))"
+            )
+        ).alias("pos", "para"),
+    )
+    winners = (
+        paras.groupBy(F.md5("para").alias("h"))
+        .agg(F.min(F.struct("doc_id", "pos", "para")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), F.col("w.para").alias("para"))
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, para))), x -> x.para), ' ')"
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"(size(toks) + {PARA_W - 1}) div {PARA_W}").cast("long").alias("n_para"),
+        )
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_para",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash+LSH pairs → connected
+    components → one canonical doc per cluster (min doc_id). Pairwise
+    near-dup output alone under-deletes: if A~B and B~C, pair-based
+    keep-min retains C. The component closure is how production dedup
+    (Dolma, SlimPajama, RefinedWeb) actually deletes.
+
+    Reuses the banded-LSH pair generator (everything upstream stays
+    bucketed — no all-pairs) and the hash-min label-propagation
+    machinery from functions/graph.py via a pair-node bipartite
+    encoding: each verified pair (a, b) becomes edges
+    (a, "a:b"), (b, "a:b"). Components converge in O(cluster diameter)
+    alternating rounds, each a partial-agg shuffle; near-dup clusters
+    are shallow (diameter ~ a few hops), so the iteration count is
+    small and independent of corpus size.
+
+    Output: every doc that appears in ≥1 verified pair, its cluster id
+    (= min doc_id of the component), the cluster size, and whether
+    this doc is the cluster's canonical survivor."""
+    from labelmain_spark.functions.graph import connected_components
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
+    )
+    cc = connected_components(edges)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("u").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("u") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def _sql_shingles(src: str = "text") -> str:
     return f"""
         list_distinct(CASE WHEN len(string_split({src}, ' ')) >= 3
@@ -410,15 +508,12 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
     "dedup_simhash": dedup_simhash,  # rows-only: bit_count/conv have no exact DuckDB twin
+    "dedup_paragraph": dedup_paragraph,
+    "dedup_clusters": dedup_clusters,
 }
 
-ORACLE = {
-    "dedup_exact": """
-        SELECT sha256(lower(trim(text))) AS h,
-               MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
-        FROM documents GROUP BY sha256(lower(trim(text)))
-    """,
-    "dedup_minhash": f"""
+# Shared by the dedup_minhash oracle and (as a CTE) dedup_clusters'.
+_MINHASH_PAIRS_SQL = f"""
         WITH sh AS (
             SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
         ), e AS (
@@ -445,6 +540,69 @@ ORACLE = {
         JOIN sh y ON y.doc_id = doc_b
         WHERE (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
                     / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
+"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT sha256(lower(trim(text))) AS h,
+               MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_minhash": _MINHASH_PAIRS_SQL,
+    "dedup_paragraph": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), p AS (
+            SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range((len(toks) + {PARA_W - 1}) // {PARA_W}),
+                           i -> {{'pos': i,
+                                 'para': array_to_string(list_slice(
+                                     toks, i * {PARA_W} + 1, i * {PARA_W} + {PARA_W}), ' ')}}
+                       )) AS u
+                FROM d
+            )
+        ), kept AS (
+            SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(para) ORDER BY doc_id, pos
+                       ) AS rn
+                FROM p
+            ) WHERE rn = 1
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(para, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST((len(toks) + {PARA_W - 1}) // {PARA_W} AS BIGINT) AS n_para,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    "dedup_clusters": f"""
+        WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        comp AS (
+            WITH RECURSIVE r(u, comp) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.comp FROM edges e JOIN r ON r.u = e.v
+            )
+            SELECT u, MIN(comp) AS cluster_id FROM r GROUP BY u
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+        )
+        SELECT comp.u AS doc_id, comp.cluster_id, sizes.cluster_size,
+               (comp.u = comp.cluster_id) AS is_canonical
+        FROM comp JOIN sizes USING (cluster_id)
     """,
     "ngram_jaccard": f"""
         WITH d AS (

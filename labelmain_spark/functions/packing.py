@@ -1,0 +1,119 @@
+"""Token-budget shard packing for training-data export (SURVEY §2.11
+north-star adjunct): assign each document a shard so shards hold ~
+``SHARD_TOKENS`` tokens in a deterministic global order — the step that
+turns a filtered corpus into evenly sized training shards (and, with a
+smaller budget, into GPT-style packed context windows).
+
+The semantic core is a GLOBAL exclusive running sum of token counts in
+doc_id order. The naive Spark form —
+``sum(tokens) OVER (ORDER BY doc_id)`` with no PARTITION BY — is the
+canonical accidental scale-killer: Catalyst plans an un-partitioned
+window, which moves EVERY row into one task. (DuckDB on one node can
+stream it; a 1000-executor cluster cannot.)
+
+``exclusive_cumsum`` instead computes the identical values with the
+classic two-level scan, applied recursively:
+
+1. ``part = key div width`` — fixed-width, data-independent key ranges
+   (dense doc_ids make these balanced; retry-stable because the
+   grouping is a pure key expression, unlike ``spark_partition_id``).
+2. Within each part: a PARTITIONED window running sum — parallel.
+3. Part totals (n/width rows) get their own exclusive cumsum: a single
+   small window if they fit one task, else the same construction one
+   level up — log_width(n) levels, so 3 levels cover 10^9 parts.
+4. Per-part offsets join back on the part key; AQE broadcasts the
+   offsets side whenever it fits (n/width rows — it virtually always
+   does), making the join map-side against the already part-keyed rows.
+
+Everything is built-in expressions; the DuckDB oracle is the plain
+global window, proving the decomposition exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from labelmain_spark.sources.readers import load_table
+
+PACK_PART_W = 1024
+SHARD_TOKENS = 4096
+_MAX_LEVELS = 6  # 1024^6 ≈ 10^18 keys — beyond any corpus
+
+
+def exclusive_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out: str,
+    width: int = PACK_PART_W,
+    _level: int = 0,
+) -> DataFrame:
+    """df + column ``out`` = sum of ``val_col`` over all rows with a
+    strictly smaller ``order_col`` (exclusive prefix sum). ``order_col``
+    must be unique non-negative integers; gaps are fine (parts just
+    get fewer rows)."""
+    if _level >= _MAX_LEVELS:
+        raise RuntimeError("exclusive_cumsum: recursion depth exceeded")
+    p, t, o = f"_part{_level}", f"_ptot{_level}", f"_poff{_level}"
+    rows = df.withColumn(p, F.expr(f"{order_col} div {width}"))
+    totals = rows.groupBy(p).agg(F.sum(val_col).alias(t))
+    # One count per level decides whether another level is needed; the
+    # totals table shrinks by `width` per level so this terminates fast.
+    if totals.count() > width:
+        offs = exclusive_cumsum(totals, p, t, o, width, _level + 1)
+    else:
+        w_top = W.orderBy(p).rowsBetween(W.unboundedPreceding, -1)
+        offs = totals.withColumn(o, F.coalesce(F.sum(t).over(w_top), F.lit(0)))
+    w_in = (
+        W.partitionBy(p).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(offs.select(p, o), p)
+        .withColumn(
+            out, F.col(o) + F.coalesce(F.sum(val_col).over(w_in), F.lit(0))
+        )
+        .drop(p, o)
+    )
+
+
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shard assignment: shard = floor(exclusive running
+    token total / SHARD_TOKENS) in doc_id order. A document whose
+    tokens straddle a budget boundary lands in the shard its FIRST
+    token falls in (standard doc-granular packing; token-granular
+    splitting reuses the same offsets with one extra explode)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    packed = exclusive_cumsum(docs, "doc_id", "n_tokens", "start_offset")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.expr(f"start_offset div {SHARD_TOKENS}").cast("long").alias("shard_id"),
+    )
+
+
+QUERIES = {"shard_pack": shard_pack}
+
+ORACLE = {
+    "shard_pack": f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(start_offset AS BIGINT) AS start_offset,
+               CAST(start_offset // {SHARD_TOKENS} AS BIGINT) AS shard_id
+        FROM c
+    """,
+}

@@ -24,11 +24,14 @@ from labelmain_spark.sources.readers import load_table
 HASH_MOD = 10_000  # basis points of the keyspace
 
 
-def _hash_bp_expr(key_col: str, engine: str) -> str:
+def _hash_bp_expr(key_col: str, engine: str, salt: str = "smp:") -> str:
     """Key → [0, HASH_MOD) via the first 4 hex digits of md5 — the same
-    engine-portable construction as sketch._bucket_expr."""
+    engine-portable construction as sketch._bucket_expr. Distinct
+    ``salt``s give independent hash draws (sampling vs mixing must not
+    correlate: a doc dropped by the sampler must not be systematically
+    dropped by the mixer too)."""
     cast = "CAST({c} AS STRING)" if engine == "spark" else "CAST({c} AS VARCHAR)"
-    m = f"md5(concat('smp:', {cast.format(c=key_col)}))"
+    m = f"md5(concat('{salt}', {cast.format(c=key_col)}))"
     digit = "(instr('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
     val = " + ".join(
         f"{digit.format(m=m, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
@@ -100,10 +103,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", "doc_id", STRATUM_N)
 
 
+MIX_STEPS = 4  # per-source rates in quarter steps: 25/50/75/100%
+
+
+def _mix_rate_bp(engine: str) -> str:
+    """Per-source target rate in basis points, derived deterministically
+    from the source id's numeric suffix (srcN → ((N mod 4)+1)·2500).
+    A real pipeline joins a curated weights table instead; the derived
+    rate keeps the oracle self-contained."""
+    num = (
+        "CAST(substring(source, 4, 8) AS INT)"
+        if engine == "spark"
+        else "CAST(substr(source, 4) AS INTEGER)"
+    )
+    return f"((({num}) % {MIX_STEPS}) + 1) * {HASH_MOD // MIX_STEPS}"
+
+
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing — the Pile/RedPajama step that up/down-
+    weights each source to its target share via deterministic hash
+    sampling at a per-source rate. Output is the per-source audit
+    (target rate, total, kept) proving each source lands within its
+    quota; the kept rows themselves are the same filter un-aggregated.
+
+    Scale: a narrow map-side predicate (hash + rate expression) and one
+    algebraic rollup keyed by source — no shuffle before the filter, so
+    at 100 TB the drop happens at scan time, upstream of everything."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rate = F.expr(_mix_rate_bp("spark"))
+    h = F.expr(_hash_bp_expr("doc_id", "spark", salt="mix:"))
+    return (
+        docs.select(
+            "source",
+            rate.cast("int").alias("rate_bp"),
+            F.when(h < rate, 1).otherwise(0).alias("k"),
+        )
+        .groupBy("source", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("k").cast("long").alias("n_kept"),
+        )
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
     "split_train_val": split_train_val,
     "sample_stratified": sample_stratified,
+    "mix_sources": mix_sources,
 }
 
 ORACLE = {
@@ -126,5 +173,14 @@ ORACLE = {
                    ) AS rn
             FROM documents
         ) WHERE rn <= {STRATUM_N}
+    """,
+    "mix_sources": f"""
+        SELECT source,
+               CAST({_mix_rate_bp("duck")} AS INTEGER) AS rate_bp,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN {_hash_bp_expr("doc_id", "duck", salt="mix:")}
+                             < {_mix_rate_bp("duck")} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents
+        GROUP BY source, {_mix_rate_bp("duck")}
     """,
 }

@@ -39,6 +39,7 @@ _MODULES = [
     "labelmain_spark.functions.vectors",
     "labelmain_spark.functions.sketch",
     "labelmain_spark.functions.sampling",
+    "labelmain_spark.functions.packing",
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.graph",
@@ -112,6 +113,7 @@ PRIORITY = [
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",
     "quality_repetition", "quality_unigram_nll",
+    "dedup_paragraph", "dedup_clusters", "shard_pack", "mix_sources",
 ]
 
 

@@ -1,0 +1,76 @@
+"""exclusive_cumsum / shard_pack: multi-level recursion correctness and
+the no-global-window plan shape."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from labelmain_spark.functions.packing import exclusive_cumsum, shard_pack
+from labelmain_spark.plans import checks
+
+
+def test_cumsum_multilevel_matches_serial(spark):
+    """width=8 over 1000 keys forces 3 recursion levels
+    (1000 → 125 → 16 → 2 parts); values must equal the serial prefix
+    sum. Keys have gaps (id*3) to prove only ORDER matters."""
+    n = 1000
+    rows = [(i * 3, (i % 7) + 1) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.off
+        for r in exclusive_cumsum(df, "k", "v", "off", width=8).collect()
+    }
+    acc = 0
+    for k, v in rows:  # rows are already in key order
+        assert got[k] == acc, f"key {k}: got {got[k]}, want {acc}"
+        acc += v
+    assert len(got) == n
+
+
+def test_cumsum_single_level(spark):
+    """Under `width` keys: one partitioned pass + one tiny top window."""
+    df = spark.createDataFrame([(i, 1) for i in range(50)], "k long, v long")
+    got = dict(
+        exclusive_cumsum(df, "k", "v", "off", width=1024)
+        .select("k", "off")
+        .collect()
+    )
+    assert got == {i: i for i in range(50)}
+
+
+def test_shard_pack_no_global_window(spark, sf_dir):
+    """The scale pin: every Window over the full row set must be
+    PARTITIONED (keyed by the part column). An un-partitioned window
+    whose ordering is doc_id would be the single-task global scan this
+    operator exists to avoid — only the parts-level rollup (≤ width
+    rows) may run unpartitioned."""
+    plan = checks.physical_plan(shard_pack(spark, sf_dir))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = [a.strip() for a in spec.split(",")]
+        # windowspecdefinition(part..., order... ASC NULLS FIRST, frame)
+        # vs windowspecdefinition(order... ASC NULLS FIRST, frame):
+        # partitioned specs carry a bare column before the sort keys.
+        if args and "ASC" in args[0]:
+            assert "doc_id" not in args[0], (
+                f"un-partitioned window ordered by doc_id (global scan): {spec}"
+            )
+
+
+def test_shard_pack_boundaries(spark, sf_dir):
+    """Shard ids are dense from 0 and every shard's docs start below
+    the next budget boundary (doc-granular packing invariant)."""
+    from labelmain_spark.functions.packing import SHARD_TOKENS
+
+    rows = shard_pack(spark, sf_dir).collect()
+    shards = sorted({r.shard_id for r in rows})
+    assert shards[0] == 0
+    for r in rows:
+        assert r.shard_id == r.start_offset // SHARD_TOKENS
+    # offsets reconstruct the serial cumsum exactly
+    ordered = sorted(rows, key=lambda r: r.doc_id)
+    acc = 0
+    for r in ordered:
+        assert r.start_offset == acc
+        acc += r.n_tokens
