@@ -40,6 +40,7 @@ _MODULES = [
     "labelmain_spark.functions.sketch",
     "labelmain_spark.functions.sampling",
     "labelmain_spark.functions.packing",
+    "labelmain_spark.functions.quality_model",
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.graph",

@@ -1,0 +1,40 @@
+"""Shard export sink: layout, round-trip, and partition pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from labelmain_spark.functions.packing import shard_pack
+from labelmain_spark.plans import checks
+from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.writers import export_packed_corpus, read_shard
+
+
+def test_export_round_trip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    export_packed_corpus(spark, sf_dir, out)
+
+    # one directory per shard, hive-style
+    shards = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("shard_id=")
+    )
+    expected = sorted(
+        r.shard_id for r in shard_pack(spark, sf_dir).select("shard_id").distinct().collect()
+    )
+    assert shards == expected
+
+    # round-trip: no docs lost or duplicated, text survives byte-exact
+    src = load_table(spark, sf_dir, "documents")
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    joined = back.select("doc_id", F.col("text").alias("t2")).join(src, "doc_id")
+    assert joined.filter(F.col("t2") != F.col("text")).count() == 0
+
+    # reading one shard must PRUNE partitions, not post-filter
+    one = read_shard(spark, out, shards[0])
+    checks.assert_partition_filter(one, "shard_id")
+    assert one.count() > 0
