@@ -55,8 +55,19 @@ def exclusive_cumsum(
     get fewer rows)."""
     if _level >= _MAX_LEVELS:
         raise RuntimeError("exclusive_cumsum: recursion depth exceeded")
+    from pyspark import StorageLevel
+
     p, t, o = f"_part{_level}", f"_ptot{_level}", f"_poff{_level}"
-    rows = df.withColumn(p, F.expr(f"{order_col} div {width}"))
+    # Persist the part-keyed rows: both the totals aggregation and the
+    # final offsets join consume them, and without the barrier Catalyst
+    # re-executes the upstream scan per branch — at 100 TB that is a
+    # second full pass over the corpus to recount tokens. Callers pass
+    # a NARROW projection (key + value), so the cached footprint is
+    # ~16 bytes/row. The level-decision count below doubles as the
+    # cache prime.
+    rows = df.withColumn(p, F.expr(f"{order_col} div {width}")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     totals = rows.groupBy(p).agg(F.sum(val_col).alias(t))
     # One count per level decides whether another level is needed; the
     # totals table shrinks by `width` per level so this terminates fast.
