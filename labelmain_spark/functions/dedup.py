@@ -384,6 +384,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARA_W = 20  # words per paragraph block
+BOILER_DF = 3  # boilerplate_strip: drop paragraphs appearing in > BOILER_DF docs
+
+
+def _exploded_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, para) — every fixed-width word-block paragraph.
+    Persisted: dedup_paragraph and boilerplate_strip are diamonds
+    (per-paragraph keying AND per-doc totals both consume this table),
+    and without the barrier each branch re-scans the corpus text. Same
+    persist-the-shared-explode pattern (and justification) as
+    ``_exploded_shingles``."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(toks) + {PARA_W - 1}) div {PARA_W} - 1), "
+                f"i -> array_join(slice(toks, i * {PARA_W} + 1, {PARA_W}), ' '))"
+            )
+        ).alias("pos", "para"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    paras.count()  # prime before the diamond branches race the cache
+    return paras
 
 
 def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,18 +433,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     position order. The final per-doc totals join reuses the doc_id
     layout. No window over the full posting table, no per-row Python.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    paras = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, (size(toks) + {PARA_W - 1}) div {PARA_W} - 1), "
-                f"i -> array_join(slice(toks, i * {PARA_W} + 1, {PARA_W}), ' '))"
-            )
-        ).alias("pos", "para"),
-    )
+    paras = _exploded_paragraphs(spark, sf_dir)
     winners = (
         paras.groupBy(F.md5("para").alias("h"))
         .agg(F.min(F.struct("doc_id", "pos", "para")).alias("w"))
@@ -430,18 +445,47 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(array_sort(collect_list(struct(pos, para))), x -> x.para), ' ')"
         ).alias("clean_text"),
     )
-    return (
-        docs.select(
-            "doc_id",
-            F.expr(f"(size(toks) + {PARA_W - 1}) div {PARA_W}").cast("long").alias("n_para"),
-        )
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_para",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_para"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_para",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: drop every paragraph that occurs
+    in more than ``BOILER_DF`` distinct documents (nav bars, cookie
+    banners, license footers — frequency, not position, identifies
+    them), keep everything else IN PLACE, and reassemble.
+
+    Unlike dedup_paragraph (first occurrence survives), a boilerplate
+    paragraph is deleted EVERYWHERE — the C4/RefinedWeb rule. Shape:
+    one distinct-count agg keyed by paragraph hash (partial-agg safe on
+    hot keys), a LEFT ANTI join of the postings against the tiny hot
+    set (bounded by corpus shape, not size — same argument as
+    _pruned_index), and the per-doc reassembly regroup."""
+    paras = _exploded_paragraphs(spark, sf_dir)
+    hot = (
+        paras.groupBy(F.md5("para").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > BOILER_DF)
+        .select("h")
+    )
+    kept = paras.withColumn("h", F.md5("para")).join(hot, "h", "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, para))), x -> x.para), ' ')"
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_para"))
+    return totals.join(out, "doc_id", "left").select(
+        "doc_id",
+        "n_para",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
@@ -509,8 +553,26 @@ QUERIES = {
     "ngram_jaccard": ngram_jaccard,
     "dedup_simhash": dedup_simhash,  # rows-only: bit_count/conv have no exact DuckDB twin
     "dedup_paragraph": dedup_paragraph,
+    "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
 }
+
+# Shared paragraph explode for dedup_paragraph / boilerplate_strip.
+_SQL_PARAS = f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), p AS (
+            SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range((len(toks) + {PARA_W - 1}) // {PARA_W}),
+                           i -> {{'pos': i,
+                                 'para': array_to_string(list_slice(
+                                     toks, i * {PARA_W} + 1, i * {PARA_W} + {PARA_W}), ' ')}}
+                       )) AS u
+                FROM d
+            )
+        )"""
 
 # Shared by the dedup_minhash oracle and (as a CTE) dedup_clusters'.
 _MINHASH_PAIRS_SQL = f"""
@@ -550,20 +612,7 @@ ORACLE = {
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
     "dedup_paragraph": f"""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ), p AS (
-            SELECT doc_id, u.pos AS pos, u.para AS para FROM (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           range((len(toks) + {PARA_W - 1}) // {PARA_W}),
-                           i -> {{'pos': i,
-                                 'para': array_to_string(list_slice(
-                                     toks, i * {PARA_W} + 1, i * {PARA_W} + {PARA_W}), ' ')}}
-                       )) AS u
-                FROM d
-            )
-        ), kept AS (
+        {_SQL_PARAS}, kept AS (
             SELECT doc_id, pos, para FROM (
                 SELECT doc_id, pos, para,
                        ROW_NUMBER() OVER (
@@ -575,12 +624,34 @@ ORACLE = {
             SELECT doc_id, COUNT(*) AS n_kept,
                    string_agg(para, ' ' ORDER BY pos) AS clean_text
             FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_para FROM p GROUP BY doc_id
         )
-        SELECT d.doc_id,
-               CAST((len(toks) + {PARA_W - 1}) // {PARA_W} AS BIGINT) AS n_para,
+        SELECT totals.doc_id,
+               CAST(totals.n_para AS BIGINT) AS n_para,
                CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
                COALESCE(a.clean_text, '') AS clean_text
-        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        FROM totals LEFT JOIN agg a ON a.doc_id = totals.doc_id
+    """,
+    "boilerplate_strip": f"""
+        {_SQL_PARAS}, hot AS (
+            SELECT md5(para) AS h FROM p
+            GROUP BY md5(para) HAVING COUNT(DISTINCT doc_id) > {BOILER_DF}
+        ), kept AS (
+            SELECT doc_id, pos, para FROM p
+            WHERE md5(para) NOT IN (SELECT h FROM hot)
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(para, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_para FROM p GROUP BY doc_id
+        )
+        SELECT totals.doc_id,
+               CAST(totals.n_para AS BIGINT) AS n_para,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM totals LEFT JOIN agg a ON a.doc_id = totals.doc_id
     """,
     "dedup_clusters": f"""
         WITH pairs AS ({_MINHASH_PAIRS_SQL}),

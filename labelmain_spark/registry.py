@@ -114,7 +114,7 @@ PRIORITY = [
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",
     "quality_repetition", "quality_unigram_nll",
-    "dedup_paragraph", "dedup_clusters", "shard_pack", "mix_sources",
+    "dedup_paragraph", "boilerplate_strip", "dedup_clusters", "shard_pack", "mix_sources",
 ]
 
 
