@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_paragraph",
     "dedup_clusters",
     "shard_pack",
+    "corpus_pipeline",
 ]
 
 

@@ -115,6 +115,7 @@ PRIORITY = [
     "set_union", "set_except", "set_intersect",
     "quality_repetition", "quality_unigram_nll",
     "dedup_paragraph", "boilerplate_strip", "dedup_clusters", "shard_pack", "mix_sources",
+    "corpus_pipeline", "quality_model_score",
 ]
 
 
