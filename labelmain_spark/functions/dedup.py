@@ -467,6 +467,23 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (bounded by corpus shape, not size — same argument as
     _pruned_index), and the per-doc reassembly regroup."""
     paras = _exploded_paragraphs(spark, sf_dir)
+    out = boiler_cleaned(paras)
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_para"))
+    return totals.join(out, "doc_id", "left").select(
+        "doc_id",
+        "n_para",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def boiler_cleaned(paras: DataFrame) -> DataFrame:
+    """The boilerplate-strip core: (doc_id, n_kept, clean_text) for
+    docs with ≥1 surviving paragraph. ``boilerplate_strip`` adds the
+    per-doc totals + fully-stripped docs for the audit view;
+    pipeline consumers (corpus_pipeline) take this lean form — the
+    totals branch would be a second full aggregation over the postings
+    purely to report rows the next stage filters out."""
     hot = (
         paras.groupBy(F.md5("para").alias("h"))
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -474,18 +491,11 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     kept = paras.withColumn("h", F.md5("para")).join(hot, "h", "left_anti")
-    out = kept.groupBy("doc_id").agg(
+    return kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(pos, para))), x -> x.para), ' ')"
         ).alias("clean_text"),
-    )
-    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_para"))
-    return totals.join(out, "doc_id", "left").select(
-        "doc_id",
-        "n_para",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 

@@ -87,11 +87,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, digest/«few longs») rows — after stage 1, document text
     appears only in the per-doc reassembled column, never in a join
     payload."""
-    from labelmain_spark.functions.dedup import boilerplate_strip
+    from labelmain_spark.functions.dedup import _exploded_paragraphs, boiler_cleaned
     from labelmain_spark.functions.packing import SHARD_TOKENS, exclusive_cumsum
     from labelmain_spark.functions.sampling import _mix_rate_bp
 
-    cleaned = boilerplate_strip(spark, sf_dir).filter(F.col("n_kept") > 0)
+    cleaned = boiler_cleaned(_exploded_paragraphs(spark, sf_dir))
     w = W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
     survivors = (
         cleaned.withColumn("rn", F.row_number().over(w))
