@@ -44,6 +44,7 @@ _MODULES = [
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.graph",
+    "labelmain_spark.streaming.joins",
     "labelmain_spark.pipeline",
     "labelmain_spark.functions.udfs",
     "labelmain_spark.multimodal.columns",
@@ -115,7 +116,7 @@ PRIORITY = [
     "set_union", "set_except", "set_intersect",
     "quality_repetition", "quality_unigram_nll",
     "dedup_paragraph", "boilerplate_strip", "dedup_clusters", "shard_pack", "mix_sources",
-    "corpus_pipeline", "quality_model_score",
+    "corpus_pipeline", "quality_model_score", "attribution_join",
 ]
 
 

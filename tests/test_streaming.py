@@ -133,6 +133,36 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         assert want[k] == v, f"{k}: stream {v} != batch {want[k]}"
 
 
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (clicks × purchases) must agree with
+    the batch attribution_join — and the join must be stateful-bounded
+    (watermark + range condition), which Spark enforces at analysis
+    time for append-mode stream-stream joins."""
+    from labelmain_spark.streaming.joins import (
+        _split,
+        attribution_join,
+        stream_attribution,
+    )
+
+    clicks, purchases = _split(inc.stream_events(spark, sf_dir))
+    out = stream_attribution(clicks, purchases)
+    _run_to_memory(out, "stream_attr")
+    got = {
+        (r.click_id, r.purchase_ts): (r.user_id, r.click_ts, r.purchase_value)
+        for r in spark.sql("SELECT * FROM stream_attr").collect()
+    }
+    want = {
+        (r.click_id, r.purchase_ts): (r.user_id, r.click_ts, r.purchase_value)
+        for r in attribution_join(spark, sf_dir).collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, f"{k}: stream {v} != batch {want[k]}"
+    # single-file availableNow run: watermark never advances past the
+    # data, so the emitted set must be the COMPLETE batch result
+    assert len(got) == len(want)
+
+
 def test_stream_session_window_matches_batch(spark, sf_dir):
     """Streaming session windows (stateful, watermark-evicted) must
     agree with the batch window_session on every session the watermark
