@@ -257,3 +257,47 @@ def test_profile_single_scan(spark, sf_dir):
 
     plan = profile_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_paragraph_ops_share_one_explode(spark, sf_dir):
+    """dedup_paragraph and boilerplate_strip are diamonds over the one
+    persisted paragraph explode: every branch (winner/hot-set agg,
+    reassembly, totals) must read InMemoryTableScan, and the corpus
+    text is scanned ONCE (at cache prime), not once per branch."""
+    from labelmain_spark.functions.dedup import boilerplate_strip, dedup_paragraph
+
+    for fn, branches in ((dedup_paragraph, 2), (boilerplate_strip, 3)):
+        spark.catalog.clearCache()
+        df = fn(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # all consumers sit on the cache; the only FileScan lines are
+        # the InMemoryRelation's recipe, not executed branches
+        assert plan.count("InMemoryTableScan") >= branches, (fn.__name__, plan)
+        spark.catalog.clearCache()
+
+
+def test_corpus_pipeline_bounded_jobs_and_no_cartesian(spark, sf_dir):
+    """The composed pipeline stays a small fixed number of driver
+    actions (paragraph-cache prime + cumsum level decision + the main
+    action, plus AQE stage jobs) and must never degenerate into a
+    cartesian product or an un-partitioned full-row window."""
+    import re
+
+    from labelmain_spark.pipeline import corpus_pipeline
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    sc.setJobGroup("corpus_pipeline_jobs", "plan pin")
+    df = corpus_pipeline(spark, sf_dir)
+    df.count()
+    sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("corpus_pipeline_jobs"))
+    assert n_jobs <= 24, f"corpus_pipeline ran {n_jobs} Spark jobs (measured 19)"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = [a.strip() for a in spec.split(",")]
+        if args and "ASC" in args[0]:
+            assert "doc_id" not in args[0], f"global window over rows: {spec}"
+    spark.catalog.clearCache()

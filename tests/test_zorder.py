@@ -29,8 +29,11 @@ def test_zorder_key_bits(spark):
     assert [r.z for r in rows] == [0, 1, 2, 0b100111]
 
 
-def _files_overlapping_box(path: str, lo: int, hi: int) -> tuple[int, int]:
-    """(#files whose x-range AND y-range overlap [lo,hi]², total)."""
+def _files_overlapping(
+    path: str, x: tuple[int, int], y: tuple[int, int]
+) -> tuple[int, int]:
+    """(#files whose x-range AND y-range overlap the given ranges,
+    total files) — from real parquet footer statistics."""
     hits, total = 0, 0
     for f in glob.glob(f"{path}/*.parquet"):
         md = pq.read_metadata(f)
@@ -45,16 +48,21 @@ def _files_overlapping_box(path: str, lo: int, hi: int) -> tuple[int, int]:
                     maxs[name].append(col.statistics.max)
         total += 1
         if (
-            min(mins["x"]) <= hi
-            and max(maxs["x"]) >= lo
-            and min(mins["y"]) <= hi
-            and max(maxs["y"]) >= lo
+            min(mins["x"]) <= x[1]
+            and max(maxs["x"]) >= x[0]
+            and min(mins["y"]) <= y[1]
+            and max(maxs["y"]) >= y[0]
         ):
             hits += 1
     return hits, total
 
 
-def test_zorder_prunes_box_filters(spark, tmp_path):
+def test_zorder_prunes_second_column(spark, tmp_path):
+    """The property z-order exists for: a selective filter on the
+    SECOND column prunes files. A layout sorted linearly by x cannot
+    prune on y at all (every file spans the full y range); the
+    z-ordered layout clusters both, so a y-strip overlaps only the
+    files tiling that strip."""
     grid = _grid(spark)
     zkey = zorder_key(
         bucketize(F.col("x"), 0, SIDE - 1), bucketize(F.col("y"), 0, SIDE - 1)
@@ -66,15 +74,18 @@ def test_zorder_prunes_box_filters(spark, tmp_path):
         "overwrite"
     ).parquet(lpath)
 
-    # 16×16 box in one corner = 1/64 of the grid
-    z_hit, z_tot = _files_overlapping_box(zpath, 0, 15)
-    l_hit, l_tot = _files_overlapping_box(lpath, 0, 15)
+    full = (0, SIDE - 1)
+    strip = (0, 15)  # 1/8 of the y range
+    z_hit, z_tot = _files_overlapping(zpath, full, strip)
+    l_hit, l_tot = _files_overlapping(lpath, full, strip)
     assert z_tot >= 8 and l_tot >= 8
-    # z-order: the box lives in one curve corner — a small fraction of
-    # files; linear: every x-file spans all y, so the y-range never
-    # prunes and only the x-range does.
-    assert z_hit < l_hit, f"zorder {z_hit}/{z_tot} vs linear {l_hit}/{l_tot}"
-    assert z_hit <= z_tot // 4
+    assert l_hit == l_tot, "x-sorted files should all span the y strip"
+    assert z_hit <= z_tot // 2, f"zorder y-strip hit {z_hit}/{z_tot} files"
+
+    # and a box on BOTH columns still prunes at least as well as linear
+    zb, _ = _files_overlapping(zpath, strip, strip)
+    lb, _ = _files_overlapping(lpath, strip, strip)
+    assert zb <= max(lb, z_tot // 4), f"box: zorder {zb} vs linear {lb}"
 
     # layout change must not change data
     assert spark.read.parquet(zpath).count() == N
