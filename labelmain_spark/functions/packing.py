@@ -38,7 +38,13 @@ from labelmain_spark.sources.readers import load_table
 
 PACK_PART_W = 1024
 SHARD_TOKENS = 4096
-_MAX_LEVELS = 6  # 1024^6 ≈ 10^18 keys — beyond any corpus
+# Hard safety net only: the adaptive bucketing below divides the ROW
+# COUNT by `width` every level (not just the key range), so real depth
+# is ceil(log_width(n)) — 4 levels covers 10^12 rows at width 1024.
+# (A fixed `key div width` scheme recursed once per RANGE halving: on
+# sparse keys hypothesis drove it 17+ levels deep and the nested plan
+# OOMed the driver during optimization.)
+_MAX_LEVELS = 64
 
 
 def exclusive_cumsum(
@@ -57,25 +63,35 @@ def exclusive_cumsum(
         raise RuntimeError("exclusive_cumsum: recursion depth exceeded")
     from pyspark import StorageLevel
 
-    p, t, o = f"_part{_level}", f"_ptot{_level}", f"_poff{_level}"
-    # Persist the part-keyed rows: both the totals aggregation and the
-    # final offsets join consume them, and without the barrier Catalyst
-    # re-executes the upstream scan per branch — at 100 TB that is a
-    # second full pass over the corpus to recount tokens. Callers pass
-    # a NARROW projection (key + value), so the cached footprint is
-    # ~16 bytes/row. The level-decision count below doubles as the
+    # Persist the keyed rows: the level stats, the totals aggregation
+    # and the final offsets join all consume them, and without the
+    # barrier Catalyst re-executes the upstream scan per branch — at
+    # 100 TB that is a second full pass over the corpus to recount
+    # tokens. Callers pass a NARROW projection (key + value), so the
+    # cached footprint is ~16 bytes/row. The stats row doubles as the
     # cache prime.
-    rows = df.withColumn(p, F.expr(f"{order_col} div {width}")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    mn, mx, cnt = df.agg(
+        F.min(order_col), F.max(order_col), F.count(F.lit(1))
+    ).first()
+    if cnt <= width:
+        # Fits one task by the width contract — the single-partition
+        # window here is over ≤ width rows, never the full input.
+        w_top = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+        return df.withColumn(
+            out, F.coalesce(F.sum(val_col).over(w_top), F.lit(0))
+        )
+    # Bucket the KEY RANGE into ~cnt/width parts so the part count —
+    # not merely the key range — shrinks by `width` per level. Buckets
+    # are pure key arithmetic (retry/partitioning-stable); per-part row
+    # counts track width for near-uniform keys (dense ids) and degrade
+    # only to range-partitioning imbalance on clustered keys.
+    p, t, o = f"_part{_level}", f"_ptot{_level}", f"_poff{_level}"
+    n_parts = -(-cnt // width)
+    divisor = max(1, -(-(mx - mn + 1) // n_parts))
+    rows = df.withColumn(p, F.expr(f"({order_col} - {mn}) div {divisor}"))
     totals = rows.groupBy(p).agg(F.sum(val_col).alias(t))
-    # One count per level decides whether another level is needed; the
-    # totals table shrinks by `width` per level so this terminates fast.
-    if totals.count() > width:
-        offs = exclusive_cumsum(totals, p, t, o, width, _level + 1)
-    else:
-        w_top = W.orderBy(p).rowsBetween(W.unboundedPreceding, -1)
-        offs = totals.withColumn(o, F.coalesce(F.sum(t).over(w_top), F.lit(0)))
+    offs = exclusive_cumsum(totals, p, t, o, width, _level + 1)
     w_in = (
         W.partitionBy(p).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     )

@@ -63,3 +63,51 @@ def read_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
     """Read ONE shard with partition pruning (the filter prunes
     directories — asserted in tests, not just row-filtered)."""
     return spark.read.parquet(path).filter(F.col("shard_id") == shard_id)
+
+
+def publish_corpus(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Atomic versioned publish of the packed corpus — the batch twin
+    of the streaming sink's commit protocol (streaming/incremental.py
+    ``run_upsert_sink``): write the FULL new corpus under
+    ``root/v<n+1>/``, then atomically swap the ``CURRENT`` pointer.
+    Readers resolving through CURRENT see the old corpus until the
+    instant of the swap and the new one after — never a torn mix. A
+    crash mid-write leaves an orphan ``v`` dir and CURRENT untouched;
+    the next publish overwrites it. The previous version is kept (one-
+    step time travel / rollback), older ones pruned.
+
+    At object-store scale the pointer file becomes a manifest commit
+    (Delta/Iceberg); the layout here is the same contract on a
+    filesystem. Returns the published version string."""
+    import os
+    import shutil
+    import tempfile
+
+    cur_file = os.path.join(root, "CURRENT")
+    if os.path.isfile(cur_file):
+        with open(cur_file) as f:
+            prev = f.read().strip()
+        nxt = f"v{int(prev[1:]) + 1}"
+    else:
+        os.makedirs(root, exist_ok=True)
+        prev, nxt = None, "v0"
+    export_packed_corpus(spark, sf_dir, os.path.join(root, nxt))
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="_current_")
+    with os.fdopen(fd, "w") as f:
+        f.write(nxt)
+    os.replace(tmp, cur_file)  # the commit
+    for d in os.listdir(root):
+        if d.startswith("v") and d not in (nxt, prev):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    return nxt
+
+
+def read_published(spark: SparkSession, root: str, version: str | None = None) -> DataFrame:
+    """Read the published corpus: CURRENT by default, or a pinned
+    version (the retained previous one) for rollback/repro reads."""
+    import os
+
+    if version is None:
+        with open(os.path.join(root, "CURRENT")) as f:
+            version = f.read().strip()
+    return spark.read.parquet(os.path.join(root, version))

@@ -75,7 +75,34 @@ def stream_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"attribution_join": attribution_join}
+def attribution_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER form: every click, attributed or
+    not (purchase columns null when no purchase followed in-window) —
+    the funnel-conversion denominator."""
+    clicks, purchases = _split(load_table(spark, sf_dir, "events"))
+    return (
+        clicks.join(purchases, _attr_cond(), "left_outer")
+        .select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+    )
+
+
+def stream_attribution_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Streaming LEFT OUTER stream-stream join: unmatched clicks emit
+    with nulls — but only once the watermark proves no matching
+    purchase can still arrive, so null rows trail by the watermark
+    delay (the outer-join lateness contract; state bounds identical to
+    the inner form)."""
+    c = clicks.withWatermark("click_ts", ATTR_WM)
+    p = purchases.withWatermark("purchase_ts", ATTR_WM)
+    return c.join(p, _attr_cond(), "leftOuter").select(
+        "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+QUERIES = {
+    "attribution_join": attribution_join,
+    "attribution_join_outer": attribution_join_outer,
+}
 
 ORACLE = {
     "attribution_join": """
@@ -91,5 +118,17 @@ ORACLE = {
          AND p.ts <= c.ts + INTERVAL 1 HOUR
         WHERE c.event_type = 'click'
           AND p.event_type = 'purchase'
+    """,
+    "attribution_join_outer": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
     """,
 }

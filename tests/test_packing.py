@@ -40,22 +40,28 @@ def test_cumsum_single_level(spark):
     assert got == {i: i for i in range(50)}
 
 
-def test_shard_pack_no_global_window(spark, sf_dir):
-    """The scale pin: every Window over the full row set must be
-    PARTITIONED (keyed by the part column). An un-partitioned window
-    whose ordering is doc_id would be the single-task global scan this
-    operator exists to avoid — only the parts-level rollup (≤ width
-    rows) may run unpartitioned."""
-    plan = checks.physical_plan(shard_pack(spark, sf_dir))
+def test_cumsum_no_global_window_above_width(spark):
+    """The scale pin: when the input exceeds `width`, every Window over
+    the row set must be PARTITIONED (keyed by the part column) — an
+    un-partitioned window ordered by the key would be the single-task
+    global scan this operator exists to avoid. Un-partitioned windows
+    are allowed ONLY over the ≤-width parts rollups (their order column
+    is a _part-level key)."""
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = exclusive_cumsum(df, "k", "v", "off", width=64)
+    plan = checks.physical_plan(out)
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         args = [a.strip() for a in spec.split(",")]
         # windowspecdefinition(part..., order... ASC NULLS FIRST, frame)
         # vs windowspecdefinition(order... ASC NULLS FIRST, frame):
         # partitioned specs carry a bare column before the sort keys.
         if args and "ASC" in args[0]:
-            assert "doc_id" not in args[0], (
-                f"un-partitioned window ordered by doc_id (global scan): {spec}"
+            assert "_part" in args[0], (
+                f"un-partitioned window over the raw key (global scan): {spec}"
             )
+    spark.catalog.clearCache()
 
 
 def test_shard_pack_boundaries(spark, sf_dir):

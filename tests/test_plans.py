@@ -279,11 +279,12 @@ def test_paragraph_ops_share_one_explode(spark, sf_dir):
 
 def test_corpus_pipeline_bounded_jobs_and_no_cartesian(spark, sf_dir):
     """The composed pipeline stays a small fixed number of driver
-    actions (paragraph-cache prime + cumsum level decision + the main
+    actions (paragraph-cache prime + cumsum level stats + the main
     action, plus AQE stage jobs) and must never degenerate into a
-    cartesian product or an un-partitioned full-row window."""
-    import re
-
+    cartesian product. (The no-global-window property of the cumsum is
+    pinned structurally in tests/test_packing.py on an above-width
+    input; at this fixture's row count the ≤-width base case legally
+    uses one small window.)"""
     from labelmain_spark.pipeline import corpus_pipeline
 
     spark.catalog.clearCache()
@@ -296,8 +297,4 @@ def test_corpus_pipeline_bounded_jobs_and_no_cartesian(spark, sf_dir):
     assert n_jobs <= 24, f"corpus_pipeline ran {n_jobs} Spark jobs (measured 19)"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan, plan
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
-        args = [a.strip() for a in spec.split(",")]
-        if args and "ASC" in args[0]:
-            assert "doc_id" not in args[0], f"global window over rows: {spec}"
     spark.catalog.clearCache()

@@ -163,6 +163,47 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     assert len(got) == len(want)
 
 
+def test_stream_stream_outer_attribution(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched rows must equal the batch
+    inner results; null (unmatched) rows may only emit once the
+    watermark proves no match can arrive, so the emitted null set must
+    be a subset of the batch outer nulls, and must be COMPLETE for
+    clicks safely older than the final watermark."""
+    import datetime
+
+    from labelmain_spark.streaming.joins import (
+        _split,
+        attribution_join_outer,
+        stream_attribution_outer,
+    )
+
+    clicks, purchases = _split(inc.stream_events(spark, sf_dir))
+    out = stream_attribution_outer(clicks, purchases)
+    _run_to_memory(out, "stream_attr_outer")
+    got = {
+        (r.click_id, r.purchase_ts)
+        for r in spark.sql("SELECT * FROM stream_attr_outer").collect()
+    }
+    want_rows = attribution_join_outer(spark, sf_dir).collect()
+    want = {(r.click_id, r.purchase_ts) for r in want_rows}
+    assert got, "outer join emitted nothing"
+    assert got <= want, f"rows not in batch result: {list(got - want)[:5]}"
+    # matched (non-null) results must ALL be there
+    want_matched = {k for k in want if k[1] is not None}
+    assert {k for k in got if k[1] is not None} == want_matched
+    # null rows for clicks comfortably past the watermark must emit
+    max_ts = max(r.click_ts for r in want_rows)
+    safe = max_ts - datetime.timedelta(hours=4)  # window 1h + watermark 2h + slack
+    want_null_safe = {
+        (r.click_id, None)
+        for r in want_rows
+        if r.purchase_ts is None and r.click_ts < safe
+    }
+    got_null = {k for k in got if k[1] is None}
+    missing = want_null_safe - got_null
+    assert not missing, f"closed-watermark nulls missing: {list(missing)[:5]}"
+
+
 def test_stream_session_window_matches_batch(spark, sf_dir):
     """Streaming session windows (stateful, watermark-evicted) must
     agree with the batch window_session on every session the watermark

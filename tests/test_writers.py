@@ -38,3 +38,32 @@ def test_export_round_trip_and_pruning(spark, sf_dir, tmp_path):
     one = read_shard(spark, out, shards[0])
     checks.assert_partition_filter(one, "shard_id")
     assert one.count() > 0
+
+
+def test_publish_corpus_atomic_versioning(spark, sf_dir, tmp_path):
+    from labelmain_spark.sources.writers import publish_corpus, read_published
+
+    root = str(tmp_path / "published")
+    v0 = publish_corpus(spark, sf_dir, root)
+    assert v0 == "v0"
+    n0 = read_published(spark, root).count()
+    assert n0 > 0
+
+    # a crashed publish (orphan dir, CURRENT untouched) must be invisible
+    os.makedirs(os.path.join(root, "v1"), exist_ok=True)
+    with open(os.path.join(root, "v1", "_partial"), "w") as f:
+        f.write("torn write")
+    assert read_published(spark, root).count() == n0  # still v0
+
+    v1 = publish_corpus(spark, sf_dir, root)
+    assert v1 == "v1"
+    assert read_published(spark, root).count() == n0
+    # previous version retained for rollback, exactly two versions live
+    assert read_published(spark, root, "v0").count() == n0
+    live = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert live == ["v0", "v1"]
+
+    v2 = publish_corpus(spark, sf_dir, root)
+    assert v2 == "v2"
+    live = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert live == ["v1", "v2"]  # v0 pruned
