@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_clusters",
     "shard_pack",
     "corpus_pipeline",
+    "duplicate_spans",
 ]
 
 

@@ -44,6 +44,7 @@ _MODULES = [
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.graph",
+    "labelmain_spark.functions.substrings",
     "labelmain_spark.streaming.joins",
     "labelmain_spark.pipeline",
     "labelmain_spark.functions.udfs",

@@ -298,3 +298,26 @@ def test_corpus_pipeline_bounded_jobs_and_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_duplicate_spans_one_exchange_for_all_window_rounds(spark, sf_dir):
+    """All log2(L) prefix-doubling rounds must stack over ONE per-doc
+    sort — same window spec ⇒ no re-exchange between rounds. Total
+    non-broadcast exchanges: the doc_id window shuffle, the group-by-h
+    shuffle, and the member join (≤4 with AQE variants); and never a
+    join-based round (no self-join diamond)."""
+    from labelmain_spark.functions.substrings import DUP_SPAN_L, duplicate_spans
+
+    spark.catalog.clearCache()
+    df = duplicate_spans(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rounds = DUP_SPAN_L.bit_length() - 1
+    assert plan.count("Window ") >= rounds, plan
+    # plan text reprints the persisted relation's recipe under every
+    # InMemoryTableScan, so executed exchanges ≈ count/2 here; the pin
+    # is that rounds (5) don't each add one (join-based rounds would
+    # show ≥ rounds exchanges even before the reprint).
+    n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchange <= 6, f"{n_exchange} exchanges:\n{plan[:1500]}"
+    spark.catalog.clearCache()
