@@ -55,9 +55,15 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, gram_md5, n_dups) for every position whose
-    DUP_SPAN_L-token substring occurs ≥ 2 times in the corpus."""
+def _spans_and_groups(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``spans`` = (doc_id, pos, h) for every full-span position
+    (persisted — every consumer is a diamond over it); ``groups`` =
+    (h, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence hashes,
+    rep = globally-first occurrence. Callers must reference ``groups``
+    ONCE per output plan — it aggregates the cached spans, and a
+    second reference re-runs that shuffle."""
     from pyspark.sql import Window as W
 
     L = DUP_SPAN_L
@@ -80,7 +86,20 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.struct("doc_id", "pos")).alias("rep"),
         )
         .filter(F.col("n_dups") >= 2)
+        .select(
+            "h",
+            "n_dups",
+            F.col("rep.doc_id").alias("rep_doc_id"),
+            F.col("rep.pos").alias("rep_pos"),
+        )
     )
+    return spans, groups
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, gram_md5, n_dups) for every position whose
+    DUP_SPAN_L-token substring occurs ≥ 2 times in the corpus."""
+    spans, groups = _spans_and_groups(spark, sf_dir)
     # Back-fill the plain-gram md5 from one representative per group:
     # the rep set is small (distinct duplicated spans), so the join
     # against the token arrays touches few docs and AQE broadcasts the
@@ -89,23 +108,90 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     reps = (
-        groups.select("h", "n_dups", F.col("rep.doc_id").alias("doc_id"), F.col("rep.pos").alias("pos"))
+        groups.select("h", "n_dups", F.col("rep_doc_id").alias("doc_id"), F.col("rep_pos").alias("pos"))
         .join(docs, "doc_id")
         .select(
             "h",
             "n_dups",
             F.md5(
-                F.array_join(F.slice("toks", F.col("pos") + 1, L), " ")
+                F.array_join(F.slice("toks", F.col("pos") + 1, DUP_SPAN_L), " ")
             ).alias("gram_md5"),
         )
     )
+    return spans.join(reps, "h").select("doc_id", "pos", "gram_md5", "n_dups")
+
+
+def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee-et-al step: CUT every duplicated span occurrence
+    except its group's globally-first one, and reassemble each doc.
+
+    Overlapping cut spans are merged per document with the classic
+    gaps-and-islands pattern (running max of span ends over a per-doc
+    ordered window; a span starting past that max opens a new island),
+    so each covered token position is generated exactly ONCE by the
+    interval explode — without the merge, a run of duplicated text
+    emits every position up to L times. Reassembly is the paragraph-
+    dedup shape: LEFT ANTI join of token positions against the covered
+    set, regroup per doc in position order.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for every doc."""
+    from pyspark.sql import Window as W
+
+    L = DUP_SPAN_L
+    spans, groups = _spans_and_groups(spark, sf_dir)
+    cuts = (
+        spans.join(groups, "h")
+        .filter(
+            ~((F.col("doc_id") == F.col("rep_doc_id")) & (F.col("pos") == F.col("rep_pos")))
+        )
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + L).alias("e"))
+    )
+    w = W.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        cuts.withColumn(
+            "new_island",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    covered = islands.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+    toks = _positions(spark, sf_dir)
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+        ).alias("clean_text"),
+    )
+    # n_tokens = kept + covered (islands never extend past the last
+    # full span start + L ≤ doc length) — no third corpus scan for a
+    # per-doc total.
+    cov = covered.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
     return (
-        spans.join(reps, "h")
-        .select("doc_id", "pos", "gram_md5", "n_dups")
+        out.join(cov, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0))
+            ).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )
 
 
-QUERIES = {"duplicate_spans": duplicate_spans}
+QUERIES = {
+    "duplicate_spans": duplicate_spans,
+    "remove_duplicate_spans": remove_duplicate_spans,
+}
 
 ORACLE = {
     # The naive algorithm, deliberately: explode every L-token window,
@@ -131,5 +217,72 @@ ORACLE = {
         )
         SELECT g.doc_id, g.pos, g.gram_md5, dup.n_dups
         FROM g JOIN dup USING (gram_md5)
+    """,
+    "remove_duplicate_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, u.pos AS pos, u.g AS gram_md5 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - {DUP_SPAN_L - 1}, 0)),
+                           i -> {{'pos': i,
+                                 'g': md5(array_to_string(list_slice(
+                                     toks, i + 1, i + {DUP_SPAN_L}), ' '))}}
+                       )) AS u
+                FROM t
+            )
+        ), ranked AS (
+            SELECT doc_id, pos, gram_md5,
+                   COUNT(*) OVER (PARTITION BY gram_md5) AS n_occ,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY gram_md5 ORDER BY doc_id, pos
+                   ) AS rn
+            FROM g
+        ), cuts AS (
+            SELECT doc_id, pos AS s, pos + {DUP_SPAN_L} AS e
+            FROM ranked WHERE n_occ >= 2 AND rn > 1
+        ), islands AS (
+            SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e FROM (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS island
+                FROM (
+                    SELECT doc_id, s, e,
+                           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                               AS prev_max
+                    FROM cuts
+                )
+            ) GROUP BY doc_id, island
+        ), covered AS (
+            SELECT doc_id, unnest(range(s, e)) AS pos FROM islands
+        ), toks AS (
+            SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks)),
+                           i -> {{'pos': i, 'tok': toks[i + 1]}})) AS u
+                FROM t
+            )
+        ), kept AS (
+            SELECT k.doc_id, k.pos, k.tok
+            FROM toks k LEFT JOIN covered c
+              ON c.doc_id = k.doc_id AND c.pos = k.pos
+            WHERE c.doc_id IS NULL
+        ), outp AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ), cov AS (
+            SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+        )
+        SELECT COALESCE(outp.doc_id, cov.doc_id) AS doc_id,
+               CAST(COALESCE(n_kept, 0) + COALESCE(n_removed, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+               COALESCE(clean_text, '') AS clean_text
+        FROM outp FULL OUTER JOIN cov ON outp.doc_id = cov.doc_id
     """,
 }

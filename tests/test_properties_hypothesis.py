@@ -75,3 +75,27 @@ def test_zorder_key_matches_model(spark, pairs):
     ]
     want = [_interleave(a, b) for a, b in pairs]
     assert got == want
+
+
+def test_remove_duplicate_spans_conserves_tokens(spark, sf_dir):
+    """Cross-engine equality can't catch a shared blind spot: assert
+    against ground truth that (kept + removed) equals each document's
+    true token count and that no doc is lost."""
+    from labelmain_spark.functions.substrings import remove_duplicate_spans
+    from labelmain_spark.sources.readers import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(spark, sf_dir).collect()
+    }
+    true_counts = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(true_counts)
+    for doc_id, (n_tokens, n_removed) in got.items():
+        assert n_tokens == true_counts[doc_id], doc_id
+        assert 0 <= n_removed <= n_tokens
+    spark.catalog.clearCache()
