@@ -118,6 +118,8 @@ PRIORITY = [
     "quality_repetition", "quality_unigram_nll",
     "dedup_paragraph", "boilerplate_strip", "dedup_clusters", "shard_pack", "mix_sources",
     "corpus_pipeline", "quality_model_score", "attribution_join",
+    "attribution_join_outer", "duplicate_spans", "remove_duplicate_spans",
+    "funnel_match",
 ]
 
 
