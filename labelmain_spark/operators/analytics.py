@@ -256,55 +256,60 @@ def funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     user with per-step timestamps (nulls where the funnel stalls) and
     the terminal step index — the conversion-funnel table.
 
-    Shape: ONE shuffle on user_id feeding three chained min-aggregates
-    expressed as conditional aggregation over the same grouped rows —
-    no joins, no per-step passes. min(CASE WHEN ...) needs the PREVIOUS
-    step's timestamp, which an aggregate can't reference, so the steps
-    nest as structs: min(struct(ts)) per event type gives step 1;
-    steps 2..n filter on the prior min via a second grouped pass over
-    the SAME exchange (Catalyst reuses the partitioning — asserted no
-    extra exchange in tests). Event streams at 100 TB: user_id is
-    high-cardinality and unskewed, both aggs are partial-agg."""
+    Shape: ONE filtered scan (only the three step types survive
+    pushdown) and ONE shuffle on user_id; the state machine itself is
+    a JVM higher-order ``aggregate`` fold over the per-user
+    time-sorted event array — exactly how MATCH_RECOGNIZE engines run
+    the NFA, here as a Catalyst expression with no joins, no second
+    grouped pass, no Python. Per-user state is 3 timestamps; the
+    collected array is bounded by events-per-user (the same bound any
+    per-entity sequence analysis carries). A join-chained first draft
+    scanned events 7× — plan-pinned down to 1 (tests/test_plans.py)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    first_click = (
-        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+    per_user = (
+        ev.filter(F.col("event_type").isin(FUNNEL_STEPS))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    with_click = ev.join(first_click, "user_id")
-    deadline = F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
-    first_view = (
-        with_click.filter(
-            (F.col("event_type") == FUNNEL_STEPS[1])
-            & (F.col("ts") > F.col("click_ts"))
-            & (F.col("ts") <= deadline)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
     )
-    base = first_click.join(first_view, "user_id", "left")
-    with_view = ev.join(base, "user_id")
-    first_purchase = (
-        with_view.filter(
-            (F.col("event_type") == FUNNEL_STEPS[2])
-            & F.col("view_ts").isNotNull()
-            & (F.col("ts") > F.col("view_ts"))
-            & (F.col("ts") <= deadline)
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    steps = FUNNEL_STEPS
+    fold = F.expr(
+        f"""
+        aggregate(
+            evs,
+            named_struct(
+                'c', CAST(NULL AS TIMESTAMP),
+                'v', CAST(NULL AS TIMESTAMP),
+                'p', CAST(NULL AS TIMESTAMP)),
+            (a, x) -> CASE
+                WHEN a.c IS NULL AND x.event_type = '{steps[0]}'
+                    THEN named_struct('c', x.ts, 'v', a.v, 'p', a.p)
+                WHEN a.c IS NOT NULL AND a.v IS NULL
+                     AND x.event_type = '{steps[1]}' AND x.ts > a.c
+                     AND x.ts <= a.c + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+                    THEN named_struct('c', a.c, 'v', x.ts, 'p', a.p)
+                WHEN a.v IS NOT NULL AND a.p IS NULL
+                     AND x.event_type = '{steps[2]}' AND x.ts > a.v
+                     AND x.ts <= a.c + INTERVAL {FUNNEL_WINDOW_S} SECONDS
+                    THEN named_struct('c', a.c, 'v', a.v, 'p', x.ts)
+                ELSE a
+            END)
+        """
     )
-    out = base.join(first_purchase, "user_id", "left")
+    out = per_user.select("user_id", fold.alias("f")).filter(
+        F.col("f.c").isNotNull()
+    )
     depth = (
-        F.when(F.col("purchase_ts").isNotNull(), 3)
-        .when(F.col("view_ts").isNotNull(), 2)
+        F.when(F.col("f.p").isNotNull(), 3)
+        .when(F.col("f.v").isNotNull(), 2)
         .otherwise(1)
     )
     return out.select(
         "user_id",
-        "click_ts",
-        "view_ts",
-        "purchase_ts",
+        F.col("f.c").alias("click_ts"),
+        F.col("f.v").alias("view_ts"),
+        F.col("f.p").alias("purchase_ts"),
         depth.cast("int").alias("funnel_depth"),
     )
 

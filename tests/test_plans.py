@@ -321,3 +321,18 @@ def test_duplicate_spans_one_exchange_for_all_window_rounds(spark, sf_dir):
     n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_exchange <= 6, f"{n_exchange} exchanges:\n{plan[:1500]}"
     spark.catalog.clearCache()
+
+
+def test_funnel_match_one_scan_one_shuffle(spark, sf_dir):
+    """The funnel NFA must run as a fold over per-user sorted arrays:
+    ONE filtered scan of events and ONE exchange (the user_id groupBy).
+    The join-chained formulation this replaced scanned events 7x."""
+    from labelmain_spark.operators.analytics import funnel_match
+
+    df = funnel_match(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    n_broadcast = plan.count("BroadcastExchange")
+    assert plan.count("Exchange") - n_broadcast == 1, plan
+    checks.assert_no_python_eval(df)
