@@ -117,15 +117,22 @@ def main() -> None:
             # (round-3 postmortem: a plan-time AnalysisException in one
             # key erased all 34 numbers). Record the error per-key and
             # keep measuring the rest.
+            #
+            # The timed action is a NOOP-SINK WRITE, not count():
+            # Catalyst prunes columns a count never reads, so map-only
+            # queries (pii_scrub, string_norm, ...) were measuring
+            # scheduling, not their expressions (measured 6× under-
+            # report on pii_scrub). The noop sink evaluates every
+            # output column, matching what DuckDB's fetchall pays.
             try:
-                n = qs[key](spark, sf_dir).count()
+                qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001 — record and continue
                 errors[key] = f"{type(e).__name__}: {e}"[:300]
                 print(f"# pass {p + 1}/{n_passes} {key}: ERROR {errors[key]}", file=sys.stderr)
                 continue
             dt = round(time.time() - t0, 3)
             samples[key].append(dt)
-            print(f"# pass {p + 1}/{n_passes} {key}: {dt}s ({n} rows)", file=sys.stderr)
+            print(f"# pass {p + 1}/{n_passes} {key}: {dt}s", file=sys.stderr)
         passes_done = p + 1
 
     def median(xs: list[float]) -> float:
