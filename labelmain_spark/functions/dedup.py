@@ -561,11 +561,26 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
-    "dedup_simhash": dedup_simhash,  # rows-only: bit_count/conv have no exact DuckDB twin
+    "dedup_simhash": dedup_simhash,
     "dedup_paragraph": dedup_paragraph,
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
 }
+
+# SimHash oracle: DuckDB reproduces the 60-bit bit-vote exactly —
+# CAST('0x'||hex AS BIGINT) matches Spark's conv(hex,16,10) for the
+# 15-hex-digit (60-bit, sign-safe) token hash, and bit_count/xor/>>
+# cover the vote, pack and Hamming steps. (This key was rows-only in
+# r1-r3 under the assumption DuckDB lacked the bit surface; it does
+# not.)
+_SIMHASH_VOTES = ",\n".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+    for b in range(SIMHASH_BITS)
+)
 
 # Shared paragraph explode for dedup_paragraph / boilerplate_strip.
 _SQL_PARAS = f"""
@@ -621,6 +636,29 @@ ORACLE = {
         FROM documents GROUP BY sha256(lower(trim(text)))
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
+    "dedup_simhash": f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) t
+        ), votes AS (
+            SELECT doc_id, {_SIMHASH_VOTES}
+            FROM tk GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {_SIMHASH_PACK} AS simhash FROM votes
+        ), b AS (
+            SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - 16} AS bucket
+            FROM sig
+        )
+        SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, z.simhash)) AS INTEGER) AS hamming
+        FROM b a JOIN b z
+          ON a.bucket = z.bucket AND a.doc_id < z.doc_id
+        WHERE bit_count(xor(a.simhash, z.simhash)) <= 6
+    """,
     "dedup_paragraph": f"""
         {_SQL_PARAS}, kept AS (
             SELECT doc_id, pos, para FROM (
