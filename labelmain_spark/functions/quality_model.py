@@ -61,7 +61,16 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = _features(docs)
-    median = feats.approxQuantile("f_stopword_ratio", [0.5], 0.0)[0]
+    q = feats.approxQuantile("f_stopword_ratio", [0.5], 0.0)
+    if not q:  # empty corpus: nothing to train on, score nothing
+        return feats.select(
+            "doc_id",
+            F.lit("train").alias("split"),
+            F.lit(0.0).alias("label"),
+            F.lit(0.0).alias("prob_keep"),
+            F.lit(0.0).alias("pred"),
+        )
+    median = q[0]
     labeled = feats.withColumn(
         "label", (F.col("f_stopword_ratio") > F.lit(median)).cast("double")
     ).withColumn(

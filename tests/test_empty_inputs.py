@@ -1,0 +1,145 @@
+"""Empty-corpus robustness: every registry query must return an empty
+(or degenerate-but-valid) result on empty tables, never crash. At
+100 TB an empty partition/day/source filter is routine, and a crash
+there kills a whole pipeline run."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+_SCHEMAS = {
+    "region": {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    "nation": {
+        "n_nationkey": pa.int32(),
+        "n_name": pa.string(),
+        "n_regionkey": pa.int32(),
+    },
+    "customer": {
+        "c_custkey": pa.int64(),
+        "c_name": pa.string(),
+        "c_nationkey": pa.int32(),
+        "c_acctbal": pa.float64(),
+        "c_mktsegment": pa.string(),
+    },
+    "supplier": {
+        "s_suppkey": pa.int64(),
+        "s_name": pa.string(),
+        "s_nationkey": pa.int32(),
+        "s_acctbal": pa.float64(),
+    },
+    "part": {
+        "p_partkey": pa.int64(),
+        "p_name": pa.string(),
+        "p_brand": pa.string(),
+        "p_type": pa.string(),
+        "p_size": pa.int32(),
+        "p_retailprice": pa.float64(),
+    },
+    "orders": {
+        "o_orderkey": pa.int64(),
+        "o_custkey": pa.int64(),
+        "o_orderstatus": pa.string(),
+        "o_totalprice": pa.float64(),
+        "o_orderdate": pa.timestamp("us"),
+        "o_orderpriority": pa.string(),
+    },
+    "lineitem": {
+        "l_orderkey": pa.int64(),
+        "l_partkey": pa.int64(),
+        "l_suppkey": pa.int64(),
+        "l_linenumber": pa.int32(),
+        "l_quantity": pa.float64(),
+        "l_extendedprice": pa.float64(),
+        "l_discount": pa.float64(),
+        "l_tax": pa.float64(),
+        "l_returnflag": pa.string(),
+        "l_linestatus": pa.string(),
+        "l_shipdate": pa.timestamp("us"),
+    },
+    "events": {
+        "event_id": pa.int64(),
+        "ts": pa.timestamp("us"),
+        "user_id": pa.int64(),
+        "event_type": pa.string(),
+        "value": pa.float64(),
+        "props": pa.string(),
+    },
+    "documents": {
+        "doc_id": pa.int64(),
+        "text": pa.string(),
+        "lang": pa.string(),
+        "source": pa.string(),
+        "n_chars": pa.int64(),
+    },
+    "embeddings": {
+        "vec_id": pa.int64(),
+        "embedding": pa.list_(pa.float32()),
+        "label": pa.int32(),
+    },
+}
+
+# Representative keys across every operator family (running all 111
+# at session scope would double the suite's runtime for little extra
+# signal — these cover each distinct code path class).
+REPRESENTATIVE = [
+    "scan_project",
+    "count_sum",
+    "rollup_agg",
+    "window_rank",
+    "join_inner",
+    "join_asof",
+    "merge_upsert",
+    "sessionize",
+    "set_ops",
+    "text_quality",
+    "tfidf_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_paragraph",
+    "boilerplate_strip",
+    "dedup_clusters",
+    "duplicate_spans",
+    "remove_duplicate_spans",
+    "shard_pack",
+    "mix_sources",
+    "corpus_pipeline",
+    "contamination_check",
+    "similarity_topk",
+    "embedding_neardup",
+    "funnel_match",
+    "attribution_join",
+    "domain_stats",
+    "pii_scrub",
+    "sample_stratified",
+    "cms_user_sketch",
+    "user_components",
+    "label_consolidate",
+    "pipeline_e2e",
+    "quality_model_score",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for name, cols in _SCHEMAS.items():
+        tbl = pa.table({c: pa.array([], t) for c, t in cols.items()})
+        pq.write_table(tbl, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("key", [k for k in REPRESENTATIVE if k in _QUERIES])
+def test_query_survives_empty_tables(spark, empty_dir, key):
+    df = _QUERIES[key](spark, empty_dir)
+    # any row count is valid (global aggs may emit one row of
+    # nulls/zeros); the contract is NO CRASH and a stable schema
+    assert df.count() >= 0
+    assert df.schema.fieldNames()
+    spark.catalog.clearCache()
