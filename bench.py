@@ -69,6 +69,8 @@ HEADLINE = [
     "shard_pack",
     "corpus_pipeline",
     "duplicate_spans",
+    "remove_duplicate_spans",
+    "funnel_match",
 ]
 
 
