@@ -396,8 +396,12 @@ def _exploded_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_exploded_shingles``."""
     from pyspark import StorageLevel
 
+    # coalesce(text, ''): NULL text would make size(toks) = -1 on Spark
+    # (sequence(0, -1) emits a descending 2-array → two bogus rows)
+    # while DuckDB's range(NULL) drops the doc — coalescing makes the
+    # degenerate row engine-identical (one empty paragraph) (r4 advice).
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("toks")
     )
     paras = docs.select(
         "doc_id",
@@ -585,7 +589,8 @@ _SIMHASH_PACK = " + ".join(
 # Shared paragraph explode for dedup_paragraph / boilerplate_strip.
 _SQL_PARAS = f"""
         WITH d AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+            FROM documents
         ), p AS (
             SELECT doc_id, u.pos AS pos, u.para AS para FROM (
                 SELECT doc_id,

@@ -110,12 +110,15 @@ def _mix_rate_bp(engine: str) -> str:
     """Per-source target rate in basis points, derived deterministically
     from the source id's numeric suffix (srcN → ((N mod 4)+1)·2500).
     A real pipeline joins a curated weights table instead; the derived
-    rate keeps the oracle self-contained."""
-    num = (
-        "CAST(substring(source, 4, 8) AS INT)"
-        if engine == "spark"
-        else "CAST(substr(source, 4) AS INTEGER)"
-    )
+    rate keeps the oracle self-contained.
+
+    Engine parity (r4 advice): both sides take the UNBOUNDED suffix and
+    TRY_CAST it, so a source id outside the ``srcN`` shape yields a NULL
+    rate in BOTH engines — it surfaces as a NULL-rate audit row (kept=0)
+    instead of silently dropping on Spark while hard-erroring in DuckDB.
+    """
+    ty = "INT" if engine == "spark" else "INTEGER"
+    num = f"TRY_CAST(substr(source, 4) AS {ty})"
     return f"((({num}) % {MIX_STEPS}) + 1) * {HASH_MOD // MIX_STEPS}"
 
 

@@ -7,6 +7,13 @@ operator module exposes:
 - ``ORACLE:  dict[str, str]`` — DuckDB ANSI-SQL twins. Keys present in
   QUERIES but absent from ORACLE get the driver's weaker rows-only check
   (reserved for genuinely non-SQL-expressible ops).
+
+Cache lifecycle: several callables persist diamond-shaped intermediates
+(shared shingle/paragraph explodes, cumsum level caches). Entries are
+keyed by canonical plan — repeat calls on the same input reuse one entry
+— but a long-lived session iterating MANY keys should call
+``labelmain_spark.session.release_caches(spark)`` between keys to bound
+executor storage memory (bench.py and the test fixtures do).
 """
 
 from __future__ import annotations

@@ -65,3 +65,17 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every persisted intermediate (shared explodes, cumsum level
+    caches). Several operators persist diamond-shaped intermediates
+    (``_exploded_shingles``, ``_exploded_paragraphs``,
+    ``exclusive_cumsum`` levels, ``_spans_and_groups``); Spark's
+    CacheManager keys them by canonical plan so repeat calls share one
+    entry per input, but entries from DIFFERENT queries/inputs
+    accumulate for the lifetime of the session. Long-lived sessions
+    iterating many registry keys must call this between keys — bench.py
+    and the test fixtures do; the correctness driver's per-key runs are
+    short-lived."""
+    spark.catalog.clearCache()

@@ -65,40 +65,116 @@ def read_shard(spark: SparkSession, path: str, shard_id: int) -> DataFrame:
     return spark.read.parquet(path).filter(F.col("shard_id") == shard_id)
 
 
+import os as _os
+import re as _re
+
+_VERSION_RE = _re.compile(r"^v(\d+)$")
+_STALE_TMP_SECONDS = 60.0
+
+
+def _current_version(root: str) -> int | None:
+    """Version number CURRENT points at, or None if absent/corrupt.
+    A corrupt (hand-edited, torn) CURRENT is treated as absent rather
+    than raising — the publisher then recovers the numbering from the
+    version directories actually on disk."""
+    try:
+        with open(_os.path.join(root, "CURRENT")) as f:
+            m = _VERSION_RE.match(f.read().strip())
+        return int(m.group(1)) if m else None
+    except OSError:
+        return None
+
+
+def _existing_versions(root: str) -> list[int]:
+    out = []
+    for d in _os.listdir(root):
+        m = _VERSION_RE.match(d)
+        if m and _os.path.isdir(_os.path.join(root, d)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _claim_version(root: str) -> int:
+    """Atomically claim the next version number via O_EXCL directory
+    creation: ``mkdir`` either succeeds (the number is ours alone) or
+    raises and we try the next. Two concurrent publishers therefore get
+    DISTINCT version dirs — neither can clobber the other's output.
+    Orphan dirs from crashed publishes are skipped, not reused."""
+    cur = _current_version(root)
+    vers = _existing_versions(root)
+    n = max([cur if cur is not None else -1] + [v for v in vers]) + 1
+    while True:
+        try:
+            _os.mkdir(_os.path.join(root, f"v{n}"))
+            return n
+        except FileExistsError:
+            n += 1
+
+
+def _sweep_stale_tmp(root: str) -> None:
+    """Remove ``_current_*`` temp files orphaned by a crash between
+    mkstemp and os.replace. Age-gated so a concurrent publisher's
+    in-flight temp (a microseconds-wide window) is never swept."""
+    import time
+
+    now = time.time()
+    for d in _os.listdir(root):
+        p = _os.path.join(root, d)
+        if d.startswith("_current_") and _os.path.isfile(p):
+            try:
+                if now - _os.path.getmtime(p) > _STALE_TMP_SECONDS:
+                    _os.remove(p)
+            except OSError:
+                pass
+
+
 def publish_corpus(spark: SparkSession, sf_dir: str, root: str) -> str:
     """Atomic versioned publish of the packed corpus — the batch twin
     of the streaming sink's commit protocol (streaming/incremental.py
-    ``run_upsert_sink``): write the FULL new corpus under
-    ``root/v<n+1>/``, then atomically swap the ``CURRENT`` pointer.
-    Readers resolving through CURRENT see the old corpus until the
-    instant of the swap and the new one after — never a torn mix. A
-    crash mid-write leaves an orphan ``v`` dir and CURRENT untouched;
-    the next publish overwrites it. The previous version is kept (one-
-    step time travel / rollback), older ones pruned.
+    ``run_upsert_sink``): claim ``root/v<n>/`` exclusively (O_EXCL
+    mkdir — concurrent publishers get distinct versions), write the
+    FULL new corpus into it, then atomically swap the ``CURRENT``
+    pointer. Readers resolving through CURRENT see the old corpus
+    until the instant of the swap and the new one after — never a torn
+    mix. A crash mid-write leaves an orphan ``v`` dir and CURRENT
+    untouched; later publishes skip past it and prune it. The pointer
+    never moves backwards: a slow publisher that finishes after a
+    newer version committed leaves CURRENT alone. The previous pointer
+    target is kept (one-step time travel / rollback), older ones
+    pruned. Corrupt CURRENT content is recovered from the on-disk
+    version dirs instead of raising.
 
     At object-store scale the pointer file becomes a manifest commit
     (Delta/Iceberg); the layout here is the same contract on a
     filesystem. Returns the published version string."""
-    import os
     import shutil
     import tempfile
 
-    cur_file = os.path.join(root, "CURRENT")
-    if os.path.isfile(cur_file):
-        with open(cur_file) as f:
-            prev = f.read().strip()
-        nxt = f"v{int(prev[1:]) + 1}"
-    else:
-        os.makedirs(root, exist_ok=True)
-        prev, nxt = None, "v0"
-    export_packed_corpus(spark, sf_dir, os.path.join(root, nxt))
-    fd, tmp = tempfile.mkstemp(dir=root, prefix="_current_")
-    with os.fdopen(fd, "w") as f:
-        f.write(nxt)
-    os.replace(tmp, cur_file)  # the commit
-    for d in os.listdir(root):
-        if d.startswith("v") and d not in (nxt, prev):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    _os.makedirs(root, exist_ok=True)
+    _sweep_stale_tmp(root)
+    prev_n = _current_version(root)
+    n = _claim_version(root)
+    nxt = f"v{n}"
+    export_packed_corpus(spark, sf_dir, _os.path.join(root, nxt))
+    # Commit: write-temp + rename is atomic on POSIX; re-check that a
+    # concurrent publisher hasn't already advanced past us (monotonic
+    # pointer — last-writer-wins would let a slow v1 clobber a v2).
+    cur_now = _current_version(root)
+    won = cur_now is None or cur_now < n
+    if won:
+        fd, tmp = tempfile.mkstemp(dir=root, prefix="_current_")
+        with _os.fdopen(fd, "w") as f:
+            f.write(nxt)
+        _os.replace(tmp, _os.path.join(root, "CURRENT"))  # the commit
+        # Prune (winner only): keep the new pointer target and the
+        # pointer's previous target (rollback); every other dir BELOW
+        # the pointer is garbage — crashed orphans and superseded
+        # losers alike. Dirs ABOVE the pointer belong to concurrent
+        # publishers still writing and are never touched.
+        keep = {n} | ({prev_n} if prev_n is not None else set())
+        for v in _existing_versions(root):
+            if v not in keep and v < n:
+                shutil.rmtree(_os.path.join(root, f"v{v}"), ignore_errors=True)
     return nxt
 
 

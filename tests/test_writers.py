@@ -55,15 +55,80 @@ def test_publish_corpus_atomic_versioning(spark, sf_dir, tmp_path):
         f.write("torn write")
     assert read_published(spark, root).count() == n0  # still v0
 
-    v1 = publish_corpus(spark, sf_dir, root)
-    assert v1 == "v1"
-    assert read_published(spark, root).count() == n0
-    # previous version retained for rollback, exactly two versions live
-    assert read_published(spark, root, "v0").count() == n0
-    live = sorted(d for d in os.listdir(root) if d.startswith("v"))
-    assert live == ["v0", "v1"]
-
+    # orphans are SKIPPED, never reused (O_EXCL claim), and the winner
+    # prunes them once the pointer moves past
     v2 = publish_corpus(spark, sf_dir, root)
     assert v2 == "v2"
+    assert read_published(spark, root).count() == n0
+    # previous pointer target retained for rollback; orphan v1 pruned
+    assert read_published(spark, root, "v0").count() == n0
     live = sorted(d for d in os.listdir(root) if d.startswith("v"))
-    assert live == ["v1", "v2"]  # v0 pruned
+    assert live == ["v0", "v2"]
+
+    v3 = publish_corpus(spark, sf_dir, root)
+    assert v3 == "v3"
+    live = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert live == ["v2", "v3"]  # v0 pruned
+
+
+def test_publish_corpus_crash_mid_publish(spark, sf_dir, tmp_path, monkeypatch):
+    """Verdict r4 item 8: kill the publisher between staging (full
+    export written) and the pointer swap — readers must never see a
+    torn version, and the next publish must supersede cleanly."""
+    from labelmain_spark.sources import writers
+    from labelmain_spark.sources.writers import publish_corpus, read_published
+
+    root = str(tmp_path / "published")
+    publish_corpus(spark, sf_dir, root)
+    n0 = read_published(spark, root).count()
+
+    real_replace = os.replace
+
+    def crash_at_commit(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise RuntimeError("simulated crash between staging and pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(writers._os, "replace", crash_at_commit)
+    try:
+        publish_corpus(spark, sf_dir, root)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(writers._os, "replace", real_replace)
+
+    # pointer untouched: readers still resolve the OLD, complete corpus
+    with open(os.path.join(root, "CURRENT")) as f:
+        assert f.read().strip() == "v0"
+    assert read_published(spark, root).count() == n0
+    # the orphan staged dir exists but is invisible through CURRENT
+    assert os.path.isdir(os.path.join(root, "v1"))
+
+    # next publish skips the orphan, commits, and collects it
+    v2 = publish_corpus(spark, sf_dir, root)
+    assert v2 == "v2"
+    assert read_published(spark, root).count() == n0
+    live = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert live == ["v0", "v2"]
+
+
+def test_publish_corpus_corrupt_current_and_stale_tmp(spark, sf_dir, tmp_path):
+    """Defensive recovery (r4 advice): a hand-edited CURRENT must not
+    raise, and orphaned _current_* temp files are swept once stale."""
+    from labelmain_spark.sources.writers import publish_corpus, read_published
+
+    root = str(tmp_path / "published")
+    publish_corpus(spark, sf_dir, root)
+
+    with open(os.path.join(root, "CURRENT"), "w") as f:
+        f.write("garbage-not-a-version")
+    stale = os.path.join(root, "_current_orphan")
+    with open(stale, "w") as f:
+        f.write("v9")
+    os.utime(stale, (0, 0))  # backdate past the stale threshold
+
+    # recovers numbering from on-disk dirs (v0 exists → claims v1)
+    v1 = publish_corpus(spark, sf_dir, root)
+    assert v1 == "v1"
+    assert read_published(spark, root).count() > 0
+    assert not os.path.exists(stale)
