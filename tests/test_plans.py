@@ -324,8 +324,9 @@ def test_duplicate_spans_one_exchange_for_all_window_rounds(spark, sf_dir):
 
 
 def test_funnel_match_one_scan_one_shuffle(spark, sf_dir):
-    """The funnel NFA must run as a fold over per-user sorted arrays:
-    ONE filtered scan of events and ONE exchange (the user_id groupBy).
+    """The funnel NFA must run as chained running-min windows over the
+    per-user sorted stream: ONE filtered scan of events and ONE
+    exchange (the groupBy reuses the window's user_id partitioning).
     The join-chained formulation this replaced scanned events 7x."""
     from labelmain_spark.operators.analytics import funnel_match
 

@@ -432,3 +432,88 @@ def test_connected_components_multi_component(spark):
     )
     got = {r.u: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def _py_funnel(events):
+    """Reference NFA: fold over (ts, event_type) sorted exactly like
+    the r4 array fold (ts, then event_type lexicographic on ties)."""
+    from labelmain_spark.operators.analytics import FUNNEL_STEPS, FUNNEL_WINDOW_S
+
+    c = v = p = None
+    for ts, et in sorted(events):
+        if c is None and et == FUNNEL_STEPS[0]:
+            c = ts
+        elif c is not None and v is None and et == FUNNEL_STEPS[1] and ts > c and (ts - c).total_seconds() <= FUNNEL_WINDOW_S:
+            v = ts
+        elif v is not None and p is None and et == FUNNEL_STEPS[2] and ts > v and (ts - c).total_seconds() <= FUNNEL_WINDOW_S:
+            p = ts
+    return c, v, p
+
+
+def test_funnel_match_hot_user(spark, tmp_path):
+    """r4 verdict item 3: a bot account with 1e5 events (vs ~40 for
+    normal users) must produce the same answer as the reference NFA
+    and never pass through a per-user array (the r4 collect_list
+    exposure) — state is O(1) per row, the window sort spills."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot user 0: 100k events, shuffled types, many ties (second
+    # granularity over a small range forces equal-ts collisions)
+    for i in range(100_000):
+        rows.append(
+            (0, rng.choice(["click", "view", "purchase", "scroll"]),
+             t0 + dt.timedelta(seconds=rng.randrange(200_000)))
+        )
+    # normal users 1..50, a few events each, incl. adversarial
+    # edge shapes: view-before-click, purchase-at-view-ts tie
+    for u in range(1, 51):
+        for _ in range(rng.randrange(1, 8)):
+            rows.append(
+                (u, rng.choice(["click", "view", "purchase"]),
+                 t0 + dt.timedelta(seconds=rng.randrange(0, 90_000)))
+            )
+    rows.append((60, "view", t0))                      # view, no click
+    rows.append((61, "click", t0 + dt.timedelta(1)))   # click only
+    rows.append((62, "click", t0))
+    rows.append((62, "view", t0))                      # tie: must NOT match
+    rows.append((63, "click", t0))
+    rows.append((63, "view", t0 + dt.timedelta(seconds=1)))
+    rows.append((63, "purchase", t0 + dt.timedelta(seconds=1)))  # tie w/ view
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    from labelmain_spark.operators.analytics import funnel_match
+
+    df = funnel_match(spark, str(tmp_path))
+    assert "collect_list" not in df._jdf.queryExecution().analyzed().toString()
+    got = {
+        r.user_id: (r.click_ts, r.view_ts, r.purchase_ts, r.funnel_depth)
+        for r in df.collect()
+    }
+
+    by_user = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    expect = {}
+    for u, evs in by_user.items():
+        c, v, p = _py_funnel(evs)
+        if c is not None:
+            expect[u] = (c, v, p, 3 if p else 2 if v else 1)
+    assert got == expect
