@@ -22,10 +22,11 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     ann = {r.vec_id for r in vectors.ann_lsh_topk(spark, sf_dir).collect()}
     assert ann, "ANN returned nothing — bucket signature is broken"
     recall = len(ann & brute) / len(brute)
-    # 8-bit single-table LSH on random vectors: recall is modest by
-    # design; the floor asserts the bucketing is correlated with
-    # similarity at all (random bucketing at sf0.001 gives ~0).
-    assert recall >= 0.2, f"ANN recall {recall} vs brute force too low"
+    # 8-table × 4-bit OR-construction with frozen planes: measured
+    # recall 0.6 (sf0.001) / 0.6-0.9 (sf0.01); the floor leaves margin
+    # while still failing on any regression toward single-table
+    # behavior (which measured 0.03-0.3 on random vectors).
+    assert recall >= 0.4, f"ANN recall {recall} vs brute force too low"
 
 
 def test_neardup_banded_recall_is_exact(spark, sf_dir, duck):
