@@ -74,3 +74,35 @@ def test_coverage_doc_matches_registry():
     assert with_oracle == len(o), f"COVERAGE.md says {with_oracle} oracles, registry has {len(o)}"
     assert rows_only == len(q) - len(o)
     assert set(o) <= set(q)
+
+
+def test_agg_fast_mode(spark, sf_dir):
+    """'fast' agg mode (IEEE double partials) must agree with the
+    default exact mode to float tolerance, and the switch must be
+    reversible — exact stays the default the oracle gate relies on."""
+    from labelmain_spark.operators import aggregates, parity
+
+    assert parity.agg_mode() == "exact"
+    exact = {
+        tuple(r[:-1]): r[-1]
+        for r in aggregates.rollup_agg(spark, sf_dir)
+        .collect()
+    }
+    try:
+        parity.set_agg_mode("fast")
+        fast = {
+            tuple(r[:-1]): r[-1]
+            for r in aggregates.rollup_agg(spark, sf_dir)
+            .collect()
+        }
+    finally:
+        parity.set_agg_mode("exact")
+    assert fast.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(fast[k] - v) <= 1e-6 * max(1.0, abs(v)), (k, fast[k], v)
+    assert parity.agg_mode() == "exact"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parity.set_agg_mode("approximate")
