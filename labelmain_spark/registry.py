@@ -73,22 +73,36 @@ PRIORITY = [
     # boundary r4: it is a single LIKE predicate whose pushdown shape
     # filter_nonempty/filter_null already pin, and LIKE filters run
     # inside several in-window queries (scan_project, regex family).
-    "filter_nonempty", "filter_null", "incremental_filter",
+    # filter_null (P10) moved out r5: filter_nonempty pins the same
+    # null/empty predicate-pushdown shape, and IS NULL predicates run
+    # inside in-window queries (merge, label_consolidate).
+    "filter_nonempty", "incremental_filter",
     # aggregates (A2-A8, map/array families) — group_count (A6) moved
-    # out r4: count_sum (A5) runs count+sum over the same grouped
-    # shuffle, a strict superset of the driver surface.
-    "count_sum", "count_distinct", "wallet_map",
+    # out r4 (count_sum is a strict superset); wallet_map (S4/A2)
+    # moved out r5: collect_nested pins grouped list-collect and
+    # merge_addtoset pins set-semantics accumulation — wallet_map's
+    # grouped collect_set is covered twice over.
+    "count_sum", "count_distinct",
     "collect_nested", "rollup_agg",
     # projections / scalar families (P1-P7, §2.8) — string_concat moved
-    # out r4 (string_norm + regex_extract + json_extract + date_trunc
-    # keep four scalar-family rows in window).
+    # out r4; reshape_3col (P7) moved out r5: parse_html_reports
+    # produces the identical positional 3-col reshape from the same
+    # rows (its oracle pins the shape) with a strictly larger surface.
     "regex_extract", "regex_max_page", "string_norm",
-    "json_extract", "reshape_3col", "parse_html_reports",
-    # joins (J1, J3, J4)
-    "join_inner", "join_anti", "join_asof",
-    # windows + event-time (W1-W3, T6, date family)
-    "window_rank", "window_lag", "window_running", "window_tumbling",
-    "date_trunc",
+    "json_extract", "parse_html_reports",
+    # joins (J1, J3, J4) — join_asof (J4) moved out r5, per the r4
+    # verdict's redundancy list: join_range pins the same
+    # time-conditioned join family and both stay locally
+    # oracle-verified; the freed row buys attribution_join (T8), the
+    # STREAM-capable interval join that subsumes the as-of shape.
+    "join_inner", "join_anti",
+    # windows + event-time (W1-W3, T6, date family) — window_lag (W2)
+    # moved out r5 per the r4 verdict pair: window_running pins the
+    # same per-key sort/shuffle with a harder frame spec; lag/lead
+    # also runs inside sessionize and window_session locally.
+    # date_trunc moved out r5: window_tumbling IS date-bin grouping
+    # (same truncation family), and date_arith stays locally green.
+    "window_rank", "window_running", "window_tumbling",
     # set ops (§2.7, all three semantics in one key)
     "set_ops",
     # merge sinks + TTL dedup (S6-S8, A4, J2, T2)
@@ -101,18 +115,32 @@ PRIORITY = [
     "tfidf_topk", "pii_scrub",
     # web corpus stats (§2.11, C4-style)
     "domain_stats",
-    # dedup family + decontamination (§2.11)
+    # dedup family + decontamination (§2.11) — r5 promotes the round-4
+    # corpus operators that had no driver-verified row (r4 verdict
+    # item 2): paragraph dedup + reassembly, LSH cluster closure,
+    # duplicate-substring detection (Lee et al.), token-budget shard
+    # packing, the corpus e2e pipeline, the funnel NFA, and the
+    # stream-stream attribution join.
     "dedup_exact", "dedup_minhash", "ngram_jaccard", "contamination_check",
+    "dedup_paragraph", "dedup_clusters", "duplicate_spans",
+    "shard_pack", "corpus_pipeline",
+    "funnel_match", "attribution_join",
     # embeddings / similarity (§2.11) — embedding_centroid moved out
     # r4 (family keeps similarity_topk + embedding_neardup rows).
     "similarity_topk", "embedding_neardup",
     # sampling (training-data splits)
     "sample_stratified",
-    # multimodal + UDF surface (§2.10)
-    "multimodal_meta", "udf_scalar", "udaf_grouped", "udaf_grouped_agg",
+    # multimodal + UDF surface (§2.10) — udaf_grouped (applyInPandas)
+    # moved out r5: udf_scalar (SCALAR), udaf_grouped_agg
+    # (GROUPED_AGG) and parse_html_reports (mapInPandas) keep three
+    # Python-surface rows in window; the grouped-map path stays
+    # locally oracle-verified and property-tested.
+    "multimodal_meta", "udf_scalar", "udaf_grouped_agg",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
+    "join_asof", "window_lag", "filter_null", "wallet_map",
+    "reshape_3col", "date_trunc", "udaf_grouped",
     "region_revenue", "embedding_centroid", "group_count", "filter_contains",
     "string_concat", "histogram_bins",
     "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
@@ -123,10 +151,9 @@ PRIORITY = [
     "customer_distribution", "top_supplier", "join_salted",
     "set_union", "set_except", "set_intersect",
     "quality_repetition", "quality_unigram_nll",
-    "dedup_paragraph", "boilerplate_strip", "dedup_clusters", "shard_pack", "mix_sources",
-    "corpus_pipeline", "quality_model_score", "attribution_join",
-    "attribution_join_outer", "duplicate_spans", "remove_duplicate_spans",
-    "funnel_match",
+    "boilerplate_strip", "mix_sources",
+    "quality_model_score", "attribution_join_outer",
+    "remove_duplicate_spans",
 ]
 
 
