@@ -1,0 +1,168 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling") —
+the hashed-n-gram importance-weighting step modern pretraining
+pipelines use to up-sample raw-corpus documents that look like a
+high-quality target corpus (SURVEY §2.11 north-star adjunct; the
+reference repo has no analogue — this extends the LLM-pipeline family
+the brief mandates).
+
+Semantics implemented:
+
+- features: word BIGRAMS, hashed into ``DSIR_BUCKETS`` buckets (the
+  paper's hashed n-gram generative model) via the engine-portable
+  md5-hex construction shared with functions/sampling.py;
+- target distribution: the ``lang = 'en'`` slice of the corpus (the
+  fixture's stand-in for "formal text" — a real pipeline passes a
+  curated target corpus; the plan is identical);
+- per-bucket log-likelihood ratio with add-one smoothing:
+  ``llr[b] = ln((n_t[b]+1)/(T+B)) − ln((n_r[b]+1)/(R+B))``
+  (T, R = total target/raw bigram occurrences, B = bucket count);
+- per-document log importance weight = Σ llr[bucket(gram)] over the
+  doc's bigram OCCURRENCES (the paper's bag-of-hashed-ngrams model);
+- selection: top ``DSIR_KEEP_N`` docs by weight (deterministic
+  doc_id tie-break). The paper resamples with Gumbel noise; the
+  deterministic top-k is the same plan with the noise term folded
+  into the sort key, and is what the oracle can reproduce exactly.
+
+Cross-engine determinism: ``ln`` may differ between JVM and libm in
+the final ulp, so each of the 256 bucket llr values is stable_round-ed
+to 1e-6 BEFORE the per-doc sum (a 1-ulp input error would otherwise
+face a ~5e-13 decimal-rounding cliff after a scale-12 cast); the
+per-doc sum then runs in decimal so executor summation order cannot
+move the result (operators/parity.py rationale).
+
+Scale shape (100 TB): the bigram explode is a narrow map; bucket
+counts are two partial aggs onto B=256 rows (boilerplate-hot buckets
+collapse map-side — the same argument as paragraph dedup); the llr
+table is 256 rows and broadcasts unconditionally; the per-doc sum is
+ONE shuffle keyed by doc_id; selection is TakeOrderedAndProject (a
+per-partition top-k heap + driver merge of k·partitions rows), never
+a global sort. No window over the corpus, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from labelmain_spark.operators.parity import DEC, sql_stable_round, stable_round
+from labelmain_spark.sources.readers import load_table
+
+DSIR_BUCKETS = 256
+DSIR_KEEP_N = 100
+_TARGET_PRED_SPARK = "lang = 'en'"
+_TARGET_PRED_DUCK = "lang = 'en'"
+
+
+def _bucket_expr(gram: str, engine: str) -> str:
+    """gram → [0, DSIR_BUCKETS) via the first 4 md5 hex digits — the
+    same portable construction as sampling._hash_bp_expr, mod B."""
+    m = f"md5(concat('dsir:', {gram}))"
+    digit = "(instr('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(m=m, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"(({val}) % {DSIR_BUCKETS})"
+
+
+def _bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, b) — one row per bigram OCCURRENCE with its
+    hash bucket. Narrow map + explode; the raw text never leaves the
+    scan stage (only 16-bit bucket ids flow into any shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t")
+    )
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty,
+    # so a single-token doc must take the explicit empty branch
+    grams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(grams).alias("g"),
+    ).select("doc_id", "lang", F.expr(_bucket_expr("g", "spark")).alias("b"))
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-DSIR_KEEP_N documents by hashed-bigram log importance
+    weight: (doc_id, n_grams, weight)."""
+    occ = _bigram_buckets(spark, sf_dir)
+    counts = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.expr(f"CASE WHEN {_TARGET_PRED_SPARK} THEN 1 ELSE 0 END")).alias("n_t"),
+    )
+    totals = counts.agg(
+        F.sum("n_r").alias("tot_r"), F.sum("n_t").alias("tot_t")
+    )
+    llr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        stable_round(
+            F.log((F.col("n_t") + 1) / (F.col("tot_t") + DSIR_BUCKETS))
+            - F.log((F.col("n_r") + 1) / (F.col("tot_r") + DSIR_BUCKETS)),
+            6,
+        ).alias("llr"),
+    )
+    per_doc = (
+        occ.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("llr").cast(DEC)).cast("double").alias("w"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_grams", stable_round(F.col("w"), 4).alias("weight")
+        )
+        .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+        .limit(DSIR_KEEP_N)
+    )
+
+
+_SQL_OCC = f"""
+        SELECT doc_id, lang, {_bucket_expr('g', 'duck')} AS b
+        FROM (
+            SELECT doc_id, lang, unnest(list_transform(
+                range(1, greatest(len(toks), 1)),
+                i -> toks[i] || ' ' || toks[i + 1]
+            )) AS g
+            FROM (
+                SELECT doc_id, lang,
+                       string_split(coalesce(text, ''), ' ') AS toks
+                FROM documents
+            )
+        )
+"""
+
+ORACLE = {
+    "dsir_weights": f"""
+        WITH occ AS ({_SQL_OCC}),
+        counts AS (
+            SELECT b, COUNT(*) AS n_r,
+                   SUM(CASE WHEN {_TARGET_PRED_DUCK} THEN 1 ELSE 0 END) AS n_t
+            FROM occ GROUP BY b
+        ),
+        tot AS (SELECT SUM(n_r) AS tot_r, SUM(n_t) AS tot_t FROM counts),
+        llr AS (
+            SELECT b,
+                   {sql_stable_round(
+                       "ln((n_t + 1) / CAST(tot_t + " + str(DSIR_BUCKETS) + " AS DOUBLE))"
+                       " - ln((n_r + 1) / CAST(tot_r + " + str(DSIR_BUCKETS) + " AS DOUBLE))",
+                       6,
+                   )} AS llr
+            FROM counts, tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               {sql_stable_round("CAST(SUM(CAST(llr AS DECIMAL(28,6))) AS DOUBLE)", 4)} AS weight
+        FROM occ JOIN llr USING (b)
+        GROUP BY doc_id
+        ORDER BY weight DESC, doc_id ASC
+        LIMIT {DSIR_KEEP_N}
+    """,
+}
+
+QUERIES = {"dsir_weights": dsir_weights}

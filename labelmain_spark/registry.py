@@ -50,6 +50,7 @@ _MODULES = [
     "labelmain_spark.functions.quality_model",
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
+    "labelmain_spark.functions.importance",
     "labelmain_spark.functions.graph",
     "labelmain_spark.functions.substrings",
     "labelmain_spark.streaming.joins",
@@ -153,7 +154,7 @@ PRIORITY = [
     "quality_repetition", "quality_unigram_nll",
     "boilerplate_strip", "mix_sources",
     "quality_model_score", "attribution_join_outer",
-    "remove_duplicate_spans",
+    "remove_duplicate_spans", "dsir_weights",
 ]
 
 
