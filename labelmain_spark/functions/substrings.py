@@ -6,23 +6,26 @@ corpus (across OR within documents). Downstream, those spans are cut
 from all-but-one occurrence; here the operator emits the span map.
 
 Algorithm (hash prefix-doubling — the suffix-automaton-free
-distributed form):
+distributed form), on two independent 64-bit lanes:
 
-    h_1(i)   = md5(token_i)
-    h_2k(i)  = md5(h_k(i) || h_k(i+k))        # k = 1,2,4,8,16
-    h_L(i) identifies position i's L-token prefix exactly (md5-chain
-    collisions at 2^-128 are not a real failure mode).
+    h_1(i)   = xxhash64(token_i)              # lane 2 mixes a literal
+    h_2k(i)  = xxhash64(h_k(i), h_k(i+k))     # k = 1,2,4,8,16
+    (h1_L(i), h2_L(i)) identifies position i's L-token prefix: a
+    collision must hit BOTH lanes at once (~2^-128 per pair — not a
+    real failure mode; r1-r4 used an md5-hex chain, replaced r5
+    because 5 rounds of md5-on-64-char-concat per position were pure
+    CPU churn: 5.77 s → 2.60 s on the 5× corpus from the swap alone).
 
 Spans never cross documents, so h_k(i+k) is ``lead(h, k)`` over a
 per-document window — the WHOLE log2(L)-round chain compiles to ONE
 shuffle (partition by doc_id) followed by log2(L) window passes over
 the same sort order (Catalyst stacks same-spec Window operators with
-no re-exchange; a ``lead`` at the doc tail is null, concat propagates
-it, and the null rows ARE the positions with no full L-token span).
-Rows carry one 32-char digest — never text — vs the L× payload blowup
+no re-exchange; a ``lead`` at the doc tail is null and the explicit
+null guard drops those positions — they have no full L-token span).
+Rows carry 16 bytes of digest — never text — vs the L× payload blowup
 of materializing every L-token window string (the naive explode
 carries ~L tokens per position: 32× the corpus through its shuffle).
-No self-joins, no iteration state, no persists.
+No self-joins, no iteration state.
 
 The DuckDB oracle computes the SAME output by the naive algorithm
 (explode every window, md5 the joined string, group) — two independent
@@ -58,36 +61,64 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spans_and_groups(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """``spans`` = (doc_id, pos, h) for every full-span position
+    """``spans`` = (doc_id, pos, h1, h2) for every full-span position
     (persisted — every consumer is a diamond over it); ``groups`` =
-    (h, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence hashes,
-    rep = globally-first occurrence. Callers must reference ``groups``
-    ONCE per output plan — it aggregates the cached spans, and a
-    second reference re-runs that shuffle."""
+    (h1, h2, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence
+    hashes, rep = globally-first occurrence. Callers must reference
+    ``groups`` ONCE per output plan — it aggregates the cached spans,
+    and a second reference re-runs that shuffle.
+
+    The doubling rounds run on TWO independent xxhash64 lanes over
+    LONGS (128 combined bits; group identity is the (h1, h2) pair),
+    not md5 over hex strings: md5-on-64-char-concat per round cost
+    ~5× DuckDB's single md5-per-window at toy scale (measured r5 —
+    the Spark-vs-oracle gap on this key was mostly the chain's string
+    churn: 5.77 s → 2.60 s on the 5× corpus from this change alone,
+    and the Spark/DuckDB ratio crossed below 1.0 there). Lane 2
+    mixes a literal into every round so the lanes never collide in
+    lockstep; a birthday collision needs ~2^64 positions per lane
+    pair — 16 bytes/position also halves the persisted/shuffled
+    payload vs one 32-char digest."""
     from pyspark.sql import Window as W
 
     L = DUP_SPAN_L
     w = W.partitionBy("doc_id").orderBy("pos")
     df = _positions(spark, sf_dir).select(
-        "doc_id", "pos", F.md5("tok").alias("h")
+        "doc_id",
+        "pos",
+        F.xxhash64("tok").alias("h1"),
+        F.xxhash64(F.lit(1), "tok").alias("h2"),
     )
     k = 1
     while k < L:
         # null lead at the doc tail → null h: the position has no full
-        # L-token span and drops at the filter below.
-        df = df.withColumn("h", F.md5(F.concat(F.col("h"), F.lead("h", k).over(w))))
+        # L-token span and drops at the filter below. (xxhash64 SKIPS
+        # null inputs rather than propagating them, so the guard must
+        # be explicit.)
+        n1, n2 = F.lead("h1", k).over(w), F.lead("h2", k).over(w)
+        df = df.select(
+            "doc_id",
+            "pos",
+            F.when(n1.isNull(), F.lit(None).cast("long"))
+            .otherwise(F.xxhash64("h1", n1))
+            .alias("h1"),
+            F.when(n2.isNull(), F.lit(None).cast("long"))
+            .otherwise(F.xxhash64(F.lit(1), "h2", n2))
+            .alias("h2"),
+        )
         k *= 2
-    spans = df.filter(F.col("h").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = df.filter(F.col("h1").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
 
     groups = (
-        spans.groupBy("h")
+        spans.groupBy("h1", "h2")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_dups"),
             F.min(F.struct("doc_id", "pos")).alias("rep"),
         )
         .filter(F.col("n_dups") >= 2)
         .select(
-            "h",
+            "h1",
+            "h2",
             "n_dups",
             F.col("rep.doc_id").alias("rep_doc_id"),
             F.col("rep.pos").alias("rep_pos"),
@@ -108,17 +139,18 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     reps = (
-        groups.select("h", "n_dups", F.col("rep_doc_id").alias("doc_id"), F.col("rep_pos").alias("pos"))
+        groups.select("h1", "h2", "n_dups", F.col("rep_doc_id").alias("doc_id"), F.col("rep_pos").alias("pos"))
         .join(docs, "doc_id")
         .select(
-            "h",
+            "h1",
+            "h2",
             "n_dups",
             F.md5(
                 F.array_join(F.slice("toks", F.col("pos") + 1, DUP_SPAN_L), " ")
             ).alias("gram_md5"),
         )
     )
-    return spans.join(reps, "h").select("doc_id", "pos", "gram_md5", "n_dups")
+    return spans.join(reps, ["h1", "h2"]).select("doc_id", "pos", "gram_md5", "n_dups")
 
 
 def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +172,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = DUP_SPAN_L
     spans, groups = _spans_and_groups(spark, sf_dir)
     cuts = (
-        spans.join(groups, "h")
+        spans.join(groups, ["h1", "h2"])
         .filter(
             ~((F.col("doc_id") == F.col("rep_doc_id")) & (F.col("pos") == F.col("rep_pos")))
         )
