@@ -71,6 +71,9 @@ HEADLINE = [
     "duplicate_spans",
     "remove_duplicate_spans",
     "funnel_match",
+    "dsir_weights",
+    "validate_constraints",
+    "dedup_incremental",
 ]
 
 

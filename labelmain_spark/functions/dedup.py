@@ -83,6 +83,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_NEW_BP = 1000  # newest 10% of the doc_id hash keyspace = today's batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the daily-crawl shape: dedupe TODAY'S
+    batch against the full historical corpus without re-deduping
+    history. "Today" is the lowest ``INCR_NEW_BP`` basis points of the
+    doc_id hash keyspace (the fixture stand-in for an arrival
+    partition); history is everything else. Each new doc gets a
+    status: ``dup_of_history`` (its digest exists anywhere in
+    history), ``dup_in_batch`` (another new doc with a smaller doc_id
+    shares the digest), else ``new``.
+
+    Scale shape: history flows as a DIGEST-ONLY projection (32 bytes/
+    doc) into a distinct + left join keyed by digest — in production
+    the history digests live in the bucketed label-store layout
+    (labelstore/layout.py), making the probe co-located with no
+    history rescan; the within-batch keep-first is a min partial agg
+    on the (small) batch. Nothing touches historical TEXT, ever."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    is_new = F.expr(_hash_bp_expr("doc_id", "spark", salt="incr:")) < INCR_NEW_BP
+    new = docs.filter(is_new)
+    hist = docs.filter(~is_new).select("h").distinct().withColumn("in_hist", F.lit(1))
+    first = new.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        new.join(hist, "h", "left")
+        .join(first, "h")
+        .select(
+            "doc_id",
+            "h",
+            F.when(F.col("in_hist") == 1, "dup_of_history")
+            .when(F.col("doc_id") != F.col("first_doc"), "dup_in_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+
+
 def _shingles_from_tokens(t: Column) -> Column:
     """Distinct word 3-gram shingles from a MATERIALIZED token array.
 
@@ -569,6 +611,7 @@ QUERIES = {
     "dedup_paragraph": dedup_paragraph,
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
+    "dedup_incremental": dedup_incremental,
 }
 
 # SimHash oracle: DuckDB reproduces the 60-bit bit-vote exactly —
@@ -639,6 +682,22 @@ ORACLE = {
         SELECT sha256(lower(trim(text))) AS h,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    "dedup_incremental": """
+        WITH d AS (
+            SELECT doc_id, sha256(lower(trim(text))) AS h,
+                   (((instr('0123456789abcdef', substr(md5(concat('incr:', CAST(doc_id AS VARCHAR))), 1, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5(concat('incr:', CAST(doc_id AS VARCHAR))), 2, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5(concat('incr:', CAST(doc_id AS VARCHAR))), 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5(concat('incr:', CAST(doc_id AS VARCHAR))), 4, 1)) - 1) * 1) % 10000) AS hb
+            FROM documents
+        ),
+        n AS (SELECT doc_id, h FROM d WHERE hb < 1000),
+        hist AS (SELECT DISTINCT h FROM d WHERE hb >= 1000),
+        f AS (SELECT h, MIN(doc_id) AS first_doc FROM n GROUP BY h)
+        SELECT n.doc_id, n.h,
+               CASE WHEN hist.h IS NOT NULL THEN 'dup_of_history'
+                    WHEN n.doc_id <> f.first_doc THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM n LEFT JOIN hist ON n.h = hist.h
+        JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
     "dedup_simhash": f"""

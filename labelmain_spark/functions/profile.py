@@ -90,8 +90,81 @@ def _sql_profile_col(c: str) -> str:
         FROM events"""
 
 
-QUERIES = {"profile_stats": profile_stats}
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate — the check suite an
+    ingest pipeline runs before publishing a drop (AWS Deequ /
+    "Unit tests for data" pattern, re-expressed as ONE Spark
+    aggregation): every constraint compiles to an aggregate expression,
+    all of them ride a single partial→final HashAggregate over one
+    scan (N constraints never cost N scans), and the long-format
+    result is (constraint, metric, passed).
+
+    Constraints over events (the ingest-shaped table):
+    - completeness: event_id / event_type / ts have no nulls
+    - uniqueness:   event_id is unique
+    - membership:   event_type within the known vocabulary
+    - range:        value is non-negative and finite
+
+    At 100 TB this is a map-side-combining single pass; the verdict
+    row set is O(constraints), so the gate itself never shuffles more
+    than a handful of partial rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    allowed = ["click", "error", "purchase", "signup", "view"]
+    n = F.count(F.lit(1))
+    checks = [
+        ("event_id_complete", F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)), 0),
+        ("event_type_complete", F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0)), 0),
+        ("ts_complete", F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)), 0),
+        ("event_id_unique", n - F.countDistinct("event_id"), 0),
+        (
+            "event_type_in_vocab",
+            F.sum(F.when(~F.col("event_type").isin(allowed), 1).otherwise(0)),
+            0,
+        ),
+        ("value_non_negative", F.sum(F.when(F.col("value") < 0, 1).otherwise(0)), 0),
+        ("value_finite", F.sum(F.when(F.isnan("value"), 1).otherwise(0)), 0),
+    ]
+    wide = ev.agg(
+        *[m.cast("long").alias(f"m_{i}") for i, (_, m, _) in enumerate(checks)]
+    )
+    rows = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.col(f"m_{i}").alias("n_violations"),
+            (F.col(f"m_{i}") <= F.lit(thr)).alias("passed"),
+        )
+        for i, (name, _, thr) in enumerate(checks)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+_SQL_CHECKS = [
+    ("event_id_complete", "SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)"),
+    ("event_type_complete", "SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)"),
+    ("ts_complete", "SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)"),
+    ("event_id_unique", "COUNT(*) - COUNT(DISTINCT event_id)"),
+    (
+        "event_type_in_vocab",
+        "SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')"
+        " THEN 1 ELSE 0 END)",
+    ),
+    ("value_non_negative", "SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)"),
+    ("value_finite", "SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END)"),
+]
+
+
+QUERIES = {
+    "profile_stats": profile_stats,
+    "validate_constraints": validate_constraints,
+}
 
 ORACLE = {
     "profile_stats": "\nUNION ALL\n".join(_sql_profile_col(c) for c in PROFILE_COLS),
+    "validate_constraints": "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS constraint,
+               CAST(COALESCE({expr}, 0) AS BIGINT) AS n_violations,
+               COALESCE({expr}, 0) <= 0 AS passed
+        FROM events"""
+        for name, expr in _SQL_CHECKS
+    ),
 }

@@ -154,7 +154,8 @@ PRIORITY = [
     "quality_repetition", "quality_unigram_nll",
     "boilerplate_strip", "mix_sources",
     "quality_model_score", "attribution_join_outer",
-    "remove_duplicate_spans", "dsir_weights",
+    "remove_duplicate_spans", "dsir_weights", "validate_constraints",
+    "dedup_incremental",
 ]
 
 
