@@ -88,11 +88,31 @@ def _bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-DSIR_KEEP_N documents by hashed-bigram log importance
-    weight: (doc_id, n_grams, weight)."""
+    weight: (doc_id, n_grams, weight).
+
+    The bigram occurrences are a diamond (bucket counts AND the
+    per-doc sum both need them), so they are first collapsed to
+    per-(doc, bucket) partial counts — ONE corpus scan, one shuffle
+    keyed by (doc_id, b), and a table ~gram-count/bucket-hit smaller
+    than the raw occurrences — then persisted; the global bucket
+    counts re-aggregate THAT (partial-agg onto 256 rows) and the
+    per-doc weight is Σ cnt·llr over the same cached rows. (The first
+    cut consumed the raw explode twice: two full corpus scans,
+    measured 4.1 s vs 2.2 s at sf0.1.)"""
+    from pyspark import StorageLevel
+
     occ = _bigram_buckets(spark, sf_dir)
-    counts = occ.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.expr(f"CASE WHEN {_TARGET_PRED_SPARK} THEN 1 ELSE 0 END")).alias("n_t"),
+    docb = (
+        occ.groupBy("doc_id", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr(f"CASE WHEN {_TARGET_PRED_SPARK} THEN 1 ELSE 0 END")).alias("cnt_t"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docb.count()  # prime before the diamond branches race the cache
+    counts = docb.groupBy("b").agg(
+        F.sum("cnt").alias("n_r"), F.sum("cnt_t").alias("n_t")
     )
     totals = counts.agg(
         F.sum("n_r").alias("tot_r"), F.sum("n_t").alias("tot_t")
@@ -106,11 +126,11 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("llr"),
     )
     per_doc = (
-        occ.join(F.broadcast(llr), "b")
+        docb.join(F.broadcast(llr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.col("llr").cast(DEC)).cast("double").alias("w"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("llr").cast(DEC) * F.col("cnt")).cast("double").alias("w"),
         )
     )
     return (
