@@ -337,3 +337,53 @@ def test_funnel_match_one_scan_one_shuffle(spark, sf_dir):
     n_broadcast = plan.count("BroadcastExchange")
     assert plan.count("Exchange") - n_broadcast == 1, plan
     checks.assert_no_python_eval(df)
+
+
+def test_validate_constraints_single_scan_single_agg(spark, sf_dir):
+    """All N constraints must ride ONE aggregation over ONE scan —
+    never a per-constraint pass (the Deequ contract)."""
+    from labelmain_spark.functions.profile import validate_constraints
+
+    df = validate_constraints(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    checks.assert_no_python_eval(df)
+
+
+def test_dedup_incremental_history_reads_digest_only(spark, sf_dir):
+    """The history side must flow as digests: text is read at the scan
+    (to hash) but the plan may contain no collect, no python, no
+    cartesian, and the new-batch predicate must prune at the scan."""
+    from labelmain_spark.functions.dedup import dedup_incremental
+
+    df = dedup_incremental(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"})
+
+
+def test_dsir_weights_one_corpus_scan_and_topk(spark, sf_dir):
+    """The bigram diamond must be collapsed: one FileScan feeds the
+    persisted per-(doc,bucket) counts (a second scan = the 4.1s r5
+    regression this pin guards), llr joins broadcast, selection is a
+    top-k heap, no Python anywhere."""
+    from labelmain_spark.functions.importance import dsir_weights
+
+    spark.catalog.clearCache()
+    df = dsir_weights(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan text reprints the persisted relation's recipe (with its
+    # FileScan) under every InMemoryTableScan, so count CACHE READS:
+    # both diamond branches must read the cached per-(doc,bucket)
+    # table rather than re-running the explode.
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    # each cache reprint re-lists the docb shuffle, so the textual
+    # count overstates executed exchanges ~2-3×; the loose bound still
+    # catches a re-exploded diamond (which adds scan+shuffle per branch)
+    n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_exchange <= 12, plan[:2000]
+    checks.assert_take_ordered(df)
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
