@@ -457,6 +457,143 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_K = 16
+SEM_THRESHOLD = 0.4
+
+
+def _sem_centroids() -> list[list[float]]:
+    """SEM_K seeded gaussian cluster centers, frozen at import and
+    inlined as literals into BOTH engines (the neardup-planes pattern).
+    A production SemDeDup fits k-means first (ann_ivf_topk shows the
+    MLlib path); frozen random centers keep the operator fully
+    oracle-checkable and exercise the identical plan — the paper's
+    result depends on the cluster-then-pairwise structure, not on
+    centroid quality."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    return [[float(x) for x in row] for row in rng.standard_normal((SEM_K, 64))]
+
+
+_SEM_CENTROIDS = _sem_centroids()
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): assign every
+    embedding to its nearest cluster center, then WITHIN each cluster
+    flag semantic duplicates — a vector is removed when a same-cluster
+    neighbor with cosine ≥ SEM_THRESHOLD outranks it (lower
+    centroid-similarity wins, the paper's keep-the-atypical rule;
+    vec_id breaks ties). Output: (vec_id, cluster, c2c, removed) for
+    every vector — the audit table whose `removed` column IS the
+    dedup decision.
+
+    Scale shape: assignment is a narrow map against SEM_K literal
+    centroids (no fit job at query time); the pairwise stage is the
+    paper's blocking structure — all-pairs only WITHIN a cluster, via
+    one self-join keyed by cluster id, so cost is Σ|cluster|², bounded
+    by choosing k ∝ N/target_cluster_size at fit time (the 100 TB
+    deployment fits k-means on a sample — ann_ivf_topk's quantizer —
+    and k is millions, keeping clusters O(thousands)). Vectors ride
+    the cluster join once; the exists-style removal is a semi-join.
+
+    Determinism: per-centroid cosines are stable_round-ed to 1e-6
+    before the argmax (first-max-position tie rule in both engines),
+    pair cosines to 1e-4 before the threshold — raw-double argmax
+    would hinge engine agreement on last-ulp summation order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    import math
+
+    vnorm = _norm(F.col("v"))
+    sims = F.array(
+        *[
+            stable_round(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                / (vnorm * F.lit(math.sqrt(sum(x * x for x in c)))),
+                6,
+            )
+            for c in _SEM_CENTROIDS
+        ]
+    )
+    assigned = e.select(
+        "vec_id",
+        "v",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+        F.array_max(sims).alias("c2c"),
+    )
+    a = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("c2c").alias("c2c_a"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("c2c").alias("c2c_b"),
+    )
+    removed_ids = (
+        a.join(b, ["cl"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(stable_round(cosine(F.col("va"), F.col("vb")), 4) >= SEM_THRESHOLD)
+        .filter(
+            (F.col("c2c_a") < F.col("c2c_b"))
+            | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return assigned.join(removed_ids, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        stable_round(F.col("c2c"), 4).alias("c2c"),
+        F.coalesce(F.col("rm") == 1, F.lit(False)).alias("removed"),
+    )
+
+
+def _sql_sem_cos(c: list[float]) -> str:
+    import math
+
+    lit = "[" + ", ".join(repr(x) for x in c) + "]"
+    return sql_stable_round(
+        f"(list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {math.sqrt(sum(x * x for x in c))!r}))",
+        6,
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    sims = "[" + ", ".join(_sql_sem_cos(c) for c in _SEM_CENTROIDS) + "]"
+    pair_cos = sql_stable_round(
+        "(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))))",
+        4,
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), s AS (
+            SELECT vec_id, v, {sims} AS cl_sims FROM e
+        ), a AS (
+            SELECT vec_id, v,
+                   CAST(list_position(cl_sims, list_max(cl_sims)) - 1 AS INTEGER) AS cluster,
+                   list_max(cl_sims) AS c2c
+            FROM s
+        ), rm AS (
+            SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            WHERE {pair_cos} >= {SEM_THRESHOLD}
+              AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id))
+        )
+        SELECT a.vec_id, a.cluster,
+               {sql_stable_round('a.c2c', 4)} AS c2c,
+               (rm.vec_id IS NOT NULL) AS removed
+        FROM a LEFT JOIN rm ON a.vec_id = rm.vec_id
+    """
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "embedding_centroid": embedding_centroid,
@@ -464,9 +601,11 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: LSH plane constants are impractical to inline in SQL
     "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLE = {
+    "semantic_dedup": _sql_semantic_dedup(),
     "similarity_topk": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -155,7 +155,7 @@ PRIORITY = [
     "boilerplate_strip", "mix_sources",
     "quality_model_score", "attribution_join_outer",
     "remove_duplicate_spans", "dsir_weights", "validate_constraints",
-    "dedup_incremental",
+    "dedup_incremental", "semantic_dedup",
 ]
 
 
