@@ -92,18 +92,29 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bigram occurrences are a diamond (bucket counts AND the
     per-doc sum both need them), so they are first collapsed to
-    per-(doc, bucket) partial counts — ONE corpus scan, one shuffle
-    keyed by (doc_id, b), and a table ~gram-count/bucket-hit smaller
-    than the raw occurrences — then persisted; the global bucket
-    counts re-aggregate THAT (partial-agg onto 256 rows) and the
-    per-doc weight is Σ cnt·llr over the same cached rows. (The first
-    cut consumed the raw explode twice: two full corpus scans,
-    measured 4.1 s vs 2.2 s at sf0.1.)"""
+    per-(doc, bucket) partial counts — ONE corpus scan and ONE wide
+    exchange, hashed on doc_id ALONE (r5: the r4 form hashed on
+    (doc_id, b), which downstream ``groupBy(doc_id)`` could not
+    reuse, so the plan paid a second wide shuffle; doc_id
+    partitioning satisfies the (doc_id, b) clustering — same-doc
+    rows land together — AND survives the broadcast llr join, so the
+    final per-doc aggregate now runs exchange-free. Measured 3.3 s →
+    ~2.3 s at sf0.1). The persisted (doc, bucket) table is
+    ~gram-count/bucket-hit smaller than the raw occurrences; the
+    global bucket counts re-aggregate THAT (partial-agg onto 256
+    rows) and the per-doc weight is Σ cnt·llr over the same cached
+    rows. (An earlier cut consumed the raw explode twice: two full
+    corpus scans, measured 4.1 s; a HOF rewrite folding per-doc
+    bucket ARRAYS against a broadcast llr map had zero doc shuffles
+    but lost whole-stage codegen on the per-occurrence md5 —
+    interpreted lambdas measured 5.1 s. Codegen'd explode + one
+    doc_id exchange wins.)"""
     from pyspark import StorageLevel
 
     occ = _bigram_buckets(spark, sf_dir)
     docb = (
-        occ.groupBy("doc_id", "b")
+        occ.repartition("doc_id")
+        .groupBy("doc_id", "b")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.expr(f"CASE WHEN {_TARGET_PRED_SPARK} THEN 1 ELSE 0 END")).alias("cnt_t"),
