@@ -564,21 +564,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every doc that appears in ≥1 verified pair, its cluster id
     (= min doc_id of the component), the cluster size, and whether
     this doc is the cluster's canonical survivor."""
-    from labelmain_spark.functions.graph import connected_components
+    from pyspark import StorageLevel
 
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    from labelmain_spark.functions.graph import connected_components
+    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
+
+    # Persist + eagerly prime the verified pair set: the bipartite
+    # union reads it twice, and without the cache both branches
+    # re-evaluate the whole LSH-verify DAG (band join + 3-way jaccard
+    # join) concurrently against a cold cache — measured ~3 s of
+    # duplicated work at sf0.1. The pair table is tiny (near-dup pairs
+    # only), so this is the cheapest possible diamond point.
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pairs = pairs.count()
     pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
     edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
     )
     cc = connected_components(edges)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "component").select(
+    out = cc.join(sizes, "component").select(
         F.col("u").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
         (F.col("u") == F.col("component")).alias("is_canonical"),
     )
+    # The size rollup + join read the persisted label table twice —
+    # tiny after LSH pruning, so materialize them under the same
+    # measured small-plan conf the cc loop used (3.2 s → 0.8 s at
+    # sf0.1 under the session's AQE conf; see session.small_plan_conf).
+    # At 100 TB n_pairs blows the threshold and this is a plain lazy
+    # return under normal AQE.
+    if n_pairs <= SMALL_PLAN_ROWS:
+        with small_plan_conf(spark, True):
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()
+    return out
 
 
 def _sql_shingles(src: str = "text") -> str:

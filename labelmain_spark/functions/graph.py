@@ -53,12 +53,28 @@ def connected_components(
     aggregations are Catalyst partial-agg (map-side local min, then
     global min per key), so the hub key receives one partial row per
     upstream partition rather than the whole membership."""
+    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
+
     edges = edges.select("u", "p").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     comp = (
         edges.select("u").distinct().select("u", F.col("u").alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    comp.count()
+    # The node count this prime returns doubles as the runtime
+    # statistic gating the loop's execution conf: a fixpoint loop over
+    # a few hundred cached label rows is scheduling-bound under the
+    # session's AQE conf (each round fans into 7+ near-empty-task
+    # jobs), so small graphs iterate single-partition — see
+    # session.small_plan_conf for the measurement and the
+    # why-this-is-not-hand-scheduling argument.
+    n_nodes = comp.count()
+    with small_plan_conf(edges.sparkSession, n_nodes <= SMALL_PLAN_ROWS):
+        return _hash_min_loop(edges, comp, max_iter, stats)
+
+
+def _hash_min_loop(
+    edges: DataFrame, comp: DataFrame, max_iter: int, stats: dict | None
+) -> DataFrame:
     rounds = 0
     for _ in range(max_iter):
         comp_p = (

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -79,3 +80,42 @@ def release_caches(spark: SparkSession) -> None:
     and the test fixtures do; the correctness driver's per-key runs are
     short-lived."""
     spark.catalog.clearCache()
+
+
+SMALL_PLAN_ROWS = 200_000
+"""Row-count threshold below which an iterative/driver-coordinated
+plan over an already-MEASURED tiny table runs single-partition with
+AQE off — see ``small_plan_conf``."""
+
+
+@contextmanager
+def small_plan_conf(spark: SparkSession, small: bool):
+    """Run a block of tiny-table actions with 1 shuffle partition and
+    AQE disabled, restoring the session confs afterwards.
+
+    Why this exists: AQE materializes every exchange as its own job to
+    re-plan the next stage. That is exactly right for TB-scale stages
+    and exactly wrong for a driver-coordinated fixpoint loop whose
+    label table is a few hundred cached rows — each loop round became
+    7+ scheduling-bound jobs of 32 near-empty tasks (measured 2-3.7 s
+    per round on 512 rows at sf0.1; 1.3 s with this conf, and the
+    final cluster join dropped 3.2 s → 0.8 s).
+
+    This is NOT hand-scheduling the big-data path: callers gate on a
+    row count they have already measured (the same runtime statistic
+    AQE itself would use), so at 100 TB — where the same tables carry
+    billions of rows — the block runs with the session's normal AQE
+    conf. The decision is per-measurement, not per-SF.
+    """
+    if not small:
+        yield
+        return
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
