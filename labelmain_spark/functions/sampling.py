@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labelmain_spark.operators.parity import DEC, sql_stable_round, stable_round
 from labelmain_spark.sources.readers import load_table
 
 HASH_MOD = 10_000  # basis points of the keyspace
@@ -149,11 +150,77 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source RESAMPLING with replacement — the
+    mT5/XLM-R mixing rule (q_s ∝ p_s^(1/T), T = 2) that UP-samples
+    rare sources and down-samples dominant ones, emitting each doc
+    ``floor(c_s)`` times plus one more iff its hash falls under the
+    fractional remainder. ``mix_sources`` can only DROP rows
+    (rate ≤ 100%); this is the with-replacement half of the mixing
+    surface — the Pile/mT5 epoch-multiplier step.
+
+    Output: per-source audit (source, n_docs, copies_bp, n_emitted)
+    where copies_bp is the exact per-doc replication factor in basis
+    points and n_emitted the total rows the resampled corpus carries.
+    Σ n_emitted ≈ N (same-size output, redistributed).
+
+    Determinism: sqrt totals are summed in DECIMAL (order-free across
+    engines and partitionings — the parity.dsum rationale), the float
+    normalization is stable_round-ed to 4 dp and converted to EXACT
+    basis points via a DECIMAL(18,4)·10⁴ multiply (never float·10⁴,
+    whose ulp error would flip a floor), and the extra-copy draw
+    reuses the portable md5 basis-point hash with its own salt.
+
+    Scale: two tiny aggs (per-source counts → share table, |sources|
+    rows, broadcast back), then a narrow map: every doc computes its
+    copy count from the broadcast row — no shuffle on the doc axis at
+    all; the audit rollup is one algebraic agg keyed by source. The
+    row-level resample is the same ``n_copies`` expression fed to
+    ``explode(sequence(1, n_copies))`` in place of the rollup; the
+    explode multiplies data volume by design (that is what
+    resampling means) but adds no state and no skew beyond the
+    target shares themselves."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = src.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum(F.sqrt(F.col("n_s")).cast(DEC)).cast("double").alias("sq_tot"),
+    )
+    # c_s = q_s/p_s with q_s = sqrt(n_s)/Σsqrt(n_s), p_s = n_s/N
+    #     = N·sqrt(n_s) / (Σsqrt(n_s) · n_s) = N / (sq_tot · sqrt(n_s))
+    c_real = F.col("n_tot") / (F.col("sq_tot") * F.sqrt(F.col("n_s")))
+    shares = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            stable_round(c_real, 4).cast("decimal(18,4)") * HASH_MOD
+        ).cast("long").alias("copies_bp"),
+    )
+    h = F.expr(_hash_bp_expr("doc_id", "spark", salt="tmp:"))
+    return (
+        docs.join(F.broadcast(shares), "source")
+        .select(
+            "source",
+            "copies_bp",
+            (
+                F.expr(f"copies_bp DIV {HASH_MOD}")
+                + F.when(h < F.col("copies_bp") % HASH_MOD, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+        .groupBy("source", "copies_bp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_copies").cast("long").alias("n_emitted"),
+        )
+        .select("source", "n_docs", "copies_bp", "n_emitted")
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
     "split_train_val": split_train_val,
     "sample_stratified": sample_stratified,
     "mix_sources": mix_sources,
+    "mix_temperature": mix_temperature,
 }
 
 ORACLE = {
@@ -185,5 +252,31 @@ ORACLE = {
                              < {_mix_rate_bp("duck")} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM documents
         GROUP BY source, {_mix_rate_bp("duck")}
+    """,
+    "mix_temperature": f"""
+        WITH src AS (
+            SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n_s) AS n_tot,
+                   CAST(SUM(CAST(sqrt(n_s) AS DECIMAL(28,6))) AS DOUBLE) AS sq_tot
+            FROM src
+        ),
+        shares AS (
+            SELECT source,
+                   CAST(CAST({sql_stable_round(
+                       "n_tot / (sq_tot * sqrt(n_s))", 4
+                   )} AS DECIMAL(18,4)) * {HASH_MOD} AS BIGINT) AS copies_bp
+            FROM src, tot
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               copies_bp,
+               CAST(SUM(copies_bp // {HASH_MOD}
+                        + CASE WHEN {_hash_bp_expr("d.doc_id", "duck", salt="tmp:")}
+                               < copies_bp % {HASH_MOD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_emitted
+        FROM documents d JOIN shares ON d.source = shares.source
+        GROUP BY d.source, copies_bp
     """,
 }

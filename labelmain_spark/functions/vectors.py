@@ -594,6 +594,95 @@ def _sql_semantic_dedup() -> str:
     """
 
 
+KNN_K = 5
+KNN_Q_MOD = 100  # vec_id % 100 == 0 → the query set
+KNN_SALT = 8
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN: for EVERY vector in a query set (here
+    vec_id % KNN_Q_MOD == 0 — a stand-in for "the new batch" /
+    "the eval set"), the KNN_K nearest corpus vectors by cosine.
+    ``similarity_topk`` answers one query; this is the many-query
+    form production uses for cross-dataset near-dup checks and
+    retrieval-index evaluation. Exact brute-force scoring — the
+    correctness baseline the ANN paths are scored against; output
+    (q_id, vec_id, cos, rank).
+
+    Scale shape: the query set broadcasts (bounded — it is the small
+    side by construction; a large Q goes through ann_ivf's cell
+    routing instead); scoring is a narrow map over the corpus
+    (|corpus| × Q scalar rows, never arrays, enter any exchange).
+    The top-k reduction is SALTED two-phase — phase 1 ranks within
+    (q_id, salt) so no single reducer ever sees more than ~N/SALT
+    candidates of one query (the hot-key bound; same pattern as
+    join_salted), keeping ≤ KNN_K · KNN_SALT rows per query for
+    phase 2's final rank. A plain window over q_id would funnel the
+    whole corpus through Q reducers — the canonical top-k skew
+    trap at 1000 executors.
+
+    Determinism: cosines stable_round-ed to 4 dp before ranking,
+    vec_id ascending as tie-break — both phases and the oracle rank
+    identically. The salt only partitions phase 1 (any deterministic
+    salt yields the same final top-k), so it uses plain xxhash64 —
+    no cross-engine portability needed."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") % KNN_Q_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") % KNN_Q_MOD != 0)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        stable_round(cosine(F.col("v"), F.col("qv")), 4).alias("cos"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(KNN_SALT)).alias("salt"),
+    )
+    w1 = W.partitionBy("q_id", "salt").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= KNN_K)
+        .drop("_r1", "salt")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= KNN_K)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+_SQL_KNN_JOIN = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {KNN_Q_MOD} = 0
+    ),
+    scored AS (
+        SELECT q_id, vec_id,
+               {sql_stable_round(
+                   "(list_dot_product(v, qv) / "
+                   "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))",
+                   4,
+               )} AS cos
+        FROM e CROSS JOIN q
+        WHERE e.vec_id % {KNN_Q_MOD} <> 0
+    )
+    SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, vec_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_K}
+"""
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
     "embedding_centroid": embedding_centroid,
@@ -602,10 +691,12 @@ QUERIES = {
     "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "semantic_dedup": semantic_dedup,
+    "knn_join": knn_join,
 }
 
 ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
+    "knn_join": _SQL_KNN_JOIN,
     "similarity_topk": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -51,6 +51,7 @@ _MODULES = [
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
     "labelmain_spark.functions.importance",
+    "labelmain_spark.functions.chunking",
     "labelmain_spark.functions.graph",
     "labelmain_spark.functions.substrings",
     "labelmain_spark.streaming.joins",
@@ -155,7 +156,8 @@ PRIORITY = [
     "boilerplate_strip", "mix_sources",
     "quality_model_score", "attribution_join_outer",
     "remove_duplicate_spans", "dsir_weights", "validate_constraints",
-    "dedup_incremental", "semantic_dedup",
+    "dedup_incremental", "semantic_dedup", "mix_temperature",
+    "chunk_documents", "knn_join",
 ]
 
 

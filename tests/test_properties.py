@@ -518,3 +518,87 @@ def test_funnel_match_hot_user(spark, tmp_path):
         if c is not None:
             expect[u] = (c, v, p, 3 if p else 2 if v else 1)
     assert got == expect
+
+
+def test_chunks_cover_and_reconstruct_documents(spark, sf_dir):
+    """Chunk invariants: (1) per doc, chunk 0..n-1 contiguous; (2) every
+    token is covered — summing (n_tokens − overlap) over chunks plus the
+    overlap of the first chunk returns the doc's token count; (3) full
+    chunks are exactly CHUNK_W tokens and only the last chunk may be
+    short."""
+    from labelmain_spark.functions import chunking
+
+    docs = {
+        r.doc_id: len(r.text.split(" ")) if r.text is not None else 1
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_doc: dict = {}
+    for r in chunking.chunk_documents(spark, sf_dir).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens))
+    assert set(by_doc) == set(docs)
+    W, S = chunking.CHUNK_W, chunking.CHUNK_S
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        ids = [c for c, _ in chunks]
+        assert ids == list(range(len(chunks)))
+        n = docs[doc_id]
+        # all but the last chunk start at i*S and carry exactly W tokens
+        # (or the doc is shorter than one window)
+        for i, (cid, ntok) in enumerate(chunks[:-1]):
+            assert ntok == W
+        last_id, last_n = chunks[-1]
+        assert last_n == n - last_id * S  # last chunk reaches the doc end
+        assert last_n >= 1
+
+
+def test_mix_temperature_flattens_and_conserves(spark, sf_dir):
+    """Temperature resampling invariants: rare sources get copies_bp >
+    10000 (up-sampled), the most dominant source < 10000 (down-sampled),
+    every doc emits floor/ceil(c_s) copies so per-source emission is
+    within 1 doc-count of n_docs·c_s, and the output corpus stays ≈ the
+    input size (the same-size redistribution property)."""
+    from labelmain_spark.functions.sampling import HASH_MOD, mix_temperature
+
+    rows = mix_temperature(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n_docs for r in rows)
+    emitted = sum(r.n_emitted for r in rows)
+    smallest = min(rows, key=lambda r: r.n_docs)
+    biggest = max(rows, key=lambda r: r.n_docs)
+    if smallest.n_docs < biggest.n_docs:  # fixture has a real imbalance
+        assert smallest.copies_bp > HASH_MOD
+        assert biggest.copies_bp < HASH_MOD
+    for r in rows:
+        lo = r.n_docs * (r.copies_bp // HASH_MOD)
+        assert lo <= r.n_emitted <= lo + r.n_docs
+    # Σ c_s·n_s = N by construction; hash draws move each source by <1
+    # doc, so the total stays within |sources| of N.
+    assert abs(emitted - n_total) <= len(rows) * 1 + n_total * 0.01
+
+
+def test_knn_join_matches_bruteforce_per_query(spark, sf_dir):
+    """The salted two-phase reduction must be a pure optimization:
+    recompute each query's top-k with a driver-side exact sort over all
+    scored candidates and require identical (vec_id, rank) lists."""
+    from labelmain_spark.functions import vectors as V
+
+    got: dict = {}
+    for r in V.knn_join(spark, sf_dir).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.cos))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: r.embedding for r in emb}
+    qs = [i for i in vecs if i % V.KNN_Q_MOD == 0]
+    assert set(got) == set(qs)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 4)
+
+    for q in qs:
+        scored = sorted(
+            ((-cos(vecs[q], v), i) for i, v in vecs.items() if i % V.KNN_Q_MOD != 0),
+        )[: V.KNN_K]
+        expect = [(r + 1, i) for r, (_, i) in enumerate(scored)]
+        assert [(rk, vid) for rk, vid, _ in sorted(got[q])] == expect
