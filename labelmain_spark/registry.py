@@ -69,8 +69,12 @@ _MODULES = [
 # in-window components, ordered most-valuable-first in case the driver
 # checks more than 50.
 PRIORITY = [
-    # scans / order-limit (S1-S5, O1-O3)
-    "scan_project", "point_lookup", "order_limit", "topk",
+    # scans / order-limit (S1-S5, O1-O3) — order_limit (O1/O2) moved
+    # out late-r5: Spark compiles orderBy+limit into the same
+    # TakeOrderedAndProject physical shape topk pins, and ordered
+    # pagination also runs inside cursor_page locally; the freed row
+    # buys dsir_weights a driver-verified row.
+    "scan_project", "point_lookup", "topk",
     # filters (P8-P10, T3) — filter_contains (P9) moved past the
     # boundary r4: it is a single LIKE predicate whose pushdown shape
     # filter_nonempty/filter_null already pin, and LIKE filters run
@@ -109,8 +113,11 @@ PRIORITY = [
     "set_ops",
     # merge sinks + TTL dedup (S6-S8, A4, J2, T2)
     "merge_upsert", "merge_addtoset", "dedup_ttl",
-    # label store (flagship)
-    "label_consolidate", "label_stats",
+    # label store (flagship) — label_stats moved out late-r5: it is an
+    # algebraic rollup OVER label_consolidate's output, so its driver
+    # row re-verified a shape count_sum/rollup_agg already pin; the
+    # freed row buys semantic_dedup a driver-verified row.
+    "label_consolidate",
     # text analysis + quality + PII (§2.11) — tfidf_topk and pii_scrub
     # promoted r4 so the LLM-pipeline family gets driver-verified rows.
     "text_tokens", "text_quality", "lang_id", "doc_winnow",
@@ -128,8 +135,13 @@ PRIORITY = [
     "shard_pack", "corpus_pipeline",
     "funnel_match", "attribution_join",
     # embeddings / similarity (§2.11) — embedding_centroid moved out
-    # r4 (family keeps similarity_topk + embedding_neardup rows).
-    "similarity_topk", "embedding_neardup",
+    # r4; similarity_topk moved out late-r5: knn_join is its strict
+    # superset (same brute-force cosine machinery, MANY queries, and a
+    # harder salted two-phase reduction), so the single-query key's
+    # driver row was redundant the moment knn_join entered the window.
+    # The r5 LLM-family promotions: dsir_weights (importance
+    # resampling), semantic_dedup (SemDeDup), knn_join (batch k-NN).
+    "knn_join", "embedding_neardup", "semantic_dedup", "dsir_weights",
     # sampling (training-data splits)
     "sample_stratified",
     # multimodal + UDF surface (§2.10) — udaf_grouped (applyInPandas)
@@ -155,9 +167,9 @@ PRIORITY = [
     "quality_repetition", "quality_unigram_nll",
     "boilerplate_strip", "mix_sources",
     "quality_model_score", "attribution_join_outer",
-    "remove_duplicate_spans", "dsir_weights", "validate_constraints",
-    "dedup_incremental", "semantic_dedup", "mix_temperature",
-    "chunk_documents", "knn_join",
+    "remove_duplicate_spans", "validate_constraints",
+    "dedup_incremental", "mix_temperature", "chunk_documents",
+    "order_limit", "similarity_topk", "label_stats",
 ]
 
 

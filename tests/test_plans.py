@@ -387,3 +387,47 @@ def test_dsir_weights_one_corpus_scan_and_topk(spark, sf_dir):
     checks.assert_take_ordered(df)
     checks.assert_no_python_eval(df)
     spark.catalog.clearCache()
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking must be a pure narrow map: split + slice + explode, no
+    exchange anywhere, no Python, and only the two consumed columns
+    read from parquet."""
+    from labelmain_spark.functions.chunking import chunk_documents
+
+    df = chunk_documents(spark, sf_dir)
+    assert checks.count_exchanges(df) == 0, checks.physical_plan(df)[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+
+
+def test_knn_join_broadcasts_queries_and_salts_phase1(spark, sf_dir):
+    """The query set must broadcast (corpus never shuffles on it) and
+    the phase-1 rank must partition on (q_id, salt) — the hot-key
+    bound — before the per-query final rank."""
+    from labelmain_spark.functions.vectors import knn_join
+
+    df = knn_join(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+    assert "salt" in plan, plan[:1500]
+    assert plan.count("Window") >= 2, plan[:1500]
+    checks.assert_no_python_eval(df)
+
+
+def test_mix_temperature_doc_axis_never_shuffles(spark, sf_dir):
+    """Share table broadcasts back; the only exchanges aggregate the
+    tiny per-source tables. The doc-side copy computation must be a
+    broadcast-join map, not a doc-keyed shuffle: every non-broadcast
+    exchange must hash on source (or be the single-partition total),
+    never on doc_id."""
+    from labelmain_spark.functions.sampling import mix_temperature
+
+    df = mix_temperature(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "doc_id" not in m.group(1), m.group(0)
+    checks.assert_no_python_eval(df)
