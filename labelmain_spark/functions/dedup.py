@@ -125,6 +125,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — dedup_incremental's fuzzy twin, the
+    production daily-crawl shape (Dolma/RefinedWeb run exactly this):
+    MinHash-band signatures of TODAY'S batch probe the HISTORY band
+    index; only band-colliding (new, hist) pairs are Jaccard-verified;
+    each new doc reports its best historical match. History text is
+    touched only for verification of its own candidates — the band
+    index (doc_id + BANDS short signatures) is what persists between
+    crawls, and in production it is the bucketed-layout table the new
+    batch's bands join against, co-located and without a history
+    rescan.
+
+    Batch split: the same ``incr:`` hash keyspace rule as
+    dedup_incremental (lowest INCR_NEW_BP basis points = today).
+    Output per new doc: status ('near_dup_of_history' | 'new'), the
+    best match's doc_id and Jaccard (highest rounded score, lowest
+    doc_id tie-break) — NULLs for unmatched docs.
+
+    Scale shape: the band join is new-batch-sized on one side and
+    df-pruned on both (no boilerplate hot buckets); the verify join
+    ships only candidate ids + per-doc shingle counts
+    (_pair_jaccard); best-match is a partial-agg max(struct) keyed by
+    the new doc — no windows, no all-pairs, nothing rescans history
+    text beyond its candidates."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    e = _exploded_shingles(spark, sf_dir)
+    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
+
+    rows_per_band = MINHASH_K // BANDS
+    band_cols = []
+    for b in range(BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*cols).alias("sig"))
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    is_new = F.expr(_hash_bp_expr("doc_id", "spark", salt="incr:")) < INCR_NEW_BP
+    nb = bands.filter(is_new).select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    hb = bands.filter(~is_new).select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = nb.join(hb, ["band", "sig"]).select("doc_a", "doc_b").distinct()
+    jac = _pair_jaccard(e, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    best = jac.groupBy("doc_a").agg(
+        F.max(
+            F.struct(F.col("jaccard"), (-F.col("doc_b")).alias("nb"))
+        ).alias("m")
+    )
+    new_docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id").filter(is_new)
+    )
+    return new_docs.join(
+        best, new_docs["doc_id"] == best["doc_a"], "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("m").isNotNull(), F.lit("near_dup_of_history"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        (-F.col("m.nb")).cast("long").alias("match_doc"),
+        F.col("m.jaccard").alias("jaccard"),
+    )
+
+
 def _shingles_from_tokens(t: Column) -> Column:
     """Distinct word 3-gram shingles from a MATERIALIZED token array.
 
@@ -635,6 +701,7 @@ QUERIES = {
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_near": dedup_incremental_near,
 }
 
 # SimHash oracle: DuckDB reproduces the 60-bit bit-vote exactly —
@@ -700,6 +767,12 @@ _MINHASH_PAIRS_SQL = f"""
                     / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
 """
 
+def _sql_incr_hb() -> str:
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    return _hash_bp_expr("doc_id", "duck", salt="incr:")
+
+
 ORACLE = {
     "dedup_exact": """
         SELECT sha256(lower(trim(text))) AS h,
@@ -723,6 +796,57 @@ ORACLE = {
         JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
+    "dedup_incremental_near": f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+            WHERE df <= {_sql_max_df('sh')}
+        ), ed AS (
+            SELECT doc_id, md5(s) || md5(s) AS dd FROM e JOIN keep USING (s)
+        ), sig AS (
+            SELECT doc_id, {_SIG_COLS} FROM ed GROUP BY doc_id
+        ), bands AS (
+            {_BAND_SELECTS}
+        ), hbv AS (
+            SELECT doc_id,
+                   {_sql_incr_hb()} AS hb
+            FROM documents
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN hbv ha ON a.doc_id = ha.doc_id
+            JOIN bands b ON a.band = b.band AND a.sig = b.sig
+            JOIN hbv hz ON b.doc_id = hz.doc_id
+            WHERE ha.hb < {INCR_NEW_BP} AND hz.hb >= {INCR_NEW_BP}
+        ), jac AS (
+            SELECT doc_a, doc_b,
+                   (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                         / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) AS jaccard
+            FROM cand
+            JOIN sh x ON x.doc_id = doc_a
+            JOIN sh y ON y.doc_id = doc_b
+            WHERE (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                        / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5) / 10000.0) >= {JACCARD_THRESHOLD}
+        ), best AS (
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b, jaccard,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_a ORDER BY jaccard DESC, doc_b ASC
+                       ) AS rn
+                FROM jac
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN best.doc_a IS NOT NULL
+                    THEN 'near_dup_of_history' ELSE 'new' END AS status,
+               best.doc_b AS match_doc,
+               best.jaccard AS jaccard
+        FROM (SELECT doc_id FROM hbv WHERE hb < {INCR_NEW_BP}) d
+        LEFT JOIN best ON d.doc_id = best.doc_a
+    """,
     "dedup_simhash": f"""
         WITH tk AS (
             SELECT doc_id,

@@ -94,9 +94,134 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"domain_stats": domain_stats}
+def _cast_str(x: str, engine: str) -> str:
+    return f"CAST({x} AS STRING)" if engine == "spark" else f"CAST({x} AS VARCHAR)"
+
+
+def _raw_urls(engine: str) -> list[str]:
+    """Three deterministic raw-URL variants keyed by doc_id (the
+    fixture has no URL column — same injection pattern as
+    ``_augmented``): v1 and v2 are MESSY spellings of the SAME
+    canonical URL (case-shuffled scheme/host, default port, tracking
+    params, fragment, trailing slash); v3 keeps a NON-default port
+    that canonicalization must preserve. NULL when the variant does
+    not apply to this doc."""
+    k = _cast_str("doc_id % 7", engine)
+    m = _cast_str("doc_id % 20", engine)
+    j = _cast_str("doc_id % 5", engine)
+    r = _cast_str("doc_id % 3", engine)
+    v1 = (
+        f"'HTTPS://Site' || {k} || '.Example.COM:443/Art/' || {m}"
+        f" || '/?utm_source=feed&id=' || {j} || '#frag'"
+    )
+    v2 = (
+        f"CASE WHEN doc_id % 3 = 0 THEN "
+        f"'https://site' || {k} || '.example.com/Art/' || {m}"
+        f" || '?id=' || {j} || '&utm_campaign=news' END"
+    )
+    v3 = (
+        f"CASE WHEN doc_id % 5 = 0 THEN "
+        f"'http://M' || {r} || '.Example.ORG:8080/idx' END"
+    )
+    return [v1, v2, v3]
+
+
+# Canonicalization stages — ONE SQL text shared verbatim by both
+# engines (regexp_extract/regexp_replace/lower/substr have identical
+# signatures; patterns avoid backslash escapes entirely — '[?]'
+# instead of '\?' — so Spark's string-literal escaping cannot diverge
+# from DuckDB's).
+_C_STRIP_FRAG = "regexp_replace(u, '#.*$', '')"
+_C_PARTS = {
+    "scheme": "lower(regexp_extract(c0, '^([A-Za-z]+)://', 1))",
+    "host": "lower(regexp_extract(c0, '^[A-Za-z]+://([A-Za-z0-9.-]+)', 1))",
+    "port": "regexp_extract(c0, '^[A-Za-z]+://[A-Za-z0-9.-]+:([0-9]+)', 1)",
+    "rest": "regexp_extract(c0, '^[A-Za-z]+://[A-Za-z0-9.-]+(:[0-9]+)?(.*)$', 2)",
+}
+_C_PATH = "regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')"
+_C_QUERY = "regexp_extract(rest, '[?](.*)$', 1)"
+_C_CLEANQ = (
+    "substr(regexp_replace('&' || q, "
+    "'&(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*', ''), 2)"
+)
+_C_ASSEMBLE = (
+    "scheme || '://' || host"
+    " || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')"
+    "          OR (scheme = 'https' AND port = '443')"
+    "     THEN '' ELSE ':' || port END"
+    " || path"
+    " || CASE WHEN cq = '' THEN '' ELSE '?' || cq END"
+)
+
+
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the CommonCrawl /
+    C4 frontier step that collapses spelling variants of one page
+    BEFORE any fetch or text dedup: lowercase scheme+host, strip
+    fragments, drop default ports (keep real ones), strip trailing
+    path slashes, and remove tracking parameters (utm_*, fbclid,
+    gclid) while preserving every other query param in order.
+
+    Output per canonical URL: n_mentions (raw occurrences) and
+    n_variants (distinct raw spellings) — n_variants > 1 IS the dedup
+    win, pinned by the fixture's v1/v2 pair collapsing to one key.
+
+    Scale shape: the whole canonicalizer is a chain of JVM-side
+    regexp map stages (zero shuffles, zero Python); the rollup is one
+    partial-agg exchange keyed by canonical URL. Canonical-URL keys
+    are Zipf-skewed on real crawls, but both aggregates are algebraic
+    — the hot page collapses map-side (the domain_stats argument).
+    Every stage is the same SQL text in both engines, so parity is by
+    construction, not by reimplementation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.expr(v) for v in _raw_urls("spark")])
+        ).alias("u"),
+    ).filter(F.col("u").isNotNull())
+    c = (
+        raw.selectExpr("u", f"{_C_STRIP_FRAG} AS c0")
+        .selectExpr("u", *[f"{v} AS {k}" for k, v in _C_PARTS.items()])
+        .selectExpr(
+            "u", "scheme", "host", "port",
+            f"{_C_PATH} AS path", f"{_C_QUERY} AS q",
+        )
+        .selectExpr("u", "scheme", "host", "port", "path", f"{_C_CLEANQ} AS cq")
+        .selectExpr("u", f"{_C_ASSEMBLE} AS canon")
+    )
+    return c.groupBy(F.col("canon").alias("canonical_url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("u").cast("long").alias("n_variants"),
+    )
+
+
+def _sql_url_canonical() -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {v} AS u FROM documents" for v in _raw_urls("duck")
+    )
+    parts = ",\n".join(f"{v} AS {k}" for k, v in _C_PARTS.items())
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, u FROM ({unions}) WHERE u IS NOT NULL
+        ),
+        s0 AS (SELECT u, {_C_STRIP_FRAG} AS c0 FROM raw),
+        s1 AS (SELECT u, {parts} FROM s0),
+        s2 AS (SELECT u, scheme, host, port,
+                      {_C_PATH} AS path, {_C_QUERY} AS q FROM s1),
+        s3 AS (SELECT u, scheme, host, port, path, {_C_CLEANQ} AS cq FROM s2)
+        SELECT {_C_ASSEMBLE} AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT u) AS BIGINT) AS n_variants
+        FROM s3
+        GROUP BY 1
+    """
+
+
+QUERIES = {"domain_stats": domain_stats, "url_canonical": url_canonical}
 
 ORACLE = {
+    "url_canonical": _sql_url_canonical(),
     "domain_stats": f"""
         WITH urls AS (
             SELECT doc_id, n_chars,

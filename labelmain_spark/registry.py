@@ -169,7 +169,8 @@ PRIORITY = [
     "quality_model_score", "attribution_join_outer",
     "remove_duplicate_spans", "validate_constraints",
     "dedup_incremental", "mix_temperature", "chunk_documents",
-    "order_limit", "similarity_topk", "label_stats",
+    "order_limit", "similarity_topk", "label_stats", "url_canonical",
+    "dedup_incremental_near",
 ]
 
 
