@@ -99,3 +99,49 @@ def test_remove_duplicate_spans_conserves_tokens(spark, sf_dir):
         assert n_tokens == true_counts[doc_id], doc_id
         assert 0 <= n_removed <= n_tokens
     spark.catalog.clearCache()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8)
+)
+def test_chunk_count_matches_closed_form(spark, n_tokens):
+    """chunk_documents' closed-form chunk count and boundaries must
+    match a serial reference chunker for arbitrary doc lengths,
+    including the n == W, n == W+1 and n < W edge cells."""
+    from labelmain_spark.functions.chunking import CHUNK_S, CHUNK_W, chunk_documents
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    import os
+
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(n_tokens)]
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["src0"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+                "url": pa.array([""] * len(docs), pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(tmp, "documents.parquet"))
+        got: dict = {}
+        for r in chunk_documents(spark, tmp).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens))
+    for doc_id, n in enumerate(n_tokens):
+        toks = docs[doc_id][1].split(" ")
+        expect, i = [], 0
+        while True:
+            win = toks[i * CHUNK_S : i * CHUNK_S + CHUNK_W]
+            expect.append((i, len(win)))
+            if i * CHUNK_S + CHUNK_W >= len(toks):
+                break
+            i += 1
+        assert sorted(got[doc_id]) == expect, (doc_id, n)
