@@ -122,9 +122,85 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"shard_pack": shard_pack}
+SEQ_LEN = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granular sequence packing — the GPT-pretraining step that
+    concatenates the corpus in deterministic doc_id order and cuts it
+    into fixed SEQ_LEN context windows, letting documents SPAN window
+    boundaries (shard_pack's doc-granular sibling; the spanning form
+    is what dense-packing trainers like GPT/Llama dataloaders
+    actually consume, with attention-reset masks at the doc joins the
+    output's segment map encodes).
+
+    Output: one row per (sequence, document) SEGMENT —
+    (seq_id, doc_id, doc_tok_start, seg_len): sequence seq_id carries
+    seg_len tokens of doc_id starting at the doc's doc_tok_start.
+    GroupBy(seq_id) reassembles whole training rows; every sequence
+    except the last sums to exactly SEQ_LEN (property-tested).
+
+    Scale shape: the global order comes from the same two-level
+    ``exclusive_cumsum`` (NO un-partitioned window anywhere); the
+    segment fan-out is a narrow explode bounded per doc by
+    ceil(n_tokens/SEQ_LEN)+1. One wide machinery pass total; the
+    DuckDB oracle is the naive global window, proving the
+    decomposition exact at token granularity too."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    c = exclusive_cumsum(docs, "doc_id", "n", "s")
+    seg = c.select(
+        "doc_id",
+        "n",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {SEQ_LEN}"), F.expr(f"(s + n - 1) div {SEQ_LEN}")
+            )
+        ).alias("q"),
+    )
+    return seg.select(
+        F.col("q").cast("long").alias("seq_id"),
+        "doc_id",
+        (F.greatest(F.col("s"), F.col("q") * SEQ_LEN) - F.col("s"))
+        .cast("long")
+        .alias("doc_tok_start"),
+        (
+            F.least(F.col("s") + F.col("n"), (F.col("q") + 1) * SEQ_LEN)
+            - F.greatest(F.col("s"), F.col("q") * SEQ_LEN)
+        )
+        .cast("long")
+        .alias("seg_len"),
+    )
+
+
+QUERIES = {"shard_pack": shard_pack, "pack_sequences": pack_sequences}
 
 ORACLE = {
+    "pack_sequences": f"""
+        WITH t AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+        ), c AS (
+            SELECT doc_id, n,
+                   COALESCE(SUM(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS s
+            FROM t
+        ), seg AS (
+            SELECT doc_id, n, s,
+                   unnest(range(CAST(s // {SEQ_LEN} AS BIGINT),
+                                CAST((s + n - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS q
+            FROM c
+        )
+        SELECT CAST(q AS BIGINT) AS seq_id,
+               doc_id,
+               CAST(greatest(s, q * {SEQ_LEN}) - s AS BIGINT) AS doc_tok_start,
+               CAST(least(s + n, (q + 1) * {SEQ_LEN})
+                    - greatest(s, q * {SEQ_LEN}) AS BIGINT) AS seg_len
+        FROM seg
+    """,
     "shard_pack": f"""
         WITH t AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

@@ -199,3 +199,39 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents landing zone — the
+    arrival stream of a crawl. Schema is derived from the actual
+    parquet footer via the batch reader (the r4 rule: a hardcoded
+    stream schema silently emits zero rows when fixtures drift), which
+    the fixture tripwire also pins."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_dedup_stream(docs: DataFrame, history_digests: DataFrame) -> DataFrame:
+    """Streaming twin of dedup_incremental's history probe: each
+    micro-batch digests its documents and LEFT ANTI joins the static
+    history digest table — survivors are the docs history has never
+    seen. Stream-static anti joins are stateless (no watermark
+    needed); the static side re-plans per micro-batch, so a history
+    refreshed between triggers is visible on the next one — and in
+    production the static side is the bucketed label-store digest
+    table, making the probe co-located (labelstore/layout.py).
+
+    Within-batch duplicates are NOT collapsed here (that is the batch
+    twin's 'dup_in_batch' class, a stateful within-stream question
+    answered by ttl_dedup/dropDuplicatesWithinWatermark); this
+    operator answers exactly the history-membership half, and the
+    parity test pins that split."""
+    d = docs.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    return d.join(history_digests, "h", "left_anti")

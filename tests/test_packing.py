@@ -80,3 +80,40 @@ def test_shard_pack_boundaries(spark, sf_dir):
     for r in ordered:
         assert r.start_offset == acc
         acc += r.n_tokens
+
+
+def test_pack_sequences_tiles_exactly(spark, sf_dir):
+    """Segment map invariants: (1) every sequence except the last
+    carries exactly SEQ_LEN tokens; (2) per doc, segments are
+    contiguous from 0 and sum to the doc's token count; (3) segment
+    lengths are positive."""
+    from labelmain_spark.functions.packing import SEQ_LEN, pack_sequences
+    from labelmain_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        assert r.seg_len > 0
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.seg_len
+        by_doc.setdefault(r.doc_id, []).append((r.doc_tok_start, r.seg_len))
+    last = max(by_seq)
+    for q, tot in by_seq.items():
+        assert tot == (SEQ_LEN if q != last else tot), (q, tot)
+        if q != last:
+            assert tot == SEQ_LEN
+    want = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, segs in by_doc.items():
+        segs.sort()
+        pos = 0
+        for start, ln in segs:
+            assert start == pos, (doc_id, segs)
+            pos += ln
+        assert pos == want[doc_id]

@@ -234,3 +234,31 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
     assert got, "stream emitted no closed sessions"
     for k, v in got.items():
         assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+
+
+def test_stream_incremental_dedup_matches_batch(spark, sf_dir):
+    """Streaming history-probe dedup == the batch dedup_incremental
+    rows that are NOT history duplicates (the stream keeps both
+    within-batch copies by design — that half is ttl_dedup's job)."""
+    from labelmain_spark.functions.dedup import INCR_NEW_BP, dedup_incremental
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+
+    is_new = F.expr(_hash_bp_expr("doc_id", "spark", salt="incr:")) < INCR_NEW_BP
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(~is_new)
+        .select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .distinct()
+    )
+    stream = inc.stream_documents(spark, sf_dir).filter(is_new)
+    out = inc.incremental_dedup_stream(stream, hist)
+    _run_to_memory(out, "stream_incr_dedup")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM stream_incr_dedup").collect()}
+    want = {
+        r.doc_id
+        for r in dedup_incremental(spark, sf_dir)
+        .filter("status <> 'dup_of_history'")
+        .collect()
+    }
+    assert got == want and got, (len(got), len(want))
