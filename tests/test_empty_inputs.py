@@ -120,6 +120,17 @@ REPRESENTATIVE = [
     "label_consolidate",
     "pipeline_e2e",
     "quality_model_score",
+    # round-5 additions
+    "dsir_weights",
+    "validate_constraints",
+    "dedup_incremental",
+    "dedup_incremental_near",
+    "semantic_dedup",
+    "knn_join",
+    "chunk_documents",
+    "mix_temperature",
+    "url_canonical",
+    "pack_sequences",
 ]
 
 
