@@ -286,7 +286,72 @@ _PRED_CASE = "CASE " + " ".join(
 ) + " END"
 _SQL_SW = _sql_markers(STOPWORDS)
 
+C4_LINE_W = 12  # tokens per synthetic "line" (fixture text has no newlines)
+
+
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020, §2.2) —
+    the most-copied filter set in pretraining: keep only lines that
+    (1) end in a terminal punctuation mark, (2) carry >= 3 words and
+    (3) do not mention javascript; drop the whole PAGE when it
+    contains "lorem ipsum" or a curly brace, or when fewer than 5
+    lines survive (the paper counts sentences; every synthetic kept
+    line here ends in exactly one '.', so kept lines ARE sentences).
+
+    Fixture note: the synthetic corpus has no newlines or
+    punctuation, so the page structure is INJECTED deterministically
+    from doc_id (the pii_scrub/domain_stats pattern): lines are
+    C4_LINE_W-token windows, ~2/3 get a terminal '.', every 11th
+    (doc_id*7+i) gets a ' javascript' mention, docs % 17 / % 19 get
+    a lorem-ipsum / brace poison on line 0 — so every rule fires on
+    real rows in BOTH engines. (Real C4 matches case-insensitively;
+    the fixture is lowercase, so a plain contains is exact here.)
+
+    Output: (doc_id, n_lines, n_kept, page_kept, clean_fp) where
+    clean_fp is the md5 of the newline-joined surviving lines — the
+    value-checkable witness of the cleaned page.
+
+    Scale shape: the ENTIRE operator is per-document expression work
+    (transform/filter/exists over the line array) — zero shuffles,
+    zero Python, composes with scan pruning; the only wide thing a
+    deployment adds is whatever aggregation consumes the audit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t")
+    )
+    lines = F.expr(
+        f"""transform(sequence(0, CAST((size(t) + {C4_LINE_W - 1}) DIV {C4_LINE_W} AS INT) - 1),
+            i -> concat(
+                array_join(slice(t, i * {C4_LINE_W} + 1, {C4_LINE_W}), ' '),
+                CASE WHEN (doc_id * 7 + i) % 11 = 0 THEN ' javascript' ELSE '' END,
+                CASE WHEN i = 0 AND doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END,
+                CASE WHEN i = 0 AND doc_id % 19 = 0 THEN ' {{' ELSE '' END,
+                CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END))"""
+    )
+    kept = F.expr(
+        """filter(lines, l -> l rlike '[.!?"]$'
+                  AND size(split(l, ' ')) >= 3
+                  AND NOT (l like '%javascript%'))"""
+    )
+    bad = F.expr(
+        "exists(lines, l -> l like '%lorem ipsum%' OR l like '%{%')"
+    )
+    out = docs.select("doc_id", lines.alias("lines")).select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        kept.alias("kept"),
+        bad.alias("bad"),
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        ((~F.col("bad")) & (F.size("kept") >= 5)).alias("page_kept"),
+        F.md5(F.array_join(F.col("kept"), "\n")).alias("clean_fp"),
+    )
+
+
 QUERIES = {
+    "c4_line_filter": c4_line_filter,
     "text_tokens": text_tokens,
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -298,6 +363,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "c4_line_filter": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+            FROM documents
+        ), l AS (
+            SELECT doc_id, list_transform(
+                range(0, CAST((len(t) + {C4_LINE_W - 1}) // {C4_LINE_W} AS BIGINT)),
+                i -> array_to_string(list_slice(t, i * {C4_LINE_W} + 1,
+                                                i * {C4_LINE_W} + {C4_LINE_W}), ' ')
+                     || CASE WHEN (doc_id * 7 + i) % 11 = 0 THEN ' javascript' ELSE '' END
+                     || CASE WHEN i = 0 AND doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+                     || CASE WHEN i = 0 AND doc_id % 19 = 0 THEN ' {{' ELSE '' END
+                     || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+            ) AS lines FROM d
+        ), k AS (
+            SELECT doc_id, len(lines) AS n_lines,
+                   list_filter(lines, x ->
+                       regexp_matches(x, '[.!?\"]$')
+                       AND len(string_split(x, ' ')) >= 3
+                       AND NOT contains(x, 'javascript')) AS kept,
+                   len(list_filter(lines, x ->
+                       contains(x, 'lorem ipsum') OR contains(x, '{{'))) > 0 AS bad
+            FROM l
+        )
+        SELECT doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               ((NOT bad) AND len(kept) >= 5) AS page_kept,
+               md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_fp
+        FROM k
+    """,
+
     "text_tokens": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

@@ -170,7 +170,7 @@ PRIORITY = [
     "remove_duplicate_spans", "validate_constraints",
     "dedup_incremental", "mix_temperature", "chunk_documents",
     "order_limit", "similarity_topk", "label_stats", "url_canonical",
-    "dedup_incremental_near", "pack_sequences",
+    "dedup_incremental_near", "pack_sequences", "c4_line_filter",
 ]
 
 

@@ -131,6 +131,7 @@ REPRESENTATIVE = [
     "mix_temperature",
     "url_canonical",
     "pack_sequences",
+    "c4_line_filter",
 ]
 
 

@@ -431,3 +431,14 @@ def test_mix_temperature_doc_axis_never_shuffles(spark, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "doc_id" not in m.group(1), m.group(0)
     checks.assert_no_python_eval(df)
+
+
+def test_c4_line_filter_is_shuffle_free(spark, sf_dir):
+    """The C4 rule set must be pure per-document expression work:
+    zero exchanges, zero Python, two-column read."""
+    from labelmain_spark.functions.text import c4_line_filter
+
+    df = c4_line_filter(spark, sf_dir)
+    assert checks.count_exchanges(df) == 0, checks.physical_plan(df)[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
