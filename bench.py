@@ -74,6 +74,15 @@ HEADLINE = [
     "dsir_weights",
     "validate_constraints",
     "dedup_incremental",
+    # round-5 close: one key per NEW family (variants of families
+    # already in the set — url_canonical, mix_temperature, c4_line_
+    # filter, pack_sequences — stay out; their families are
+    # represented by domain_stats, mix_sources-class keys, text_
+    # quality and shard_pack respectively).
+    "dedup_incremental_near",
+    "semantic_dedup",
+    "knn_join",
+    "chunk_documents",
 ]
 
 

@@ -501,17 +501,29 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-centroid cosines are stable_round-ed to 1e-6
     before the argmax (first-max-position tie rule in both engines),
     pair cosines to 1e-4 before the threshold — raw-double argmax
-    would hinge engine agreement on last-ulp summation order."""
+    would hinge engine agreement on last-ulp summation order.
+
+    Cost shape (r5 tune, measured at sf0.1): each vector is
+    L2-NORMALIZED ONCE at assignment and the assignment table is
+    persisted, so the Σ|cluster|² pair stage computes a SINGLE dot
+    product per pair instead of three (cosine's two norm folds
+    re-derived per pair) and the three consumers (both join sides +
+    the audit projection) read one cached assignment instead of
+    re-running the 16-centroid scoring. The oracle mirrors
+    normalize-then-dot exactly, so the rounded values stay
+    engine-identical."""
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     import math
 
-    vnorm = _norm(F.col("v"))
+    e = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
     sims = F.array(
         *[
             stable_round(
                 _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                / (vnorm * F.lit(math.sqrt(sum(x * x for x in c)))),
+                / (F.col("vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
                 6,
             )
             for c in _SEM_CENTROIDS
@@ -519,26 +531,26 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = e.select(
         "vec_id",
-        "v",
+        F.expr("transform(v, x -> x / vn)").alias("nv"),
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
         F.array_max(sims).alias("c2c"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = assigned.select(
         F.col("cluster").alias("cl"),
         F.col("vec_id").alias("a_id"),
-        F.col("v").alias("va"),
+        F.col("nv").alias("nva"),
         F.col("c2c").alias("c2c_a"),
     )
     b = assigned.select(
         F.col("cluster").alias("cl"),
         F.col("vec_id").alias("b_id"),
-        F.col("v").alias("vb"),
+        F.col("nv").alias("nvb"),
         F.col("c2c").alias("c2c_b"),
     )
     removed_ids = (
         a.join(b, ["cl"])
         .filter(F.col("a_id") != F.col("b_id"))
-        .filter(stable_round(cosine(F.col("va"), F.col("vb")), 4) >= SEM_THRESHOLD)
+        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= SEM_THRESHOLD)
         .filter(
             (F.col("c2c_a") < F.col("c2c_b"))
             | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
@@ -567,17 +579,20 @@ def _sql_sem_cos(c: list[float]) -> str:
 
 def _sql_semantic_dedup() -> str:
     sims = "[" + ", ".join(_sql_sem_cos(c) for c in _SEM_CENTROIDS) + "]"
-    pair_cos = sql_stable_round(
-        "(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))))",
-        4,
-    )
+    # normalize-then-dot, mirroring the Spark plan's once-per-vector
+    # L2 normalization (vn computed BEFORE sims, exactly as Spark's
+    # projection orders it)
+    pair_cos = sql_stable_round("list_dot_product(x.nv, y.nv)", 4)
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), en AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e
         ), s AS (
-            SELECT vec_id, v, {sims} AS cl_sims FROM e
+            SELECT vec_id, v, vn, {sims} AS cl_sims FROM en
         ), a AS (
-            SELECT vec_id, v,
+            SELECT vec_id,
+                   list_transform(v, x -> x / vn) AS nv,
                    CAST(list_position(cl_sims, list_max(cl_sims)) - 1 AS INTEGER) AS cluster,
                    list_max(cl_sims) AS c2c
             FROM s

@@ -442,3 +442,34 @@ def test_c4_line_filter_is_shuffle_free(spark, sf_dir):
     assert checks.count_exchanges(df) == 0, checks.physical_plan(df)[:1500]
     checks.assert_no_python_eval(df)
     checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+
+
+def test_semantic_dedup_blocks_within_cluster(spark, sf_dir):
+    """SemDeDup's pair stage must be an equi-join on the cluster id
+    (the blocking structure) — never a cartesian — with the pair
+    filter running on pre-normalized vectors (no per-pair norm
+    folds: the plan must not recompute sqrt(dot(v,v)) inside the
+    join condition/filter)."""
+    from labelmain_spark.functions.vectors import semantic_dedup
+
+    df = semantic_dedup(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "cl" in plan and ("SortMergeJoin" in plan or "hashJoin" in plan.lower() or "HashJoin" in plan), plan[:1500]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
+
+
+def test_dedup_incremental_near_band_probe_shape(spark, sf_dir):
+    """The incremental near-dup must join new-batch bands against
+    history bands on (band, sig) — an equi-join, no cartesian — and
+    must contain no window over the corpus (best-match is a
+    max(struct) partial agg)."""
+    from labelmain_spark.functions.dedup import dedup_incremental_near
+
+    df = dedup_incremental_near(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
