@@ -503,15 +503,29 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair cosines to 1e-4 before the threshold — raw-double argmax
     would hinge engine agreement on last-ulp summation order.
 
-    Cost shape (r5 tune, measured at sf0.1): each vector is
-    L2-NORMALIZED ONCE at assignment and the assignment table is
-    persisted, so the Σ|cluster|² pair stage computes a SINGLE dot
-    product per pair instead of three (cosine's two norm folds
-    re-derived per pair) and the three consumers (both join sides +
-    the audit projection) read one cached assignment instead of
-    re-running the 16-centroid scoring. The oracle mirrors
-    normalize-then-dot exactly, so the rounded values stay
-    engine-identical."""
+    Cost shape (r5 tune, measured at sf0.1 and on scripts/vec_scale.py
+    corpora): each vector is L2-NORMALIZED ONCE at assignment and the
+    assignment table is persisted. The Σ|cluster|² pair stage is
+    CANDIDATES-THEN-EXACT-VERIFY (the embedding_neardup pattern): an
+    Arrow-batched ``applyInPandas`` per cluster computes all pairwise
+    dots as ONE numpy matmul and emits every pair above
+    SEM_THRESHOLD − 6e−5. The margin is NOT arbitrary: the exact
+    filter accepts on the 4-dp HALF-UP ROUNDED dot, which admits raw
+    dots down to T − 5e−5, and matmul pairwise summation differs from
+    the sequential fold by ~1e−13 relative — so T − 6e−5 strictly
+    covers every pair any rounding can accept (a first cut used
+    T − 1e−6 and scripts/vec_scale.py caught 4 missed removals at
+    n=20k: boundary pairs with raw dot in [T−5e−5, T−1e−6) round UP
+    into acceptance). The few surviving candidates are then
+    re-scored with the sequential JVM fold and
+    the EXACT rounded threshold/ordering rule, so the final answer is
+    bit-identical to the oracle by construction — numpy only prunes.
+    Measured: the all-JVM interpreted-fold pair stage was a flat
+    ~15× behind DuckDB's vectorized list_dot_product across 2k-20k
+    corpora (scripts/vec_scale.py); the matmul candidate stage
+    removes that constant. The grouped-map contract is honest here:
+    one cluster materializes in one Python worker, and cluster size
+    is bounded ~N/k BY CONSTRUCTION (k grows with N at fit time)."""
     from pyspark import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -535,21 +549,35 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
         F.array_max(sims).alias("c2c"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _cluster_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["nv"].to_numpy())
+        s = m @ m.T
+        # margin = 4-dp rounding half-step (5e-5) + matmul ulp slack
+        ii, jj = np.nonzero(s >= SEM_THRESHOLD - 6e-5)
+        keep = ii != jj
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
+
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _cluster_candidates, "a_id long, b_id long"
+    )
     a = assigned.select(
-        F.col("cluster").alias("cl"),
         F.col("vec_id").alias("a_id"),
         F.col("nv").alias("nva"),
         F.col("c2c").alias("c2c_a"),
     )
     b = assigned.select(
-        F.col("cluster").alias("cl"),
         F.col("vec_id").alias("b_id"),
         F.col("nv").alias("nvb"),
         F.col("c2c").alias("c2c_b"),
     )
     removed_ids = (
-        a.join(b, ["cl"])
-        .filter(F.col("a_id") != F.col("b_id"))
+        cand.join(a, "a_id")
+        .join(b, "b_id")
         .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= SEM_THRESHOLD)
         .filter(
             (F.col("c2c_a") < F.col("c2c_b"))

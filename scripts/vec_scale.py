@@ -1,0 +1,169 @@
+"""Scale trend for the embedding-family heavyweights: semantic_dedup's
+cluster-then-pairwise structure and knn_join's brute top-k, Spark vs
+DuckDB on seeded gaussian corpora of growing size.
+
+The registry keys are pinned to the sf fixtures (2 000 vectors, k=16
+frozen centroids) for oracle checkability; THIS script runs the same
+plan shapes with k scaled ∝ N (the paper's deployment rule — cluster
+size stays ~N/k) so the measured trend reflects how the operator is
+actually run at scale, not a fixed-k blowup neither engine would ship.
+
+Usage: python scripts/vec_scale.py  → one JSON line per (op, N).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+SIZES = [2_000, 8_000, 20_000]
+TARGET_CLUSTER = 125  # k = N / TARGET_CLUSTER
+KNN_Q_FRac = 100  # queries = N / 100
+THRESH = 0.4
+
+
+def make_corpus(n: int, path: str) -> None:
+    rng = np.random.RandomState(7)
+    v = rng.standard_normal((n, DIM)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(v.tolist(), pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def centroids(k: int) -> list[list[float]]:
+    rng = np.random.RandomState(5)
+    return [[float(x) for x in r] for r in rng.standard_normal((k, DIM))]
+
+
+def spark_semantic(spark, path: str, cents) -> float:
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions.vectors import _dot, _norm
+    from labelmain_spark.operators.parity import stable_round
+
+    t0 = time.time()
+    e = (
+        spark.read.parquet(path)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    )
+    sims = F.array(
+        *[
+            stable_round(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                / (F.col("vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
+                6,
+            )
+            for c in cents
+        ]
+    )
+    assigned = e.select(
+        "vec_id",
+        F.expr("transform(v, x -> x / vn)").alias("nv"),
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
+        F.array_max(sims).alias("c2c"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    def _cands(pdf):
+        import pandas as pd
+
+        m = np.stack(pdf["nv"].to_numpy())
+        s = m @ m.T
+        ii, jj = np.nonzero(s >= THRESH - 6e-5)
+        keep = ii != jj
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
+
+    cand = assigned.groupBy("cluster").applyInPandas(_cands, "a_id long, b_id long")
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("nv").alias("nva"), F.col("c2c").alias("c2c_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("nv").alias("nvb"), F.col("c2c").alias("c2c_b"),
+    )
+    rm = (
+        cand.join(a, "a_id").join(b, "b_id")
+        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= THRESH)
+        .filter(
+            (F.col("c2c_a") < F.col("c2c_b"))
+            | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    n = assigned.join(rm, "vec_id", "left_anti").count()
+    dt = time.time() - t0
+    assigned.unpersist()
+    return dt, n
+
+
+def duck_semantic(path: str, cents) -> float:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    sims = "[" + ", ".join(
+        f"round(list_dot_product(v, {c}) / (vn * {math.sqrt(sum(x * x for x in c))!r}), 6)"
+        for c in cents
+    ) + "]"
+    sql = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) vn FROM e),
+        s AS (SELECT vec_id, v, vn, {sims} cl_sims FROM en),
+        a AS (SELECT vec_id, list_transform(v, x -> x / vn) AS nv,
+                     CAST(list_position(cl_sims, list_max(cl_sims)) - 1 AS INTEGER) AS cluster,
+                     list_max(cl_sims) AS c2c FROM s),
+        rm AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+               ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+               WHERE round(list_dot_product(x.nv, y.nv), 4) >= {THRESH}
+                 AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id)))
+        SELECT COUNT(*) FROM a WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+    """
+    t0 = time.time()
+    n = con.execute(sql).fetchone()[0]
+    return time.time() - t0, n
+
+
+def main() -> None:
+    from labelmain_spark.session import build_session
+
+    spark = build_session("vec_scale")
+    out = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for n in SIZES:
+            path = os.path.join(tmp, f"emb_{n}.parquet")
+            make_corpus(n, path)
+            k = max(16, n // TARGET_CLUSTER)
+            cents = centroids(k)
+            ds, ns = spark_semantic(spark, path, cents)
+            dd, nd = duck_semantic(path, cents)
+            row = {
+                "op": "semantic_dedup", "n": n, "k": k,
+                "spark_sec": round(ds, 2), "duck_sec": round(dd, 2),
+                "ratio": round(ds / dd, 2),
+                "kept_spark": ns, "kept_duck": nd,
+            }
+            print(json.dumps(row), flush=True)
+            out.append(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
