@@ -602,3 +602,33 @@ def test_knn_join_matches_bruteforce_per_query(spark, sf_dir):
         )[: V.KNN_K]
         expect = [(r + 1, i) for r, (_, i) in enumerate(scored)]
         assert [(rk, vid) for rk, vid, _ in sorted(got[q])] == expect
+
+
+def test_semantic_candidate_margin_covers_rounding_half_step():
+    """Regression pin for the vec_scale-caught margin bug: the exact
+    filter accepts on the 4-dp HALF-UP rounded dot, so raw dots down
+    to T−5e−5 are accepted — the numpy candidate stage must emit them.
+    A first cut used margin 1e−6 and silently missed such pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from labelmain_spark.functions.vectors import SEM_THRESHOLD
+
+    def cands(nvs):
+        # mirror of the _cluster_candidates kernel
+        m = np.stack(nvs)
+        s = m @ m.T
+        ii, jj = np.nonzero(s >= SEM_THRESHOLD - 6e-5)
+        return {(int(a), int(b)) for a, b in zip(ii, jj) if a != b}
+
+    def pair_with_dot(d):
+        v1 = np.zeros(64); v1[0] = 1.0
+        v2 = np.zeros(64); v2[0] = d; v2[1] = (1 - d * d) ** 0.5
+        return [v1, v2]
+
+    # raw dot T−5e−5 rounds UP into acceptance → must be a candidate
+    assert (0, 1) in cands(pair_with_dot(SEM_THRESHOLD - 5e-5))
+    # raw dot just above the margin floor is kept too (prune-only rule)
+    assert (0, 1) in cands(pair_with_dot(SEM_THRESHOLD - 5.9e-5))
+    # clearly-below pairs are pruned (round4 rejects them anyway)
+    assert (0, 1) not in cands(pair_with_dot(SEM_THRESHOLD - 1e-3))
