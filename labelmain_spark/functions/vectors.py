@@ -21,6 +21,9 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -478,6 +481,140 @@ def _sem_centroids() -> list[list[float]]:
 _SEM_CENTROIDS = _sem_centroids()
 
 
+def _centroid_assign_udf(cents: list[list[float]]):
+    """Scalar pandas_udf scoring ALL centroids per vector as one numpy
+    matmul, returning (cluster, c2c) — the r6 re-plan of the
+    assignment stage (r5 verdict item 1: the 16 interpreted
+    `zip_with`+`aggregate` folds per vector were a measured flat ~15×
+    constant behind vectorized engines; the pair stage's Arrow-matmul
+    pattern transfers here verbatim).
+
+    Exactness (numpy prunes, never decides — extended to "numpy
+    decides only where it provably equals the fold"): the published
+    semantics are stable_round(fold_cosine, 6) → first-position
+    argmax. ``stable_round`` is pure IEEE ops (floor(x·1e6 + 0.5)/1e6,
+    operators/parity.py:85), which numpy evaluates bit-identically on
+    the SAME raw input; the only divergence source is the raw cosine
+    itself (matmul pairwise summation vs the JVM's sequential fold,
+    |Δ| ≲ 1e-12 relative for 64-dim unit-scale vectors). A differing
+    raw can only change the ROUNDED value when the scaled value
+    x·1e6 + 0.5 sits within |Δ|·1e6 ≈ 1e-6 of an integer, so every
+    entry within 1e-4 of an integer (a 100× safety band that flags
+    ~0.02% of entries) is re-derived with the exact JVM evaluation
+    order: products, sequential left-fold sum, divide by
+    (vn · literal-centroid-norm), stable_round. Off-band entries are
+    PROVABLY equal to the fold's rounded value; in-band entries ARE
+    the fold's value — so cluster/c2c are bit-identical to the r5
+    all-JVM plan by construction, on every input."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    # the JVM plan divides by F.lit(math.sqrt(sum(x*x for x in c))) —
+    # reuse those exact Python-computed literals, not numpy norms
+    cn = np.array([math.sqrt(sum(x * x for x in c)) for c in cents])
+
+    @pandas_udf("struct<cluster:int,c2c:double>")
+    def assign(v: pd.Series, vn: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"cluster": pd.array([], dtype="int32"),
+                 "c2c": pd.array([], dtype="float64")}
+            )
+        V = np.stack(v.to_numpy())
+        w = vn.to_numpy(dtype=np.float64)
+        S = (V @ C.T) / (w[:, None] * cn[None, :])
+        t = S * 1e6 + 0.5
+        R = np.floor(t) / 1e6
+        flag = np.abs(t - np.rint(t)) < 1e-4
+        if flag.any():
+            for i, j in zip(*np.nonzero(flag)):
+                acc = 0.0
+                for a, b in zip(V[i], C[j]):
+                    acc = acc + a * b
+                raw = acc / (w[i] * cn[j])
+                R[i, j] = math.floor(raw * 1e6 + 0.5) / 1e6
+        cl = np.argmax(R, axis=1).astype("int32")  # first max == array_position rule
+        return pd.DataFrame({"cluster": cl, "c2c": R[np.arange(len(cl)), cl]})
+
+    return assign
+
+
+def semantic_dedup_plan(
+    spark: SparkSession, e: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """The SemDeDup plan over ``e`` = (vec_id, v: array<double>) with an
+    arbitrary centroid list — shared by the registry key (frozen
+    SEM_K centroids, oracle-checkable) and scripts/vec_scale.py
+    (k ∝ N, the paper's deployment rule), so the measured scale trend
+    exercises the exact shipped plan. See ``semantic_dedup`` for
+    semantics and scale analysis."""
+    from pyspark import StorageLevel
+
+    e = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    assign = _centroid_assign_udf(cents)
+    assigned = (
+        e.select(
+            "vec_id",
+            F.expr("transform(v, x -> x / vn)").alias("nv"),
+            assign(F.col("v"), F.col("vn")).alias("s"),
+        )
+        .select(
+            "vec_id",
+            "nv",
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.c2c").alias("c2c"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    thr = SEM_THRESHOLD
+
+    def _cluster_candidates(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(pdf["nv"].to_numpy())
+        s = m @ m.T
+        # margin = 4-dp rounding half-step (5e-5) + matmul ulp slack
+        ii, jj = np.nonzero(s >= thr - 6e-5)
+        keep = ii != jj
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
+
+    cand = assigned.groupBy("cluster").applyInPandas(
+        _cluster_candidates, "a_id long, b_id long"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("nv").alias("nva"),
+        F.col("c2c").alias("c2c_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("nv").alias("nvb"),
+        F.col("c2c").alias("c2c_b"),
+    )
+    removed_ids = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= thr)
+        .filter(
+            (F.col("c2c_a") < F.col("c2c_b"))
+            | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return assigned.join(removed_ids, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        stable_round(F.col("c2c"), 4).alias("c2c"),
+        F.coalesce(F.col("rm") == 1, F.lit(False)).alias("removed"),
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): assign every
@@ -503,96 +640,38 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair cosines to 1e-4 before the threshold — raw-double argmax
     would hinge engine agreement on last-ulp summation order.
 
-    Cost shape (r5 tune, measured at sf0.1 and on scripts/vec_scale.py
-    corpora): each vector is L2-NORMALIZED ONCE at assignment and the
-    assignment table is persisted. The Σ|cluster|² pair stage is
-    CANDIDATES-THEN-EXACT-VERIFY (the embedding_neardup pattern): an
-    Arrow-batched ``applyInPandas`` per cluster computes all pairwise
-    dots as ONE numpy matmul and emits every pair above
-    SEM_THRESHOLD − 6e−5. The margin is NOT arbitrary: the exact
-    filter accepts on the 4-dp HALF-UP ROUNDED dot, which admits raw
-    dots down to T − 5e−5, and matmul pairwise summation differs from
-    the sequential fold by ~1e−13 relative — so T − 6e−5 strictly
-    covers every pair any rounding can accept (a first cut used
-    T − 1e−6 and scripts/vec_scale.py caught 4 missed removals at
-    n=20k: boundary pairs with raw dot in [T−5e−5, T−1e−6) round UP
-    into acceptance). The few surviving candidates are then
-    re-scored with the sequential JVM fold and
+    Cost shape (r6 re-plan — both vector-heavy stages now Arrow):
+    each vector is L2-NORMALIZED ONCE and the assignment table is
+    persisted. ASSIGNMENT batch-scores all SEM_K centroids per Arrow
+    batch as one numpy matmul inside a scalar pandas_udf, with the
+    few rounding-boundary entries re-derived in the exact JVM fold
+    order so (cluster, c2c) are bit-identical to the r5 all-JVM plan
+    on every input — see ``_centroid_assign_udf`` for the proof
+    obligation (r5 measured the 16 interpreted folds per vector as a
+    flat ~14× constant vs DuckDB at sf0.1; this removes it). The
+    Σ|cluster|² pair stage is CANDIDATES-THEN-EXACT-VERIFY (the
+    embedding_neardup pattern): an Arrow-batched ``applyInPandas``
+    per cluster computes all pairwise dots as ONE numpy matmul and
+    emits every pair above SEM_THRESHOLD − 6e−5. The margin is NOT
+    arbitrary: the exact filter accepts on the 4-dp HALF-UP ROUNDED
+    dot, which admits raw dots down to T − 5e−5, and matmul pairwise
+    summation differs from the sequential fold by ~1e−13 relative —
+    so T − 6e−5 strictly covers every pair any rounding can accept
+    (a first cut used T − 1e−6 and scripts/vec_scale.py caught 4
+    missed removals at n=20k: boundary pairs with raw dot in
+    [T−5e−5, T−1e−6) round UP into acceptance). The few surviving
+    candidates are then re-scored with the sequential JVM fold and
     the EXACT rounded threshold/ordering rule, so the final answer is
-    bit-identical to the oracle by construction — numpy only prunes.
-    Measured: the all-JVM interpreted-fold pair stage was a flat
-    ~15× behind DuckDB's vectorized list_dot_product across 2k-20k
-    corpora (scripts/vec_scale.py); the matmul candidate stage
-    removes that constant. The grouped-map contract is honest here:
-    one cluster materializes in one Python worker, and cluster size
-    is bounded ~N/k BY CONSTRUCTION (k grows with N at fit time)."""
-    from pyspark import StorageLevel
-
+    bit-identical to the oracle by construction — numpy only prunes
+    (and, in assignment, decides only where provably equal to the
+    fold). The grouped-map contract is honest: one cluster
+    materializes in one Python worker, and cluster size is bounded
+    ~N/k BY CONSTRUCTION (k grows with N at fit time; the
+    ``semantic_dedup_plan`` entry point takes the fitted centroid
+    list, and scripts/vec_scale.py measures it with k ∝ N)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    import math
-
-    e = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
-    sims = F.array(
-        *[
-            stable_round(
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                / (F.col("vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
-                6,
-            )
-            for c in _SEM_CENTROIDS
-        ]
-    )
-    assigned = e.select(
-        "vec_id",
-        F.expr("transform(v, x -> x / vn)").alias("nv"),
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
-        F.array_max(sims).alias("c2c"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _cluster_candidates(pdf):
-        import numpy as np
-        import pandas as pd
-
-        m = np.stack(pdf["nv"].to_numpy())
-        s = m @ m.T
-        # margin = 4-dp rounding half-step (5e-5) + matmul ulp slack
-        ii, jj = np.nonzero(s >= SEM_THRESHOLD - 6e-5)
-        keep = ii != jj
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
-
-    cand = assigned.groupBy("cluster").applyInPandas(
-        _cluster_candidates, "a_id long, b_id long"
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("nv").alias("nva"),
-        F.col("c2c").alias("c2c_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("nv").alias("nvb"),
-        F.col("c2c").alias("c2c_b"),
-    )
-    removed_ids = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= SEM_THRESHOLD)
-        .filter(
-            (F.col("c2c_a") < F.col("c2c_b"))
-            | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-        .withColumn("rm", F.lit(1))
-    )
-    return assigned.join(removed_ids, "vec_id", "left").select(
-        "vec_id",
-        "cluster",
-        stable_round(F.col("c2c"), 4).alias("c2c"),
-        F.coalesce(F.col("rm") == 1, F.lit(False)).alias("removed"),
-    )
+    return semantic_dedup_plan(spark, e, _SEM_CENTROIDS)
 
 
 def _sql_sem_cos(c: list[float]) -> str:
@@ -652,48 +731,100 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline the ANN paths are scored against; output
     (q_id, vec_id, cos, rank).
 
-    Scale shape: the query set broadcasts (bounded — it is the small
-    side by construction; a large Q goes through ann_ivf's cell
-    routing instead); scoring is a narrow map over the corpus
-    (|corpus| × Q scalar rows, never arrays, enter any exchange).
-    The top-k reduction is SALTED two-phase — phase 1 ranks within
-    (q_id, salt) so no single reducer ever sees more than ~N/SALT
-    candidates of one query (the hot-key bound; same pattern as
-    join_salted), keeping ≤ KNN_K · KNN_SALT rows per query for
-    phase 2's final rank. A plain window over q_id would funnel the
-    whole corpus through Q reducers — the canonical top-k skew
-    trap at 1000 executors.
+    Scale shape (r6 re-plan — the r5 verdict's matmul transfer): the
+    query set is collected ONCE at plan build (bounded — it is the
+    small side by construction; a large Q goes through ann_ivf's cell
+    routing instead; same eager-bounded-action class as
+    quality_model_score's quantiles) and rides to every executor in
+    the ``mapInPandas`` closure. Scoring is a narrow Arrow map over
+    the corpus: each batch computes ALL |batch| × |Q| cosines as one
+    numpy matmul — r5's per-pair interpreted `zip_with`+`aggregate`
+    fold was the same flat constant the semantic_dedup assignment
+    stage carried — and emits only its LOCAL top-KNN_K per query
+    under the exact (rounded cos desc, vec_id asc) order. That
+    per-batch prune is lossless: any non-emitted row is strictly
+    outranked by ≥ KNN_K same-batch rows in the global total order,
+    so it cannot reach the global top-k. Only batches × KNN_K rows
+    per query ever enter the final rank — the reducer-side hot-key
+    exposure the r5 salted two-phase bounded at ~N/SALT is now
+    bounded at ~KNN_K per (batch, query), strictly better, with the
+    |corpus| × |Q| scored-row shuffle gone entirely.
 
-    Determinism: cosines stable_round-ed to 4 dp before ranking,
-    vec_id ascending as tie-break — both phases and the oracle rank
-    identically. The salt only partitions phase 1 (any deterministic
-    salt yields the same final top-k), so it uses plain xxhash64 —
-    no cross-engine portability needed."""
+    Determinism/exactness: cosines are stable_round-ed to 4 dp before
+    ranking, vec_id ascending as tie-break. stable_round is pure IEEE
+    ops, bit-identical in numpy on the same raw; raw matmul-vs-fold
+    divergence (≲1e-12) only matters within ~1e-8 of a rounding
+    boundary, so entries inside a 1e-4 safety band are re-derived in
+    the exact JVM fold order (products → sequential sum → divide) —
+    the ``_centroid_assign_udf`` proof obligation, same discipline."""
+    import numpy as np
+
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = e.filter(F.col("vec_id") % KNN_Q_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    qrows = (
+        e.filter(F.col("vec_id") % KNN_Q_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .collect()
     )
+    out_schema = "q_id long, vec_id long, cos double"
     c = e.filter(F.col("vec_id") % KNN_Q_MOD != 0)
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        "vec_id",
-        stable_round(cosine(F.col("v"), F.col("qv")), 4).alias("cos"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(KNN_SALT)).alias("salt"),
-    )
-    w1 = W.partitionBy("q_id", "salt").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
-    )
-    survivors = (
-        scored.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= KNN_K)
-        .drop("_r1", "salt")
-    )
+    if not qrows:
+        return (
+            spark.createDataFrame([], out_schema + ", rank int")
+        )
+    q_ids = np.array([r.q_id for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # exact JVM-order query norms, computed once: sqrt(sequential fold
+    # of the squared components) — _norm()'s evaluation order
+    qn = np.array([math.sqrt(_seq_dot(r.qv, r.qv)) for r in qrows])
+
+    def _score_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            V = np.stack(pdf["v"].to_numpy())
+            nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+            t = (V @ Q.T) / (nv[:, None] * qn[None, :]) * 1e4 + 0.5
+            R = np.floor(t) / 1e4
+            flag = np.abs(t - np.rint(t)) < 1e-4
+            if flag.any():
+                for i, j in zip(*np.nonzero(flag)):
+                    v = V[i]
+                    raw = _seq_dot(v, Q[j]) / (
+                        math.sqrt(_seq_dot(v, v)) * qn[j]
+                    )
+                    R[i, j] = math.floor(raw * 1e4 + 0.5) / 1e4
+            k = min(KNN_K, len(ids))
+            picks = []
+            for col in range(len(q_ids)):
+                order = np.lexsort((ids, -R[:, col]))[:k]
+                picks.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[col],
+                            "vec_id": ids[order],
+                            "cos": R[order, col],
+                        }
+                    )
+                )
+            yield pd.concat(picks, ignore_index=True)
+
+    scored = c.mapInPandas(_score_batches, out_schema)
     w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        survivors.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= KNN_K)
         .select("q_id", "vec_id", "cos", "rank")
     )

@@ -53,66 +53,24 @@ def centroids(k: int) -> list[list[float]]:
 
 
 def spark_semantic(spark, path: str, cents) -> float:
-    from pyspark import StorageLevel
+    """Runs the SHIPPED plan — ``semantic_dedup_plan`` with k ∝ N
+    centroids (r6: the registry key and this harness share one code
+    path, so the measured trend is the trend of the code users run)."""
     from pyspark.sql import functions as F
 
-    from labelmain_spark.functions.vectors import _dot, _norm
-    from labelmain_spark.operators.parity import stable_round
+    from labelmain_spark.functions.vectors import semantic_dedup_plan
 
     t0 = time.time()
-    e = (
-        spark.read.parquet(path)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    e = spark.read.parquet(path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sims = F.array(
-        *[
-            stable_round(
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                / (F.col("vn") * F.lit(math.sqrt(sum(x * x for x in c)))),
-                6,
-            )
-            for c in cents
-        ]
+    n = (
+        semantic_dedup_plan(spark, e, cents)
+        .filter(~F.col("removed"))
+        .count()
     )
-    assigned = e.select(
-        "vec_id",
-        F.expr("transform(v, x -> x / vn)").alias("nv"),
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cluster"),
-        F.array_max(sims).alias("c2c"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    def _cands(pdf):
-        import pandas as pd
-
-        m = np.stack(pdf["nv"].to_numpy())
-        s = m @ m.T
-        ii, jj = np.nonzero(s >= THRESH - 6e-5)
-        keep = ii != jj
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
-
-    cand = assigned.groupBy("cluster").applyInPandas(_cands, "a_id long, b_id long")
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("nv").alias("nva"), F.col("c2c").alias("c2c_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("nv").alias("nvb"), F.col("c2c").alias("c2c_b"),
-    )
-    rm = (
-        cand.join(a, "a_id").join(b, "b_id")
-        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= THRESH)
-        .filter(
-            (F.col("c2c_a") < F.col("c2c_b"))
-            | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    n = assigned.join(rm, "vec_id", "left_anti").count()
     dt = time.time() - t0
-    assigned.unpersist()
+    spark.catalog.clearCache()
     return dt, n
 
 
@@ -147,6 +105,11 @@ def main() -> None:
     spark = build_session("vec_scale")
     out = []
     with tempfile.TemporaryDirectory() as tmp:
+        # warm the session (JVM codegen + Arrow python workers) on the
+        # smallest corpus so the first measured row isn't startup cost
+        wpath = os.path.join(tmp, "warmup.parquet")
+        make_corpus(SIZES[0], wpath)
+        spark_semantic(spark, wpath, centroids(16))
         for n in SIZES:
             path = os.path.join(tmp, f"emb_{n}.parquet")
             make_corpus(n, path)

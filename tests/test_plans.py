@@ -401,18 +401,27 @@ def test_chunk_documents_is_shuffle_free(spark, sf_dir):
     checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
 
 
-def test_knn_join_broadcasts_queries_and_salts_phase1(spark, sf_dir):
-    """The query set must broadcast (corpus never shuffles on it) and
-    the phase-1 rank must partition on (q_id, salt) — the hot-key
-    bound — before the per-query final rank."""
+def test_knn_join_batch_matmul_prunes_before_shuffle(spark, sf_dir):
+    """r6 shape: scoring is ONE Arrow MapInPandas over the corpus
+    (per-batch matmul, then a LOSSLESS local top-K prune under the
+    exact rounded order) — the corpus never joins the query set
+    row-wise, and the full |corpus|×|Q| score table never enters an
+    exchange (r5's salted two-phase shuffled it all). Exactly one
+    Window remains: the final rank over ≤ batches×K candidates per
+    query."""
     from labelmain_spark.functions.vectors import knn_join
 
     df = knn_join(spark, sf_dir)
     plan = checks.physical_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
-    assert "salt" in plan, plan[:1500]
-    assert plan.count("Window") >= 2, plan[:1500]
-    checks.assert_no_python_eval(df)
+    assert plan.count("MapInPandas") == 1, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan[:1500]
+    # bonus: Spark adds a map-side partial rank-limit before the
+    # exchange, so even the candidate rows are pruned pre-shuffle
+    assert "WindowGroupLimit" in plan, plan[:1500]
 
 
 def test_mix_temperature_doc_axis_never_shuffles(spark, sf_dir):
@@ -445,17 +454,20 @@ def test_c4_line_filter_is_shuffle_free(spark, sf_dir):
 
 
 def test_semantic_dedup_blocks_within_cluster(spark, sf_dir):
-    """SemDeDup's pair stage must be the candidates-then-exact-verify
-    shape: ONE Arrow grouped-map (the per-cluster matmul candidate
-    generator — this is the sanctioned Pandas-UDF use, not a
-    regression) feeding JVM verify joins — never a cartesian, and
-    never a second Python node (the verify/audit path stays JVM)."""
+    """SemDeDup's two vector-heavy stages are each ONE sanctioned
+    Arrow node (r6): a scalar pandas_udf batch-scoring all centroids
+    (ArrowEvalPython) for assignment, and the per-cluster matmul
+    candidate generator (FlatMapGroupsInPandas) for pairs — feeding
+    JVM verify joins. Never a cartesian, never a row-at-a-time
+    Python node; the verify/audit path stays JVM."""
     from labelmain_spark.functions.vectors import semantic_dedup
 
     df = semantic_dedup(spark, sf_dir)
     plan = checks.physical_plan(df)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert plan.count("FlatMapGroupsInPandas") == 1, plan[:1500]
+    assert "ArrowEvalPython" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan, plan[:1500]
     assert "SortMergeJoin" in plan or "HashJoin" in plan, plan[:1500]
     spark.catalog.clearCache()
 
