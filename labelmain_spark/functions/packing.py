@@ -149,6 +149,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
     )
+    return pack_segments(docs)
+
+
+def pack_segments(docs: DataFrame) -> DataFrame:
+    """The pack_sequences machinery over any (doc_id, n) count table —
+    shared with ``bpe.pack_sequences_bpe`` (same plan, BPE counts)."""
     c = exclusive_cumsum(docs, "doc_id", "n", "s")
     seg = c.select(
         "doc_id",

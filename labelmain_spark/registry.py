@@ -47,6 +47,7 @@ _MODULES = [
     "labelmain_spark.functions.sketch",
     "labelmain_spark.functions.sampling",
     "labelmain_spark.functions.packing",
+    "labelmain_spark.functions.bpe",
     "labelmain_spark.functions.quality_model",
     "labelmain_spark.functions.profile",
     "labelmain_spark.functions.contamination",
@@ -171,6 +172,7 @@ PRIORITY = [
     "dedup_incremental", "mix_temperature", "chunk_documents",
     "order_limit", "similarity_topk", "label_stats", "url_canonical",
     "dedup_incremental_near", "pack_sequences", "c4_line_filter",
+    "bpe_token_count", "pack_sequences_bpe",
 ]
 
 

@@ -117,3 +117,103 @@ def test_pack_sequences_tiles_exactly(spark, sf_dir):
             assert start == pos, (doc_id, segs)
             pos += ln
         assert pos == want[doc_id]
+
+
+def test_bpe_fit_and_segment_roundtrip():
+    """BPE is lossless by construction: merges only concatenate, so
+    joining the segments reproduces every pre-token, and joining the
+    pre-tokens reproduces the text. Pinned on corpus-like and
+    adversarial strings."""
+    from labelmain_spark.functions.bpe import (
+        bpe_segment,
+        fit_bpe_merges,
+        pretokenize,
+    )
+
+    texts = [
+        "the fast key order sort table scan merge",
+        "spark group query row data slow small filter",
+        "a!!b  c3po  x--y\t tab\nnewline",
+        "",
+    ]
+    merges = fit_bpe_merges(texts, 50)
+    assert merges, "fit produced no merges on repetitive text"
+    ranks = {p: i for i, p in enumerate(merges)}
+    for t in texts:
+        toks = pretokenize(t)
+        assert "".join(toks) == t  # pre-tokenizer is a partition
+        for w in toks:
+            segs = bpe_segment(w, ranks)
+            assert "".join(segs) == w  # merge application is lossless
+            assert 1 <= len(segs) <= len(w)
+
+
+def test_bpe_merge_count_monotonicity():
+    """Using a PREFIX of the merge list can never yield fewer tokens:
+    greedy lowest-rank-first application runs the shared prefix of
+    merges identically, then extra merges only further reduce."""
+    from labelmain_spark.functions.bpe import bpe_segment, fit_bpe_merges
+
+    texts = ["merge merge merges merged merging the them then than"] * 3
+    merges = fit_bpe_merges(texts, 60)
+    words = ["merges", " merging", " the", " than", "them"]
+    prev = None
+    for k in [0, 5, 15, 30, 60]:
+        ranks = {p: i for i, p in enumerate(merges[:k])}
+        total = sum(len(bpe_segment(w, ranks)) for w in words)
+        if prev is not None:
+            assert total <= prev, (k, total, prev)
+        prev = total
+
+
+def test_bpe_token_count_vs_whitespace(spark, sf_dir):
+    """The distributed count agrees with a driver-side re-count on a
+    sample, counts are positive on non-empty docs, and the ratio to
+    whitespace tokens is sane (BPE of word-level text can exceed ws
+    count only via sub-word splits of UNSEEN words — bounded by the
+    per-word length bound)."""
+    from labelmain_spark.functions.bpe import (
+        _fitted_merges,
+        bpe_segment,
+        bpe_token_count,
+        pretokenize,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    got = {r.doc_id: (r.n_tokens, r.n_ws_tokens) for r in bpe_token_count(spark, sf_dir).collect()}
+    merges = _fitted_merges(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    for r in docs:
+        want = sum(len(bpe_segment(w, ranks)) for w in pretokenize(r.text))
+        assert got[r.doc_id][0] == want, r.doc_id
+        assert got[r.doc_id][0] >= 1
+
+
+def test_pack_sequences_bpe_tiles_exactly(spark, sf_dir):
+    """The BPE-budgeted pack keeps pack_sequences' invariants: every
+    sequence but the last carries exactly SEQ_LEN tokens, and each
+    doc's segments tile [0, n_bpe_tokens) in order."""
+    from labelmain_spark.functions.bpe import bpe_token_count, pack_sequences_bpe
+    from labelmain_spark.functions.packing import SEQ_LEN
+
+    rows = pack_sequences_bpe(spark, sf_dir).collect()
+    assert rows
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        assert r.seg_len > 0
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.seg_len
+        by_doc.setdefault(r.doc_id, []).append((r.doc_tok_start, r.seg_len))
+    last = max(by_seq)
+    for q, tot in by_seq.items():
+        if q != last:
+            assert tot == SEQ_LEN, (q, tot)
+    want = {r.doc_id: r.n_tokens for r in bpe_token_count(spark, sf_dir).collect()}
+    for doc_id, segs in by_doc.items():
+        segs.sort()
+        pos = 0
+        for start, ln in segs:
+            assert start == pos, (doc_id, segs)
+            pos += ln
+        assert pos == want[doc_id]
