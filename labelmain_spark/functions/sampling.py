@@ -40,6 +40,21 @@ def _hash_bp_expr(key_col: str, engine: str, salt: str = "smp:") -> str:
     return f"(({val}) % {HASH_MOD})"
 
 
+def _hash_hex_expr(key_col: str, engine: str, salt: str, ndigits: int) -> str:
+    """First ``ndigits`` hex digits of md5(salt || key) as a BIGINT —
+    the general form of ``_hash_bp_expr``'s construction (kept
+    separate so the existing oracles stay byte-identical). All digit
+    arithmetic is BIGINT: 8 digits reach 16⁸ ≈ 4.3e9, past INT32."""
+    cast = "CAST({c} AS STRING)" if engine == "spark" else "CAST({c} AS VARCHAR)"
+    m = f"md5(concat('{salt}', {cast.format(c=key_col)}))"
+    digit = "CAST(instr('0123456789abcdef', substr({m}, {i}, 1)) - 1 AS BIGINT)"
+    val = " + ".join(
+        f"{digit.format(m=m, i=i + 1)} * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    )
+    return f"({val})"
+
+
 def hash_sample(df: DataFrame, key_col: str, rate_bp: int) -> DataFrame:
     """Keep rows whose key hashes below rate_bp basis points."""
     return df.filter(F.expr(_hash_bp_expr(key_col, "spark")) < F.lit(rate_bp))
@@ -215,8 +230,51 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUF_SALT = "shuf:"
+SHUF_DIGITS = 8
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle — training-order randomization, the
+    last pipeline stage before shard export: every document gets a
+    global position in the order (portable md5 hash, doc_id), so the
+    training order is reproducible from the salt alone, any position
+    subrange can be re-materialized independently (training
+    resume-from-step), and both engines agree on the exact
+    permutation.
+
+    Scale shape: the order key h·2³¹ + doc_id (h = first SHUF_DIGITS
+    md5 hex digits ≈ 32 bits; doc_id < 2³¹ by the corpus id contract,
+    asserted at plan level by the cast) is UNIQUE, so the global
+    position is an exclusive prefix-COUNT — computed with
+    packing.exclusive_cumsum's two-level machinery: per-range-bucket
+    counts, a tiny recursive offset cumsum, a broadcast-back join. NO
+    global sort, NO un-partitioned window; the only rows that ever
+    shuffle are (okey, doc_id) pairs and per-bucket counts — payload
+    text never moves. At export time the writer pays one
+    ``repartitionByRange(okey)`` + ``sortWithinPartitions`` over the
+    payload joined to this audit table — the position ASSIGNMENT
+    never needs it.
+
+    Oracle: DuckDB ``row_number() OVER (ORDER BY hash, doc_id)`` —
+    the naive global sort this plan decomposes."""
+    from labelmain_spark.functions.packing import exclusive_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.expr(_hash_hex_expr("doc_id", "spark", SHUF_SALT, SHUF_DIGITS))
+    keyed = docs.select(
+        "doc_id",
+        (h * F.lit(1 << 31) + F.col("doc_id")).cast("long").alias("okey"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return exclusive_cumsum(keyed, "okey", "one", "pos").select(
+        F.col("pos").cast("long").alias("pos"), "doc_id"
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
+    "corpus_shuffle": corpus_shuffle,
     "split_train_val": split_train_val,
     "sample_stratified": sample_stratified,
     "mix_sources": mix_sources,
@@ -224,6 +282,14 @@ QUERIES = {
 }
 
 ORACLE = {
+    "corpus_shuffle": f"""
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY {_hash_hex_expr("doc_id", "duck", "shuf:", 8)} ASC,
+                            doc_id ASC
+               ) - 1 AS BIGINT) AS pos,
+               doc_id
+        FROM documents
+    """,
     "sample_hash": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_hash_bp_expr("doc_id", "duck")} < 1000

@@ -172,7 +172,7 @@ PRIORITY = [
     "dedup_incremental", "mix_temperature", "chunk_documents",
     "order_limit", "similarity_topk", "label_stats", "url_canonical",
     "dedup_incremental_near", "pack_sequences", "c4_line_filter",
-    "bpe_token_count", "pack_sequences_bpe",
+    "bpe_token_count", "pack_sequences_bpe", "corpus_shuffle",
 ]
 
 

@@ -485,3 +485,20 @@ def test_dedup_incremental_near_band_probe_shape(spark, sf_dir):
     assert "Window" not in plan, plan[:1500]
     checks.assert_no_python_eval(df)
     spark.catalog.clearCache()
+
+
+def test_corpus_shuffle_reads_ids_only_no_range_exchange(spark, sf_dir):
+    """The shuffle-order audit table must be derivable without ever
+    sorting or range-partitioning the corpus: position assignment is
+    the bucketed exclusive cumsum (its above-width no-global-window
+    guarantee is pinned in test_packing), the scan reads doc_id ONLY
+    (text never moves), and no Python node appears. The single range
+    exchange belongs to the export writer, not this plan."""
+    from labelmain_spark.functions.sampling import corpus_shuffle
+
+    df = corpus_shuffle(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "rangepartitioning" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id"}, table_hint="documents")
+    spark.catalog.clearCache()
