@@ -733,6 +733,44 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_plan(spark, e, _SEM_CENTROIDS)
 
 
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a FITTED quantizer — the production path the
+    frozen-centroid `semantic_dedup` key documents (r5 verdict item
+    8): centroids come from the sampled spherical-k-means fit
+    (`_ivf_fit_assign`'s recipe: L2-normalize, seeded KMeans on a
+    bounded sample, k ∝ N so cluster size stays ~constant), then the
+    IDENTICAL `semantic_dedup_plan` runs over them — assignment
+    matmul, cluster-blocked candidate matmul, exact JVM verify.
+
+    Rows-only by design: fitted centroids are a model artifact DuckDB
+    cannot reproduce; instead tests/test_properties.py re-derives the
+    full removal set in numpy FROM THIS KEY'S OWN audit output
+    (cluster + c2c columns) against brute-force pair cosines — an
+    exact decision-procedure oracle, stronger than a hash compare of
+    frozen fixtures. The fit is one bounded eager driver action (the
+    ann_ivf class)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.count()
+    if n < 2:
+        # nothing to cluster (empty partition / day filter): the plan
+        # over frozen centroids yields the correct empty/degenerate
+        # audit without a quantizer fit
+        return semantic_dedup_plan(spark, e, _SEM_CENTROIDS[:2])
+    k = max(2, min(64, n // 125))
+    fit_cap = 100_000
+    fe = e.withColumn(
+        "fv", array_to_vector(F.transform("v", lambda x: x / _norm(F.col("v"))))
+    )
+    fit_df = fe if n <= fit_cap else fe.sample(fraction=fit_cap / n, seed=42)
+    model = KMeans(k=k, seed=42, featuresCol="fv", predictionCol="cell").fit(fit_df)
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    return semantic_dedup_plan(spark, e, cents)
+
+
 def _sql_sem_cos(c: list[float]) -> str:
     import math
 
@@ -924,6 +962,7 @@ QUERIES = {
     "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "semantic_dedup": semantic_dedup,
+    "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
     "knn_join": knn_join,
 }
 

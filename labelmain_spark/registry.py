@@ -173,6 +173,7 @@ PRIORITY = [
     "order_limit", "similarity_topk", "label_stats", "url_canonical",
     "dedup_incremental_near", "pack_sequences", "c4_line_filter",
     "bpe_token_count", "pack_sequences_bpe", "corpus_shuffle",
+    "semantic_dedup_ivf",
 ]
 
 

@@ -132,6 +132,11 @@ REPRESENTATIVE = [
     "url_canonical",
     "pack_sequences",
     "c4_line_filter",
+    # round-6 additions
+    "corpus_shuffle",
+    "bpe_token_count",
+    "pack_sequences_bpe",
+    "semantic_dedup_ivf",
 ]
 
 

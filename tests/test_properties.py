@@ -636,3 +636,51 @@ def test_semantic_candidate_margin_covers_rounding_half_step():
     assert (0, 1) in cands(pair_with_dot(SEM_THRESHOLD - 5.9e-5))
     # clearly-below pairs are pruned (round4 rejects them anyway)
     assert (0, 1) not in cands(pair_with_dot(SEM_THRESHOLD - 1e-3))
+
+
+def test_semantic_dedup_ivf_decisions_exact(spark, sf_dir):
+    """The fitted-quantizer SemDeDup has no SQL oracle, so verify the
+    whole decision procedure instead: re-derive the removal set in
+    numpy from the key's OWN audit columns (cluster, c2c) plus
+    brute-force pair cosines under the published rule — same-cluster
+    neighbor at rounded cos >= threshold that outranks by (lower c2c,
+    then lower vec_id) => removed — and require exact set equality.
+    Also pin that the fit actually clustered (k > 1 clusters used)."""
+    import numpy as np
+
+    from labelmain_spark.functions.vectors import SEM_THRESHOLD, semantic_dedup_ivf
+    from labelmain_spark.sources.readers import load_table
+
+    audit = {
+        r.vec_id: (r.cluster, r.c2c, r.removed)
+        for r in semantic_dedup_ivf(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([r.embedding for r in emb], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.floor((V @ V.T) * 1e4 + 0.5) / 1e4
+
+    clusters = {}
+    for i, vid in enumerate(ids):
+        clusters.setdefault(audit[vid][0], []).append(i)
+    assert len(clusters) > 1, "quantizer collapsed to one cluster"
+
+    expect_removed = set()
+    for members in clusters.values():
+        for i in members:
+            for j in members:
+                if i == j:
+                    continue
+                a, b = ids[i], ids[j]
+                if S[i, j] >= SEM_THRESHOLD and (
+                    audit[a][1] < audit[b][1]
+                    or (audit[a][1] == audit[b][1] and a < b)
+                ):
+                    expect_removed.add(b)
+    got_removed = {vid for vid, (_, _, rm) in audit.items() if rm}
+    assert got_removed == expect_removed, (
+        len(got_removed), len(expect_removed),
+        list(got_removed ^ expect_removed)[:10],
+    )
+    spark.catalog.clearCache()
