@@ -83,6 +83,11 @@ HEADLINE = [
     "semantic_dedup",
     "knn_join",
     "chunk_documents",
+    # round-6: the one new family (training-order randomization);
+    # bpe_token_count / pack_sequences_bpe / semantic_dedup_ivf are
+    # variants of families already represented (text_tokens-class,
+    # shard_pack-class, semantic_dedup).
+    "corpus_shuffle",
 ]
 
 
@@ -158,6 +163,56 @@ def main() -> None:
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items() if v}
 
     total = round(sum(timings.values()), 3)
+
+    # DuckDB denominator, measured in the SAME process right after the
+    # Spark passes (r5 verdict item 7): the driver's box carries
+    # ~1.3-1.5× time-local contention vs an idle box, so a Spark total
+    # compared against a BASELINE.md number measured at a different
+    # time conflates contention with regression. Running the identical
+    # oracle SQL serialized here gives every artifact its own
+    # same-session denominator. Same pass count, median per key.
+    duck_timings: dict[str, float] = {}
+    duck_total = None
+    try:
+        import duckdb
+
+        oracles = registry.oracle_sql()
+        duck_keys = [k for k in keys if k in oracles and k not in errors]
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        duck_samples: dict[str, list[float]] = {k: [] for k in duck_keys}
+        duck_budget = float(os.environ.get("SPARK_GRAFT_DUCK_BUDGET", "150"))
+        t_duck = time.time()
+        for p in range(passes_done or 1):
+            if p > 0 and time.time() - t_duck > duck_budget:
+                print(f"# duck budget hit after {p} passes", file=sys.stderr)
+                break
+            for key in duck_keys:
+                t0 = time.time()
+                try:
+                    con.execute(oracles[key]).fetchall()
+                except Exception as e:  # noqa: BLE001 — denominator is best-effort
+                    print(f"# duck {key}: ERROR {e}", file=sys.stderr)
+                    duck_keys = [k for k in duck_keys if k != key]
+                    continue
+                duck_samples[key].append(round(time.time() - t0, 3))
+        con.close()
+        duck_timings = {k: median(v) for k, v in duck_samples.items() if v}
+        # Sum the denominator ONLY over keys measured on both engines
+        # so spark_total/duck_total compare identical work.
+        both = set(duck_timings) & set(timings)
+        duck_total = round(sum(duck_timings[k] for k in both), 3)
+        spark_common = round(sum(timings[k] for k in both), 3)
+    except Exception as e:  # noqa: BLE001 — never cost the Spark artifact
+        print(f"# duck twin skipped: {e}", file=sys.stderr)
+        spark_common = None
     # The round driver keeps only the LAST ~2000 chars of output
     # (BENCH_r04: the primary line + per-key spread overflowed that
     # window and the head of the JSON was cut → parsed:null). So the
@@ -168,6 +223,8 @@ def main() -> None:
     detail = {"spread": spread, "passes": passes_done}
     if errors:
         detail["errors"] = errors
+    if duck_timings:
+        detail["duck_queries"] = duck_timings
     print(json.dumps({"bench_detail": detail}, separators=(",", ":")))
     out = {
         "metric": "headline_queries_total_wall",
@@ -177,6 +234,10 @@ def main() -> None:
         "passes": passes_done,
         "sf": sf,
     }
+    if duck_total is not None:
+        out["duck_total"] = duck_total
+        out["spark_common_total"] = spark_common
+        out["n_duck_keys"] = len(duck_timings)
     if errors:
         out["n_errors"] = len(errors)
     line = json.dumps(out, separators=(",", ":"))
