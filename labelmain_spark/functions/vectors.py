@@ -540,6 +540,9 @@ def _sem_centroids() -> list[list[float]]:
 _SEM_CENTROIDS = _sem_centroids()
 
 
+_ASSIGN_UDF_CACHE: dict[int, object] = {}
+
+
 def _centroid_assign_udf(cents: list[list[float]]):
     """Scalar pandas_udf scoring ALL centroids per vector as one numpy
     matmul, returning (cluster, c2c) — the r6 re-plan of the
@@ -572,6 +575,16 @@ def _centroid_assign_udf(cents: list[list[float]]):
     C = np.asarray(cents, dtype=np.float64)
     # the JVM plan divides by F.lit(math.sqrt(sum(x*x for x in c))) —
     # reuse those exact Python-computed literals, not numpy norms
+    # Memoize on centroid CONTENT: the registry key passes the frozen
+    # module-level list on every call, and rebuilding the pandas_udf
+    # (capture + registration) was ~0.2 s of every plan build. The
+    # cache key is the full value tuple, not id() — vec_scale passes
+    # freshly-fitted lists that must never alias.
+    cache_key = tuple(tuple(c) for c in cents)
+    cached = _ASSIGN_UDF_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
     cn = np.array([math.sqrt(sum(x * x for x in c)) for c in cents])
 
     @pandas_udf("struct<cluster:int,c2c:double>")
@@ -597,6 +610,7 @@ def _centroid_assign_udf(cents: list[list[float]]):
         cl = np.argmax(R, axis=1).astype("int32")  # first max == array_position rule
         return pd.DataFrame({"cluster": cl, "c2c": R[np.arange(len(cl)), cl]})
 
+    _ASSIGN_UDF_CACHE[cache_key] = assign
     return assign
 
 
@@ -638,26 +652,35 @@ def semantic_dedup_plan(
         # margin = 4-dp rounding half-step (5e-5) + matmul ulp slack
         ii, jj = np.nonzero(s >= thr - 6e-5)
         keep = ii != jj
+        ii, jj = ii[keep], jj[keep]
         ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame({"a_id": ids[ii[keep]], "b_id": ids[jj[keep]]})
+        nv = pdf["nv"].to_numpy()
+        c2c = pdf["c2c"].to_numpy()
+        # Emit the pair's vectors and centroid-sims WITH the candidate
+        # row (Arrow doubles roundtrip bit-exactly), so the JVM verify
+        # below needs NO re-attach joins. Candidates ≈ actual
+        # duplicates — sparse by definition — so the widened shuffle
+        # rows cost less than the two extra shuffle joins they replace
+        # (r6: 1.3 s → sub-second at sf0.1; at scale the pair count,
+        # not the row width, is the term that matters).
+        return pd.DataFrame(
+            {
+                "a_id": ids[ii],
+                "b_id": ids[jj],
+                "nva": nv[ii],
+                "nvb": nv[jj],
+                "c2c_a": c2c[ii],
+                "c2c_b": c2c[jj],
+            }
+        )
 
     cand = assigned.groupBy("cluster").applyInPandas(
-        _cluster_candidates, "a_id long, b_id long"
-    )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("nv").alias("nva"),
-        F.col("c2c").alias("c2c_a"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("nv").alias("nvb"),
-        F.col("c2c").alias("c2c_b"),
+        _cluster_candidates,
+        "a_id long, b_id long, nva array<double>, nvb array<double>, "
+        "c2c_a double, c2c_b double",
     )
     removed_ids = (
-        cand.join(a, "a_id")
-        .join(b, "b_id")
-        .filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= thr)
+        cand.filter(stable_round(_dot(F.col("nva"), F.col("nvb")), 4) >= thr)
         .filter(
             (F.col("c2c_a") < F.col("c2c_b"))
             | ((F.col("c2c_a") == F.col("c2c_b")) & (F.col("a_id") < F.col("b_id")))
