@@ -62,11 +62,85 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 8  # benchmark n-gram length; power of two → clean doubling
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination — the minimal-removal variant of
+    ``contamination_check`` (FineWeb / Lee-et-al style): instead of
+    dropping every training document that overlaps the benchmark, cut
+    ONLY the overlapping token spans and keep the rest of the
+    document. A train position is contaminated when its
+    ``DECON_N``-token n-gram occurs ANYWHERE in the benchmark split
+    (the same deterministic hash split as contamination_check);
+    overlapping cut spans merge via gaps-and-islands and each doc
+    reassembles in position order.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for every TRAIN
+    document — the decontaminated corpus plus its audit columns.
+
+    Scale shape: n-gram identity is the dual-lane xxhash64
+    prefix-doubling chain shared with the duplicate-span family
+    (substrings._position_hashes — ONE shuffle keyed by doc_id, then
+    log2(N) stacked windows over the same sort; 16 bytes/position,
+    never text). The benchmark n-gram set is `distinct` over the
+    (small by construction) eval split's positions; membership is a
+    LEFT SEMI join on the hash pair — the benchmark set never
+    materializes per document, and the semi join's build side is
+    benchmark-bounded, not corpus-bounded. Islands merge + anti-join
+    reassembly are the remove_duplicate_spans shapes
+    (substrings._covered_positions). Nothing is quadratic; every
+    shuffle key is a scalar or (long, long).
+
+    Two-engine independence: Spark decides membership on the xxhash64
+    lane pair; the DuckDB oracle re-derives it from md5 over the
+    actual n-gram TEXT — agreement on the full value hash means two
+    independent algorithms produced identical cuts (the
+    duplicate_spans oracle discipline)."""
+    from labelmain_spark.functions.substrings import (
+        _covered_positions,
+        _position_hashes,
+        _positions,
+    )
+
+    toks = _positions(spark, sf_dir)
+    hashes = _position_hashes(toks, DECON_N)
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+    bench = hashes.filter(is_eval).select("h1", "h2").distinct()
+    cuts = (
+        hashes.filter(~is_eval)
+        .join(bench, ["h1", "h2"], "left_semi")
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + DECON_N).alias("e"))
+    )
+    covered = _covered_positions(cuts)
+    kept = toks.filter(~is_eval).join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+        ).alias("clean_text"),
+    )
+    cov = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    return out.join(cov, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 _RATIO_SQL = sql_stable_round(
     "CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles", 4
 )
 
-QUERIES = {"contamination_check": contamination_check}
+QUERIES = {
+    "contamination_check": contamination_check,
+    "decontaminate_spans": decontaminate_spans,
+}
 
 ORACLE = {
     "contamination_check": f"""
@@ -90,5 +164,74 @@ ORACLE = {
                {_RATIO_SQL} AS overlap_ratio,
                CAST({_RATIO_SQL} >= {CONTAM_THRESHOLD} AS INTEGER) AS contaminated
         FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+    # Independent algorithm, deliberately: n-gram identity is md5 over
+    # the actual window TEXT (Spark uses the dual-lane xxhash64
+    # doubling chain) — agreement on the value hash means two
+    # independent membership derivations produced identical cuts.
+    "decontaminate_spans": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, u.pos AS pos, u.g AS gram_md5 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - {DECON_N - 1}, 0)),
+                           i -> {{'pos': i,
+                                 'g': md5(array_to_string(list_slice(
+                                     toks, i + 1, i + {DECON_N}), ' '))}}
+                       )) AS u
+                FROM t
+            )
+        ), bench AS (
+            SELECT DISTINCT gram_md5 FROM g
+            WHERE {_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP}
+        ), cuts AS (
+            SELECT doc_id, pos AS s, pos + {DECON_N} AS e FROM g
+            WHERE NOT ({_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP})
+              AND gram_md5 IN (SELECT gram_md5 FROM bench)
+        ), islands AS (
+            SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e FROM (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS island
+                FROM (
+                    SELECT doc_id, s, e,
+                           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                               AS prev_max
+                    FROM cuts
+                )
+            ) GROUP BY doc_id, island
+        ), covered AS (
+            SELECT doc_id, unnest(range(s, e)) AS pos FROM islands
+        ), toks AS (
+            SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks)),
+                           i -> {{'pos': i, 'tok': toks[i + 1]}})) AS u
+                FROM t
+                WHERE NOT ({_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP})
+            )
+        ), kept AS (
+            SELECT k.doc_id, k.pos, k.tok
+            FROM toks k LEFT JOIN covered c
+              ON c.doc_id = k.doc_id AND c.pos = k.pos
+            WHERE c.doc_id IS NULL
+        ), outp AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc_id
+        ), cov AS (
+            SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+        )
+        SELECT COALESCE(outp.doc_id, cov.doc_id) AS doc_id,
+               CAST(COALESCE(n_kept, 0) + COALESCE(n_removed, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+               COALESCE(clean_text, '') AS clean_text
+        FROM outp FULL OUTER JOIN cov ON outp.doc_id = cov.doc_id
     """,
 }

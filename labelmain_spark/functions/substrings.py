@@ -58,32 +58,18 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spans_and_groups(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """``spans`` = (doc_id, pos, h1, h2) for every full-span position
-    (persisted — every consumer is a diamond over it); ``groups`` =
-    (h1, h2, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence
-    hashes, rep = globally-first occurrence. Callers must reference
-    ``groups`` ONCE per output plan — it aggregates the cached spans,
-    and a second reference re-runs that shuffle.
-
-    The doubling rounds run on TWO independent xxhash64 lanes over
-    LONGS (128 combined bits; group identity is the (h1, h2) pair),
-    not md5 over hex strings: md5-on-64-char-concat per round cost
-    ~5× DuckDB's single md5-per-window at toy scale (measured r5 —
-    the Spark-vs-oracle gap on this key was mostly the chain's string
-    churn: 5.77 s → 2.60 s on the 5× corpus from this change alone,
-    and the Spark/DuckDB ratio crossed below 1.0 there). Lane 2
-    mixes a literal into every round so the lanes never collide in
-    lockstep; a birthday collision needs ~2^64 positions per lane
-    pair — 16 bytes/position also halves the persisted/shuffled
-    payload vs one 32-char digest."""
+def _position_hashes(positions: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, h1, h2) where (h1, h2) identifies the L-token
+    substring opening at pos — the dual-lane xxhash64 prefix-doubling
+    chain: log2(L) stacked ``lead`` windows over ONE per-doc sort
+    (Catalyst stacks same-spec Window operators with no re-exchange).
+    Positions without a full L-token span (doc tail) are dropped.
+    L must be a power of two. Shared by the corpus-wide duplicate-span
+    family (L=32) and span decontamination (contamination.py, L=8)."""
     from pyspark.sql import Window as W
 
-    L = DUP_SPAN_L
     w = W.partitionBy("doc_id").orderBy("pos")
-    df = _positions(spark, sf_dir).select(
+    df = positions.select(
         "doc_id",
         "pos",
         F.xxhash64("tok").alias("h1"),
@@ -107,7 +93,62 @@ def _spans_and_groups(
             .alias("h2"),
         )
         k *= 2
-    spans = df.filter(F.col("h1").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
+    return df.filter(F.col("h1").isNotNull())
+
+
+def _covered_positions(cuts: DataFrame) -> DataFrame:
+    """Merge per-doc cut intervals (doc_id, s, e) with the classic
+    gaps-and-islands pattern (running max of ends over a per-doc
+    ordered window; a span starting past that max opens a new island)
+    and explode to (doc_id, pos) — each covered position generated
+    exactly ONCE, where the raw interval explode would emit a run of
+    overlapping spans up to span-length times. Shared by
+    remove_duplicate_spans and decontaminate_spans."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        cuts.withColumn(
+            "new_island",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    return islands.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+
+
+def _spans_and_groups(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``spans`` = (doc_id, pos, h1, h2) for every full-span position
+    (persisted — every consumer is a diamond over it); ``groups`` =
+    (h1, h2, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence
+    hashes, rep = globally-first occurrence. Callers must reference
+    ``groups`` ONCE per output plan — it aggregates the cached spans,
+    and a second reference re-runs that shuffle.
+
+    The doubling rounds run on TWO independent xxhash64 lanes over
+    LONGS (128 combined bits; group identity is the (h1, h2) pair),
+    not md5 over hex strings: md5-on-64-char-concat per round cost
+    ~5× DuckDB's single md5-per-window at toy scale (measured r5 —
+    the Spark-vs-oracle gap on this key was mostly the chain's string
+    churn: 5.77 s → 2.60 s on the 5× corpus from this change alone,
+    and the Spark/DuckDB ratio crossed below 1.0 there). Lane 2
+    mixes a literal into every round so the lanes never collide in
+    lockstep; a birthday collision needs ~2^64 positions per lane
+    pair — 16 bytes/position also halves the persisted/shuffled
+    payload vs one 32-char digest."""
+    spans = _position_hashes(_positions(spark, sf_dir), DUP_SPAN_L).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     groups = (
         spans.groupBy("h1", "h2")
@@ -167,8 +208,6 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, regroup per doc in position order.
 
     Output: (doc_id, n_tokens, n_removed, clean_text) for every doc."""
-    from pyspark.sql import Window as W
-
     L = DUP_SPAN_L
     spans, groups = _spans_and_groups(spark, sf_dir)
     cuts = (
@@ -178,23 +217,7 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + L).alias("e"))
     )
-    w = W.partitionBy("doc_id").orderBy("s")
-    prev_max = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    islands = (
-        cuts.withColumn(
-            "new_island",
-            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
-        )
-        .withColumn(
-            "island",
-            F.sum("new_island").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-        )
-        .groupBy("doc_id", "island")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
-    covered = islands.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
-    )
+    covered = _covered_positions(cuts)
     toks = _positions(spark, sf_dir)
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     out = kept.groupBy("doc_id").agg(

@@ -108,6 +108,7 @@ REPRESENTATIVE = [
     "mix_sources",
     "corpus_pipeline",
     "contamination_check",
+    "decontaminate_spans",
     "similarity_topk",
     "embedding_neardup",
     "funnel_match",

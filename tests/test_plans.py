@@ -502,3 +502,20 @@ def test_corpus_shuffle_reads_ids_only_no_range_exchange(spark, sf_dir):
     checks.assert_no_python_eval(df)
     checks.assert_read_schema(df, {"doc_id"}, table_hint="documents")
     spark.catalog.clearCache()
+
+
+def test_decontaminate_spans_semi_join_no_cartesian(spark, sf_dir):
+    """Span decontamination must probe the benchmark n-gram set with a
+    LEFT SEMI join on the hash pair (build side benchmark-bounded),
+    never a cartesian or a per-doc array; the n-gram chain and the
+    islands merge keep every window partitioned by doc_id; the whole
+    plan is JVM-only and reads just (doc_id, text)."""
+    from labelmain_spark.functions.contamination import decontaminate_spans
+
+    df = decontaminate_spans(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "LeftSemi" in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+    spark.catalog.clearCache()

@@ -145,3 +145,63 @@ def test_chunk_count_matches_closed_form(spark, n_tokens):
                 break
             i += 1
         assert sorted(got[doc_id]) == expect, (doc_id, n)
+
+
+def test_decontaminate_spans_matches_python_reference(spark, sf_dir):
+    """THIRD independent algorithm: a serial pure-Python
+    decontaminator (n-gram tuples as identity — no hashing at all)
+    must reproduce every train doc's (n_tokens, n_removed,
+    clean_text) exactly. The Spark plan decides membership on the
+    dual-lane xxhash64 pair and the DuckDB oracle on md5 text — this
+    reference has no hash to collide, so agreement rules out a
+    shared hash-identity blind spot, and it exercises the islands
+    merge against naive per-position coverage."""
+    from labelmain_spark.functions.contamination import (
+        CONTAM_EVAL_BP,
+        DECON_N,
+        decontaminate_spans,
+    )
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    # the split predicate itself is Spark-evaluated: this test checks
+    # the span algebra, not the (sampling-suite-tested) hash split
+    eval_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP)
+        .select("doc_id")
+        .collect()
+    }
+    bench = {
+        tuple(toks[i : i + DECON_N])
+        for did, toks in docs.items()
+        if did in eval_ids
+        for i in range(len(toks) - DECON_N + 1)
+    }
+    want = {}
+    for did, toks in docs.items():
+        if did in eval_ids:
+            continue
+        covered = set()
+        for i in range(len(toks) - DECON_N + 1):
+            if tuple(toks[i : i + DECON_N]) in bench:
+                covered.update(range(i, i + DECON_N))
+        clean = " ".join(t for i, t in enumerate(toks) if i not in covered)
+        want[did] = (len(toks), len(covered), clean)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in decontaminate_spans(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {d: (got[d], want[d]) for d in want if got[d] != want[d]}
+    assert not mismatches, dict(list(mismatches.items())[:3])
+    assert any(n_removed > 0 for _, n_removed, _ in got.values()), (
+        "fixture exercises no contamination — the test is vacuous"
+    )
+    spark.catalog.clearCache()
