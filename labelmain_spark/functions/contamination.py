@@ -65,6 +65,66 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_N = 8  # benchmark n-gram length; power of two → clean doubling
 
 
+def _doc_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) for an arbitrary (doc_id, text) frame."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+
+
+def benchmark_ngrams(bench_docs: DataFrame) -> DataFrame:
+    """The benchmark's distinct DECON_N-gram hash set (h1, h2) — the
+    model artifact of decontamination. Built once from the eval suite
+    and probed by every batch (and every micro-batch of the streaming
+    twin); its size is bounded by the BENCHMARK, not the corpus."""
+    from labelmain_spark.functions.substrings import _position_hashes
+
+    return (
+        _position_hashes(_doc_positions(bench_docs), DECON_N)
+        .select("h1", "h2")
+        .distinct()
+    )
+
+
+def decontaminate_docs(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Core span cleaner: cut every DECON_N-gram of ``docs`` whose
+    hash pair appears in ``bench``, merge overlapping cuts, reassemble
+    in position order. Per-document given the benchmark set — no
+    cross-document state — which is what makes the streaming twin
+    (streaming/incremental.py::run_decontaminate_sink) batch-exact.
+    Output: (doc_id, n_tokens, n_removed, clean_text) per input doc."""
+    from labelmain_spark.functions.substrings import (
+        _covered_positions,
+        _position_hashes,
+    )
+
+    toks = _doc_positions(docs)
+    cuts = (
+        _position_hashes(toks, DECON_N)
+        .join(bench, ["h1", "h2"], "left_semi")
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + DECON_N).alias("e"))
+    )
+    covered = _covered_positions(cuts)
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+        ).alias("clean_text"),
+    )
+    cov = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    return out.join(cov, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-level decontamination — the minimal-removal variant of
     ``contamination_check`` (FineWeb / Lee-et-al style): instead of
@@ -97,40 +157,12 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual n-gram TEXT — agreement on the full value hash means two
     independent algorithms produced identical cuts (the
     duplicate_spans oracle discipline)."""
-    from labelmain_spark.functions.substrings import (
-        _covered_positions,
-        _position_hashes,
-        _positions,
-    )
+    from labelmain_spark.sources.readers import load_table
 
-    toks = _positions(spark, sf_dir)
-    hashes = _position_hashes(toks, DECON_N)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
-    bench = hashes.filter(is_eval).select("h1", "h2").distinct()
-    cuts = (
-        hashes.filter(~is_eval)
-        .join(bench, ["h1", "h2"], "left_semi")
-        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + DECON_N).alias("e"))
-    )
-    covered = _covered_positions(cuts)
-    kept = toks.filter(~is_eval).join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
-        ).alias("clean_text"),
-    )
-    cov = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_removed")
-    )
-    return out.join(cov, "doc_id", "full_outer").select(
-        "doc_id",
-        (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0)))
-        .cast("long")
-        .alias("n_tokens"),
-        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-    )
+    bench = benchmark_ngrams(docs.filter(is_eval))
+    return decontaminate_docs(docs.filter(~is_eval), bench)
 
 
 _RATIO_SQL = sql_stable_round(

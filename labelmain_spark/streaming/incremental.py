@@ -235,3 +235,38 @@ def incremental_dedup_stream(docs: DataFrame, history_digests: DataFrame) -> Dat
         "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
     )
     return d.join(history_digests, "h", "left_anti")
+
+
+def run_decontaminate_sink(
+    docs: DataFrame,
+    bench: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of decontaminate_spans: each micro-batch of the
+    crawl stream is span-decontaminated against the STATIC benchmark
+    n-gram hash table (functions/contamination.py::decontaminate_docs)
+    and appended as parquet shards. The cleaner is per-document given
+    the benchmark — no cross-batch state — so stream-accumulated
+    output is batch-exact (pinned by
+    test_stream_decontaminate_matches_batch). Window functions are
+    unsupported on streaming DataFrames, so the n-gram chain runs
+    under ``foreachBatch``, the standard shape for per-batch
+    relational logic with no cross-batch state; the static bench side
+    re-plans per micro-batch, so a refreshed eval suite is visible on
+    the next trigger. (Appending shards is the demo sink; production
+    routes through the versioned atomic publish in sources/writers.)"""
+    from labelmain_spark.functions.contamination import decontaminate_docs
+
+    def clean_batch(batch: DataFrame, epoch_id: int) -> None:
+        decontaminate_docs(batch.select("doc_id", "text"), bench).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        docs.writeStream.foreachBatch(clean_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -262,3 +262,35 @@ def test_stream_incremental_dedup_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming span decontamination == the batch key on the same
+    docs: the cleaner is per-document given the static benchmark set,
+    so accumulating foreachBatch outputs must reproduce
+    decontaminate_spans row-for-row."""
+    from labelmain_spark.functions.contamination import (
+        CONTAM_EVAL_BP,
+        benchmark_ngrams,
+        decontaminate_spans,
+    )
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = benchmark_ngrams(docs.filter(is_eval))
+    stream = (
+        inc.stream_documents(spark, sf_dir).filter(~is_eval).select("doc_id", "text")
+    )
+    out_path = str(tmp_path / "clean")
+    inc.run_decontaminate_sink(stream, bench, out_path, str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+        for r in decontaminate_spans(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
