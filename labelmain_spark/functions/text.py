@@ -218,6 +218,60 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity terciles: split the corpus into head /
+    middle / tail thirds by language-model score (here the unigram
+    NLL above — the same cheap KenLM stand-in), lowest NLL = head.
+    CCNet/RedPajama train on head+middle and drop or down-weight
+    tail; the bucket label is the knob.
+
+    Scale shape — NO global sort, NO corpus-width window: exact
+    terciles over a ranked corpus would need a global rank, the
+    canonical 100 TB anti-pattern. Instead the thresholds come from a
+    DISCRETIZED CUMULATIVE HISTOGRAM: per-doc NLL is already rounded
+    to 4 dp, so groupBy(nll) yields a histogram BOUNDED by the score
+    space (≤ ~10^5 rows for any corpus size — same bounded-small-side
+    class as packing's top level), the running sum over that small
+    table is a window over the histogram (not the corpus), and the
+    two threshold values reduce to a broadcast 1-row aggregate folded
+    into the plan (no driver action). Every doc then gets its bucket
+    from two broadcast comparisons — one corpus-wide narrow map.
+    t1 = min score v with 3·cum(v) ≥ N, t2 likewise for 2N: pure
+    integer predicates, no division, bit-identical in both engines.
+    Tie classes at a threshold land whole in the lower bucket —
+    deterministic, and the only deviation from exact thirds."""
+    from pyspark.sql import Window as W
+
+    scored = quality_unigram_nll(spark, sf_dir).select("doc_id", "unigram_nll")
+    hist = scored.groupBy("unigram_nll").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("unigram_nll").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n"), F.col("unigram_nll"))
+            ).alias("t1"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("unigram_nll"))
+            ).alias("t2"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "unigram_nll",
+        F.when(F.col("unigram_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("unigram_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -358,6 +412,7 @@ QUERIES = {
     "quality_repetition": quality_repetition,
     "tfidf_topk": tfidf_topk,
     "quality_unigram_nll": quality_unigram_nll,
+    "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
 }
@@ -468,6 +523,44 @@ ORACLE = {
         SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
                {sql_stable_round(f"{sql_dsum('nll')} / COUNT(*)", 4)} AS unigram_nll
         FROM p GROUP BY doc_id
+    """,
+    # identical discretized-histogram threshold rule as the Spark
+    # plan: integer predicate 3*cum >= N on the 4-dp score histogram,
+    # tie classes land whole in the lower bucket
+    "perplexity_buckets": f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), f AS (
+            SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+        ), p AS (
+            SELECT doc_id,
+                   {sql_stable_round(
+                       "ln(CAST((SELECT SUM(cnt) FROM f) AS DOUBLE) / cnt)", 6
+                   )} AS nll
+            FROM t JOIN f USING (term)
+        ), s AS (
+            SELECT doc_id,
+                   {sql_stable_round(f"{sql_dsum('nll')} / COUNT(*)", 4)} AS unigram_nll
+            FROM p GROUP BY doc_id
+        ), h AS (
+            SELECT unigram_nll, COUNT(*) AS cnt FROM s GROUP BY unigram_nll
+        ), c AS (
+            SELECT unigram_nll,
+                   SUM(cnt) OVER (ORDER BY unigram_nll
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM h
+        ), th AS (
+            SELECT MIN(CASE WHEN cum * 3 >= (SELECT COUNT(*) FROM s)
+                            THEN unigram_nll END) AS t1,
+                   MIN(CASE WHEN cum * 3 >= 2 * (SELECT COUNT(*) FROM s)
+                            THEN unigram_nll END) AS t2
+            FROM c
+        )
+        SELECT s.doc_id, s.unigram_nll,
+               CASE WHEN s.unigram_nll <= th.t1 THEN 'head'
+                    WHEN s.unigram_nll <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, th
     """,
     "quality_repetition": f"""
         WITH base AS (

@@ -109,6 +109,7 @@ REPRESENTATIVE = [
     "corpus_pipeline",
     "contamination_check",
     "decontaminate_spans",
+    "perplexity_buckets",
     "similarity_topk",
     "embedding_neardup",
     "funnel_match",

@@ -684,3 +684,35 @@ def test_semantic_dedup_ivf_decisions_exact(spark, sf_dir):
         list(got_removed ^ expect_removed)[:10],
     )
     spark.catalog.clearCache()
+
+
+def test_perplexity_buckets_tercile_rule_exact(spark, sf_dir):
+    """The discretized-histogram rule must yield exactly CCNet's
+    tercile semantics: buckets are monotone in score (every head doc
+    scores <= every middle doc <= every tail doc), head is the
+    SMALLEST prefix of score classes reaching >= N/3 (so dropping its
+    top tie class falls below N/3), and head+middle likewise for
+    2N/3."""
+    from collections import defaultdict
+
+    from labelmain_spark.functions.text import perplexity_buckets
+
+    rows = [
+        (r.unigram_nll, r.bucket)
+        for r in perplexity_buckets(spark, sf_dir).collect()
+    ]
+    assert rows
+    n = len(rows)
+    by_bucket = defaultdict(list)
+    for nll, b in rows:
+        by_bucket[b].append(nll)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    h = len(by_bucket["head"])
+    hm = h + len(by_bucket["middle"])
+    t1_ties = sum(1 for x in by_bucket["head"] if x == max(by_bucket["head"]))
+    t2_ties = sum(1 for x in by_bucket["middle"] if x == max(by_bucket["middle"]))
+    assert 3 * h >= n and 3 * (h - t1_ties) < n
+    assert 3 * hm >= 2 * n and 3 * (hm - t2_ties) < 2 * n
+    spark.catalog.clearCache()
