@@ -161,13 +161,17 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-TFIDF_TOPK terms per document — the classic relevance /
     keyword-extraction scoring over the corpus.
 
-    Scale: one explode (narrow) feeds two partial-agg aggregations —
-    per-(doc, term) tf and per-term document frequency — joined on the
-    term key (hot stopword terms are AQE skew-split), then a per-doc
-    ranking window. The rank ORDERS BY THE ROUNDED score (then term):
-    ranking on the raw double would let a last-ulp ln() difference
-    between engines reorder near-ties and break the oracle hash.
-    n_docs is a parquet-metadata count."""
+    Scale (re-planned r6): one explode (narrow) feeds two partial-agg
+    aggregations — per-(doc, term) tf and per-term document frequency.
+    The df table is vocab-bounded (the language, not the corpus, caps
+    distinct terms), so it BROADCASTS onto tf — the corpus-scale tf
+    table never re-shuffles on the Zipf-hot term key (previously an
+    AQE-skew-split sort-merge; the r6 unigram-NLL crossover measured
+    the term-keyed shuffle as this family's scale plateau). Then a
+    per-doc ranking window. The rank ORDERS BY THE ROUNDED score
+    (then term): ranking on the raw double would let a last-ulp ln()
+    difference between engines reorder near-ties and break the oracle
+    hash. n_docs is a parquet-metadata count."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -178,7 +182,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = stable_round(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
     )
-    scored = tf.join(dfreq, "term").select(
+    scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id", "term", "tf", score.alias("tfidf")
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -196,10 +200,19 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     noisy text — the cheap stand-in for the KenLM perplexity filter in
     the CCNet / RedPajama recipes.
 
-    Scale: explode → term-count agg (partial-agg shuffle on uniform
-    term keys), corpus total folded in via a broadcast 1-row aggregate
-    (no driver-side literal, stays one Catalyst plan), then the scored
-    postings re-aggregate per doc_id. Determinism: each token's NLL is
+    Scale (re-planned r6): explode → term-count agg (map-side partials
+    collapse the Zipf-hot terms, shuffle carries |vocab|×partitions
+    partial rows), corpus total folded in via a broadcast 1-row
+    aggregate (no driver-side literal, stays one Catalyst plan). The
+    frequency table is then BROADCAST onto the postings: vocab is
+    bounded by the language (~10^6-10^7 terms at any corpus size —
+    fits an executor), so the raw token-level postings NEVER shuffle
+    by term (the r6 crossover measured the term-keyed postings
+    shuffle as the reason this family plateaued at ~3-4× DuckDB
+    instead of inverting — and term keys are the canonical Zipf skew).
+    The per-doc re-aggregation then combines map-side (decimal sum is
+    algebraic), so the only corpus-wide shuffle carries ONE partial
+    row per (doc × partition). Determinism: each token's NLL is
     rounded to 6 decimals, per-doc sums run in DECIMAL (order-free),
     one final IEEE division + round — bit-stable on 1000 executors."""
     docs = load_table(spark, sf_dir, "documents")
@@ -209,9 +222,9 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = stable_round(
         F.log(F.col("total").cast("double") / F.col("cnt")), 6
     )
-    scored = terms.join(freq.crossJoin(F.broadcast(tot)), "term").select(
-        "doc_id", nll.alias("nll")
-    )
+    scored = terms.join(
+        F.broadcast(freq.crossJoin(F.broadcast(tot))), "term"
+    ).select("doc_id", nll.alias("nll"))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         stable_round(dsum("nll") / F.count(F.lit(1)), 4).alias("unigram_nll"),
@@ -368,8 +381,18 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ENTIRE operator is per-document expression work
     (transform/filter/exists over the line array) — zero shuffles,
     zero Python, composes with scan pruning; the only wide thing a
-    deployment adds is whatever aggregation consumes the audit."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    deployment adds is whatever aggregation consumes the audit. The
+    same property makes it STREAM-COMPOSABLE AS-IS: ``c4_clean``
+    applies unchanged to a readStream of documents (no foreachBatch
+    needed — pinned by test_stream_c4_line_filter_matches_batch)."""
+    return c4_clean(load_table(spark, sf_dir, "documents"))
+
+
+def c4_clean(raw_docs: DataFrame) -> DataFrame:
+    """The C4 line-filter projection over an arbitrary (doc_id, text)
+    frame — batch or streaming (it is pure per-row expression work,
+    legal on an unbounded stream). See ``c4_line_filter``."""
+    docs = raw_docs.select(
         "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t")
     )
     lines = F.expr(

@@ -519,3 +519,18 @@ def test_decontaminate_spans_semi_join_no_cartesian(spark, sf_dir):
     checks.assert_no_python_eval(df)
     checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
     spark.catalog.clearCache()
+
+
+def test_term_stats_broadcast_onto_postings(spark, sf_dir):
+    """The unigram-NLL / TF-IDF family must join its vocab-bounded
+    term-statistics table onto the corpus-scale postings as a
+    BROADCAST — never a sort-merge re-shuffle of token-level rows on
+    the Zipf-hot term key (the r6 crossover measured that shuffle as
+    the family's scale plateau)."""
+    from labelmain_spark.functions.text import quality_unigram_nll, tfidf_topk
+
+    for fn in (quality_unigram_nll, tfidf_topk):
+        plan = checks.physical_plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (fn.__name__, plan[:1500])
+        assert "SortMergeJoin" not in plan, (fn.__name__, plan[:1500])
+    spark.catalog.clearCache()

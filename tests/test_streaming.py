@@ -294,3 +294,24 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
         for r in decontaminate_spans(spark, sf_dir).collect()
     }
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_c4_line_filter_matches_batch(spark, sf_dir):
+    """The C4 line filter is pure per-row expression work, so the
+    IDENTICAL projection (c4_clean) must run on a readStream with no
+    foreachBatch shim and reproduce the batch key row-for-row — the
+    pin that the expression-only operator class is stream-composable
+    as-is."""
+    from labelmain_spark.functions.text import c4_clean, c4_line_filter
+
+    out = c4_clean(inc.stream_documents(spark, sf_dir).select("doc_id", "text"))
+    _run_to_memory(out, "stream_c4")
+    got = {
+        (r.doc_id, r.n_lines, r.n_kept, r.page_kept, r.clean_fp)
+        for r in spark.sql("SELECT * FROM stream_c4").collect()
+    }
+    want = {
+        (r.doc_id, r.n_lines, r.n_kept, r.page_kept, r.clean_fp)
+        for r in c4_line_filter(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
