@@ -272,14 +272,83 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURR_SALT = "curr:"
+CURR_DIGITS = 7  # 28 bits — leaves room for 2 bucket bits + 31 id bits
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order — the easy→hard schedule (curriculum
+    learning / quality-ordered epochs): all `head` (most fluent by
+    perplexity tercile) documents first, then `middle`, then `tail`,
+    SHUFFLED deterministically within each tercile so the model sees
+    a random order inside a difficulty band. Output
+    (pos, doc_id, bucket) — the audit table the shard exporter orders
+    by, exactly like corpus_shuffle.
+
+    Scale shape: the bucket label comes from perplexity_buckets (no
+    global rank — the discretized-histogram thresholds) and the
+    position from the SAME exclusive prefix-count machinery as
+    corpus_shuffle, over the compound key
+    (bucket_rank·2²⁸ + hash₂₈)·2³¹ + doc_id — unique, 61 bits, one
+    long. NO global sort anywhere; only (okey, doc_id) pairs and
+    per-bucket counts shuffle. The oracle is the naive
+    row_number() OVER (ORDER BY bucket, hash, doc_id) global sort
+    this plan decomposes."""
+    from labelmain_spark.functions.packing import exclusive_cumsum
+    from labelmain_spark.functions.text import perplexity_buckets
+
+    b = perplexity_buckets(spark, sf_dir).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") == "head", 0)
+        .when(F.col("bucket") == "middle", 1)
+        .otherwise(2)
+        .alias("brank"),
+    )
+    h = F.expr(_hash_hex_expr("doc_id", "spark", CURR_SALT, CURR_DIGITS))
+    keyed = b.select(
+        "doc_id",
+        "bucket",
+        (
+            (F.col("brank") * F.lit(1 << 28) + h) * F.lit(1 << 31) + F.col("doc_id")
+        )
+        .cast("long")
+        .alias("okey"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return exclusive_cumsum(keyed, "okey", "one", "pos").select(
+        F.col("pos").cast("long").alias("pos"), "doc_id", "bucket"
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
     "corpus_shuffle": corpus_shuffle,
+    "curriculum_order": curriculum_order,
     "split_train_val": split_train_val,
     "sample_stratified": sample_stratified,
     "mix_sources": mix_sources,
     "mix_temperature": mix_temperature,
 }
+
+def _curriculum_oracle() -> str:
+    # composed lazily so sampling.py needs no import-time dependency
+    # on text.py's ORACLE dict
+    from labelmain_spark.functions import text
+
+    return f"""
+        WITH pb AS ({text.ORACLE["perplexity_buckets"]})
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY CASE bucket WHEN 'head' THEN 0
+                                        WHEN 'middle' THEN 1
+                                        ELSE 2 END ASC,
+                            {_hash_hex_expr("doc_id", "duck", CURR_SALT, CURR_DIGITS)} ASC,
+                            doc_id ASC
+               ) - 1 AS BIGINT) AS pos,
+               doc_id, bucket
+        FROM pb
+    """
+
 
 ORACLE = {
     "corpus_shuffle": f"""
@@ -290,6 +359,7 @@ ORACLE = {
                doc_id
         FROM documents
     """,
+    "curriculum_order": _curriculum_oracle(),
     "sample_hash": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE {_hash_bp_expr("doc_id", "duck")} < 1000

@@ -202,10 +202,10 @@ PRIORITY = [
     "regex_max_page", "string_norm", "join_anti", "text_quality",
     "duplicate_spans", "shard_pack", "embedding_neardup",
     "sample_stratified", "multimodal_meta",
-    # new r6: span-level decontamination and CCNet perplexity
-    # terciles (both full oracle) — queued with quality_unigram_nll
-    # for the r7 rotation.
-    "decontaminate_spans", "perplexity_buckets",
+    # new r6: span-level decontamination, CCNet perplexity terciles
+    # and the curriculum export order (all full oracle) — queued with
+    # quality_unigram_nll for the r7 rotation.
+    "decontaminate_spans", "perplexity_buckets", "curriculum_order",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
     "region_revenue", "embedding_centroid", "group_count", "filter_contains",

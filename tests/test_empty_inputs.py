@@ -110,6 +110,7 @@ REPRESENTATIVE = [
     "contamination_check",
     "decontaminate_spans",
     "perplexity_buckets",
+    "curriculum_order",
     "similarity_topk",
     "embedding_neardup",
     "funnel_match",

@@ -534,3 +534,19 @@ def test_term_stats_broadcast_onto_postings(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, (fn.__name__, plan[:1500])
         assert "SortMergeJoin" not in plan, (fn.__name__, plan[:1500])
     spark.catalog.clearCache()
+
+
+def test_curriculum_order_no_corpus_range_exchange(spark, sf_dir):
+    """Curriculum position assignment must decompose the global sort
+    exactly as corpus_shuffle does: no rangepartitioning anywhere in
+    the plan, no Python node, and only (doc_id, text) read (text
+    feeds the tercile score; payload ordering belongs to the export
+    writer)."""
+    from labelmain_spark.functions.sampling import curriculum_order
+
+    df = curriculum_order(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "rangepartitioning" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+    spark.catalog.clearCache()
