@@ -50,6 +50,33 @@ def write_shards(
     )
 
 
+def write_ordered_corpus(
+    docs: DataFrame,
+    order: DataFrame,
+    path: str,
+    n_files: int,
+) -> None:
+    """Materialize a training ORDER (a corpus_shuffle /
+    curriculum_order audit table: pos, doc_id, ...) into range-tiled
+    parquet: this is the ONE wide payload movement the whole
+    ordering story defers to export time — position ASSIGNMENT never
+    sorted the corpus (those plans are prefix-counts), and here the
+    payload pays exactly one ``repartitionByRange(pos)`` +
+    ``sortWithinPartitions(pos)``. Files tile the position space:
+    ascending part files hold ascending disjoint pos ranges, sorted
+    within, so reading files in name order — or any file alone
+    (training resume-from-step) — replays the exact permutation.
+    Proven from the written files in
+    tests/test_writers.py::test_write_ordered_corpus_tiles_positions."""
+    out = docs.join(order.select("pos", "doc_id"), "doc_id")
+    (
+        out.repartitionByRange(n_files, "pos")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def export_packed_corpus(
     spark: SparkSession, sf_dir: str, path: str, fmt: str = "parquet"
 ) -> None:

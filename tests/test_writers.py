@@ -132,3 +132,41 @@ def test_publish_corpus_corrupt_current_and_stale_tmp(spark, sf_dir, tmp_path):
     assert v1 == "v1"
     assert read_published(spark, root).count() > 0
     assert not os.path.exists(stale)
+
+
+def test_write_ordered_corpus_tiles_positions(spark, sf_dir, tmp_path):
+    """The ordered-export writer must make the deferred-sort story
+    real: part files (in name order) hold ascending, DISJOINT,
+    within-file-sorted position ranges that concatenate to exactly
+    0..N-1 in the curriculum permutation — verified from the raw
+    parquet files with pyarrow, independent of Spark's reader."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from labelmain_spark.functions.sampling import curriculum_order
+    from labelmain_spark.sources.readers import load_table
+    from labelmain_spark.sources.writers import write_ordered_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    order = curriculum_order(spark, sf_dir)
+    want = [r.doc_id for r in order.orderBy("pos").collect()]
+    out = str(tmp_path / "ordered")
+    write_ordered_corpus(docs, order, out, n_files=8)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) > 1, "range write produced a single file — no tiling to prove"
+    all_pos, all_ids, prev_max = [], [], -1
+    for f in files:
+        t = pq.read_table(f)
+        pos = t.column("pos").to_pylist()
+        if not pos:
+            continue
+        assert pos == sorted(pos), f"{f} not sorted within file"
+        assert pos[0] > prev_max, f"{f} overlaps the previous file's range"
+        prev_max = pos[-1]
+        all_pos.extend(pos)
+        all_ids.extend(t.column("doc_id").to_pylist())
+    assert all_pos == list(range(len(want)))
+    assert all_ids == want
+    spark.catalog.clearCache()
