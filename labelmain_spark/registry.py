@@ -121,7 +121,12 @@ PRIORITY = [
     # also runs inside sessionize and window_session locally.
     # date_trunc moved out r5: window_tumbling IS date-bin grouping
     # (same truncation family), and date_arith stays locally green.
-    "window_rank", "window_running", "window_tumbling",
+    # window_rank (W1) moved out late-r6: tfidf_topk (in-window)
+    # plans the IDENTICAL partitioned row_number ranking window
+    # (rounded-order, deterministic ties) over a harder input, and
+    # window_running keeps the window family's sort/shuffle pinned;
+    # the freed row buys perplexity_buckets its first driver row.
+    "window_running", "window_tumbling",
     # set ops (§2.7, all three semantics in one key)
     "set_ops",
     # merge sinks + TTL dedup (S6-S8, A4, J2, T2)
@@ -139,7 +144,7 @@ PRIORITY = [
     # judged first-class in r5), and text_tokens keeps the
     # token-statistics half in-window.
     "text_tokens", "lang_id", "doc_winnow",
-    "tfidf_topk", "pii_scrub", "c4_line_filter",
+    "tfidf_topk", "pii_scrub", "c4_line_filter", "perplexity_buckets",
     # web corpus stats (§2.11, C4-style) — url_canonical promoted r6
     # (never driver-verified; pure JVM regexp_replace chain shared
     # verbatim with its oracle).
@@ -157,7 +162,11 @@ PRIORITY = [
     # recursive two-level exclusive-cumsum plan); boilerplate_strip and
     # dedup_incremental_near promoted (never driver-verified; the
     # incremental near-dup is the one key that BEATS its DuckDB twin).
+    # Late-r6: decontaminate_spans promoted (new this round — FineWeb
+    # span-level decontamination, triple-checked oracle) into the row
+    # freed by udf_scalar below.
     "dedup_exact", "dedup_minhash", "ngram_jaccard", "contamination_check",
+    "decontaminate_spans",
     "dedup_paragraph", "dedup_clusters", "remove_duplicate_spans",
     "boilerplate_strip", "dedup_incremental_near",
     "pack_sequences", "corpus_pipeline",
@@ -193,19 +202,25 @@ PRIORITY = [
     # work (shape pinned by in-window scans/projections); the real
     # multimodal surface (mapInPandas batch plumbing) keeps its window
     # row via parse_html_reports and stays pytest-covered.
-    "udf_scalar", "udaf_grouped_agg",
+    # udf_scalar moved out late-r6: semantic_dedup's assignment stage
+    # IS a scalar pandas_udf (ArrowEvalPython, pinned in its plan
+    # test) running in-window on a harder input, so the SCALAR Arrow
+    # surface keeps a driver row without the toy key; GROUPED_AGG
+    # (udaf_grouped_agg) and mapInPandas (parse_html_reports) rows
+    # stay. The freed row bought decontaminate_spans above.
+    "udaf_grouped_agg",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
     # r6 rotated-out keys lead the overflow so they'd be the first
-    # checked if the window ever widens.
+    # checked if the driver window ever widens.
+    "window_rank", "udf_scalar",
     "regex_max_page", "string_norm", "join_anti", "text_quality",
     "duplicate_spans", "shard_pack", "embedding_neardup",
     "sample_stratified", "multimodal_meta",
-    # new r6: span-level decontamination, CCNet perplexity terciles
-    # and the curriculum export order (all full oracle) — queued with
-    # quality_unigram_nll for the r7 rotation.
-    "decontaminate_spans", "perplexity_buckets", "curriculum_order",
+    # new r6, not yet driver-verified: the curriculum export order —
+    # queued with quality_unigram_nll for the r7 rotation.
+    "curriculum_order",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
     "region_revenue", "embedding_centroid", "group_count", "filter_contains",
