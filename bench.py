@@ -201,6 +201,11 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001 — denominator is best-effort
                     print(f"# duck {key}: ERROR {e}", file=sys.stderr)
                     duck_keys = [k for k in duck_keys if k != key]
+                    # drop the key's earlier samples too: a
+                    # partial-pass median entering duck_total would
+                    # quietly compare unequal sample counts against
+                    # the full-pass Spark medians
+                    duck_samples.pop(key, None)
                     continue
                 duck_samples[key].append(round(time.time() - t0, 3))
         con.close()

@@ -170,7 +170,12 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         _count_udf(merges)(F.col("text")).alias("n_tokens"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        # coalesce matches the UDF's None→0 branch: a NULL text must
+        # yield a (0-ish, not NULL) count in BOTH columns or the
+        # BPE/whitespace ratio projection silently nulls out
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_ws_tokens"),
     )
 
 

@@ -93,18 +93,25 @@ def decontaminate_docs(docs: DataFrame, bench: DataFrame) -> DataFrame:
     cross-document state — which is what makes the streaming twin
     (streaming/incremental.py::run_decontaminate_sink) batch-exact.
     Output: (doc_id, n_tokens, n_removed, clean_text) per input doc."""
+    from pyspark import StorageLevel
+
     from labelmain_spark.functions.substrings import (
         _covered_positions,
         _position_hashes,
     )
 
-    toks = _doc_positions(docs)
+    # Both diamonds persist (the _spans_and_groups discipline): toks
+    # feeds the n-gram chain AND the reassembly anti-join; covered
+    # feeds the anti-join AND the per-doc removal count. Without the
+    # persist each action re-runs the corpus explode and the whole
+    # hash-chain + semi-join + islands subtree twice.
+    toks = _doc_positions(docs).persist(StorageLevel.MEMORY_AND_DISK)
     cuts = (
         _position_hashes(toks, DECON_N)
         .join(bench, ["h1", "h2"], "left_semi")
         .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + DECON_N).alias("e"))
     )
-    covered = _covered_positions(cuts)
+    covered = _covered_positions(cuts).persist(StorageLevel.MEMORY_AND_DISK)
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     out = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),

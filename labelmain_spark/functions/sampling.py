@@ -244,8 +244,9 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation.
 
     Scale shape: the order key h·2³¹ + doc_id (h = first SHUF_DIGITS
-    md5 hex digits ≈ 32 bits; doc_id < 2³¹ by the corpus id contract,
-    asserted at plan level by the cast) is UNIQUE, so the global
+    md5 hex digits ≈ 32 bits; doc_id ∈ [0, 2³¹) by the corpus id
+    contract, ENFORCED in-plan — an out-of-range id raises instead of
+    silently corrupting the permutation) is UNIQUE, so the global
     position is an exclusive prefix-COUNT — computed with
     packing.exclusive_cumsum's two-level machinery: per-range-bucket
     counts, a tiny recursive offset cumsum, a broadcast-back join. NO
@@ -264,11 +265,27 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(_hash_hex_expr("doc_id", "spark", SHUF_SALT, SHUF_DIGITS))
     keyed = docs.select(
         "doc_id",
-        (h * F.lit(1 << 31) + F.col("doc_id")).cast("long").alias("okey"),
+        _checked_id_pack(h * F.lit(1 << 31) + F.col("doc_id")).alias("okey"),
         F.lit(1).cast("long").alias("one"),
     )
     return exclusive_cumsum(keyed, "okey", "one", "pos").select(
         F.col("pos").cast("long").alias("pos"), "doc_id"
+    )
+
+
+def _checked_id_pack(packed) -> "F.Column":
+    """Evaluate a bit-packed order key, RAISING if doc_id breaks the
+    [0, 2³¹) corpus-id contract the packing assumes — an out-of-range
+    id (e.g. snapshot-prefixed 64-bit ids) would otherwise bleed into
+    the hash's bit range or overflow negative and silently corrupt
+    the permutation (and violate exclusive_cumsum's non-negative-key
+    requirement). The guard lives INSIDE the okey expression so
+    column pruning can never drop it."""
+    in_range = (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(1 << 31))
+    return (
+        F.when(in_range, packed)
+        .otherwise(F.raise_error(F.lit("doc_id outside [0, 2^31): order-key packing would corrupt the permutation")))
+        .cast("long")
     )
 
 
@@ -309,11 +326,9 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = b.select(
         "doc_id",
         "bucket",
-        (
+        _checked_id_pack(
             (F.col("brank") * F.lit(1 << 28) + h) * F.lit(1 << 31) + F.col("doc_id")
-        )
-        .cast("long")
-        .alias("okey"),
+        ).alias("okey"),
         F.lit(1).cast("long").alias("one"),
     )
     return exclusive_cumsum(keyed, "okey", "one", "pos").select(
@@ -332,8 +347,11 @@ QUERIES = {
 }
 
 def _curriculum_oracle() -> str:
-    # composed lazily so sampling.py needs no import-time dependency
-    # on text.py's ORACLE dict
+    # The ORACLE dict literal calls this at sampling-import time, so
+    # this IS an import-time dependency on text.py — safe only while
+    # text.py never imports sampling at module level (it doesn't; the
+    # import lives here, not at top-of-file, to keep that constraint
+    # one-directional and obvious).
     from labelmain_spark.functions import text
 
     return f"""

@@ -540,6 +540,40 @@ def _sem_centroids() -> list[list[float]]:
 _SEM_CENTROIDS = _sem_centroids()
 
 
+def _py_seq_dot(a, b) -> float:
+    """Sequential left-fold dot — the exact JVM `_dot` evaluation
+    order, reproduced in Python for band re-derivation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _banded_round_matrix(raw, digits: int, rederive):
+    """HALF-UP round a raw cosine matrix to ``digits`` dp with the
+    exact-fold safety band (the proof obligation shared by
+    `_centroid_assign_udf` and `knn_join`'s scorer — ONE
+    implementation so the band/tie rules can never drift apart):
+    matmul raw values differ from the sequential JVM fold by ≲1e-12
+    relative, which can only change the rounded value when the scaled
+    value sits within that Δ of an integer; every entry within 1e-4
+    of an integer (a ~10^8× safety band) is re-derived via
+    ``rederive(i, j)`` — the caller's exact sequential-evaluation-
+    order cosine — so every entry of the result equals
+    stable_round(fold_value, digits) bit-for-bit. Off-band entries
+    provably agree; in-band entries ARE the fold's value."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    t = raw * scale + 0.5
+    R = np.floor(t) / scale
+    flag = np.abs(t - np.rint(t)) < 1e-4
+    if flag.any():
+        for i, j in zip(*np.nonzero(flag)):
+            R[i, j] = math.floor(rederive(int(i), int(j)) * scale + 0.5) / scale
+    return R
+
+
 _ASSIGN_UDF_CACHE: dict[int, object] = {}
 
 
@@ -597,16 +631,9 @@ def _centroid_assign_udf(cents: list[list[float]]):
         V = np.stack(v.to_numpy())
         w = vn.to_numpy(dtype=np.float64)
         S = (V @ C.T) / (w[:, None] * cn[None, :])
-        t = S * 1e6 + 0.5
-        R = np.floor(t) / 1e6
-        flag = np.abs(t - np.rint(t)) < 1e-4
-        if flag.any():
-            for i, j in zip(*np.nonzero(flag)):
-                acc = 0.0
-                for a, b in zip(V[i], C[j]):
-                    acc = acc + a * b
-                raw = acc / (w[i] * cn[j])
-                R[i, j] = math.floor(raw * 1e6 + 0.5) / 1e6
+        R = _banded_round_matrix(
+            S, 6, lambda i, j: _py_seq_dot(V[i], C[j]) / (w[i] * cn[j])
+        )
         cl = np.argmax(R, axis=1).astype("int32")  # first max == array_position rule
         return pd.DataFrame({"cluster": cl, "c2c": R[np.arange(len(cl)), cl]})
 
@@ -897,15 +924,9 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r.q_id for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
 
-    def _seq_dot(a, b) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
     # exact JVM-order query norms, computed once: sqrt(sequential fold
     # of the squared components) — _norm()'s evaluation order
-    qn = np.array([math.sqrt(_seq_dot(r.qv, r.qv)) for r in qrows])
+    qn = np.array([math.sqrt(_py_seq_dot(r.qv, r.qv)) for r in qrows])
 
     def _score_batches(it):
         import pandas as pd
@@ -916,16 +937,12 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy()
             V = np.stack(pdf["v"].to_numpy())
             nv = np.sqrt(np.einsum("ij,ij->i", V, V))
-            t = (V @ Q.T) / (nv[:, None] * qn[None, :]) * 1e4 + 0.5
-            R = np.floor(t) / 1e4
-            flag = np.abs(t - np.rint(t)) < 1e-4
-            if flag.any():
-                for i, j in zip(*np.nonzero(flag)):
-                    v = V[i]
-                    raw = _seq_dot(v, Q[j]) / (
-                        math.sqrt(_seq_dot(v, v)) * qn[j]
-                    )
-                    R[i, j] = math.floor(raw * 1e4 + 0.5) / 1e4
+            R = _banded_round_matrix(
+                (V @ Q.T) / (nv[:, None] * qn[None, :]),
+                4,
+                lambda i, j: _py_seq_dot(V[i], Q[j])
+                / (math.sqrt(_py_seq_dot(V[i], V[i])) * qn[j]),
+            )
             k = min(KNN_K, len(ids))
             picks = []
             for col in range(len(q_ids)):

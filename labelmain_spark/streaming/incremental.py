@@ -254,14 +254,19 @@ def run_decontaminate_sink(
     under ``foreachBatch``, the standard shape for per-batch
     relational logic with no cross-batch state; the static bench side
     re-plans per micro-batch, so a refreshed eval suite is visible on
-    the next trigger. (Appending shards is the demo sink; production
-    routes through the versioned atomic publish in sources/writers.)"""
+    the next trigger. foreachBatch delivery is AT-LEAST-ONCE, so each
+    epoch overwrites its OWN ``epoch=<id>`` partition directory — a
+    replayed batch rewrites the same directory instead of appending
+    duplicates (idempotent, the run_upsert_sink discipline; a plain
+    append would silently double documents on task retry). Production
+    routes the final publish through the versioned atomic pointer in
+    sources/writers."""
     from labelmain_spark.functions.contamination import decontaminate_docs
 
     def clean_batch(batch: DataFrame, epoch_id: int) -> None:
         decontaminate_docs(batch.select("doc_id", "text"), bench).write.mode(
-            "append"
-        ).parquet(out_path)
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
 
     q = (
         docs.writeStream.foreachBatch(clean_batch)

@@ -659,29 +659,44 @@ def test_semantic_dedup_ivf_decisions_exact(spark, sf_dir):
     ids = np.array([r.vec_id for r in emb])
     V = np.array([r.embedding for r in emb], dtype=np.float64)
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
-    S = np.floor((V @ V.T) * 1e4 + 0.5) / 1e4
+    t = (V @ V.T) * 1e4 + 0.5
+    S = np.floor(t) / 1e4
+    # The plan decides via the sequential JVM fold; this reference via
+    # pairwise-summed matmul (|Δraw| ≲ 1e-12). A pair can only round
+    # differently when t sits within that Δ of an integer — mirror
+    # the production 1e-4 safety band and treat in-band pairs at the
+    # threshold as AMBIGUOUS (bounds below) instead of flaking on a
+    # correct implementation. On this fixture the band is empty, so
+    # the check stays exact set equality.
+    band = np.abs(t - np.rint(t)) < 1e-4
 
     clusters = {}
     for i, vid in enumerate(ids):
         clusters.setdefault(audit[vid][0], []).append(i)
     assert len(clusters) > 1, "quantizer collapsed to one cluster"
 
-    expect_removed = set()
+    must_removed, may_removed = set(), set()
     for members in clusters.values():
         for i in members:
             for j in members:
                 if i == j:
                     continue
                 a, b = ids[i], ids[j]
-                if S[i, j] >= SEM_THRESHOLD and (
-                    audit[a][1] < audit[b][1]
-                    or (audit[a][1] == audit[b][1] and a < b)
-                ):
-                    expect_removed.add(b)
+                outranks = audit[a][1] < audit[b][1] or (
+                    audit[a][1] == audit[b][1] and a < b
+                )
+                if not outranks:
+                    continue
+                ambiguous = band[i, j] and abs(S[i, j] - SEM_THRESHOLD) <= 1e-4
+                if S[i, j] >= SEM_THRESHOLD and not ambiguous:
+                    must_removed.add(b)
+                    may_removed.add(b)
+                elif S[i, j] >= SEM_THRESHOLD - 1e-4 and ambiguous:
+                    may_removed.add(b)
     got_removed = {vid for vid, (_, _, rm) in audit.items() if rm}
-    assert got_removed == expect_removed, (
-        len(got_removed), len(expect_removed),
-        list(got_removed ^ expect_removed)[:10],
+    assert must_removed <= got_removed <= may_removed, (
+        len(got_removed), len(must_removed), len(may_removed),
+        list((got_removed - may_removed) | (must_removed - got_removed))[:10],
     )
     spark.catalog.clearCache()
 
