@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import stable_round
 from labelmain_spark.sources.readers import load_table
+# one-directional: sampling → text → parity/readers never reaches back
+# into dedup, so this module-level import (the ORACLE literal needs it
+# at import time anyway) cannot cycle
+from labelmain_spark.functions.sampling import _hash_bp_expr as _sampling_hash_bp_expr
+
+
+def _sampling_hash_bp(key_col: str, engine: str, salt: str) -> str:
+    return _sampling_hash_bp_expr(key_col, engine, salt=salt)
 
 MINHASH_K = 12
 BANDS = 4  # rows per band = MINHASH_K // BANDS = 3
@@ -122,6 +130,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("new")
             .alias("status"),
         )
+    )
+
+
+DELTA_BP = 9000  # each snapshot keeps 90% of the keyspace (overlap ~81%)
+DELTA_MUT_BP = 500  # 5% of current-snapshot docs carry revised text
+
+
+def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DELTA — the CDC shape between two corpus versions
+    (what Dolma/C4 publish per release): every doc_id in either
+    snapshot classified ``added`` (current only), ``removed``
+    (previous only), ``changed`` (both, digest differs) or
+    ``unchanged``. The fixture derives two overlapping 90% snapshots
+    from independent hash salts and deterministically revises 5% of
+    the current snapshot's texts, so all four classes occur on real
+    rows in BOTH engines (the c4_line_filter injection pattern).
+
+    Scale shape: each snapshot flows as a DIGEST-ONLY projection
+    (doc_id, 32-byte sha256) into ONE full-outer join keyed on
+    doc_id; classification is pure expression work on the joined row.
+    In production both digest tables live in the bucketed label-store
+    layout (labelstore/layout.py), making the merge co-located —
+    zero-shuffle — and no snapshot's TEXT ever moves."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
+    in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
+    revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
+    prev = docs.filter(in_prev).select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("old_digest")
+    )
+    cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+        F.col("text")
+    )
+    cur = docs.filter(in_cur).select(
+        "doc_id", F.sha2(F.lower(F.trim(cur_text)), 256).alias("new_digest")
+    )
+    j = prev.join(cur, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        F.coalesce("old_digest", F.lit("")).alias("old_digest"),
+        F.coalesce("new_digest", F.lit("")).alias("new_digest"),
     )
 
 
@@ -701,6 +757,7 @@ QUERIES = {
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
     "dedup_incremental": dedup_incremental,
+    "corpus_delta": corpus_delta,
     "dedup_incremental_near": dedup_incremental_near,
 }
 
@@ -796,6 +853,29 @@ ORACLE = {
         JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
+    "corpus_delta": f"""
+        WITH prev AS (
+            SELECT doc_id, sha256(lower(trim(text))) AS old_digest
+            FROM documents
+            WHERE {_sampling_hash_bp("doc_id", "duck", "snapA:")} < {DELTA_BP}
+        ), cur AS (
+            SELECT doc_id,
+                   sha256(lower(trim(
+                       CASE WHEN {_sampling_hash_bp("doc_id", "duck", "mut:")} < {DELTA_MUT_BP}
+                            THEN text || ' rev2' ELSE text END
+                   ))) AS new_digest
+            FROM documents
+            WHERE {_sampling_hash_bp("doc_id", "duck", "snapB:")} < {DELTA_BP}
+        )
+        SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+               CASE WHEN prev.doc_id IS NULL THEN 'added'
+                    WHEN cur.doc_id IS NULL THEN 'removed'
+                    WHEN old_digest = new_digest THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(old_digest, '') AS old_digest,
+               COALESCE(new_digest, '') AS new_digest
+        FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+    """,
     "dedup_incremental_near": f"""
         WITH sh AS (
             SELECT doc_id, {_sql_shingles()} AS shingles FROM documents

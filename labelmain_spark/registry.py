@@ -218,9 +218,10 @@ PRIORITY = [
     "regex_max_page", "string_norm", "join_anti", "text_quality",
     "duplicate_spans", "shard_pack", "embedding_neardup",
     "sample_stratified", "multimodal_meta",
-    # new r6, not yet driver-verified: the curriculum export order —
-    # queued with quality_unigram_nll for the r7 rotation.
-    "curriculum_order",
+    # new r6, not yet driver-verified: the curriculum export order and
+    # the snapshot delta — queued with quality_unigram_nll for the r7
+    # rotation.
+    "curriculum_order", "corpus_delta",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
     "region_revenue", "embedding_centroid", "group_count", "filter_contains",

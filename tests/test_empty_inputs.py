@@ -111,6 +111,7 @@ REPRESENTATIVE = [
     "decontaminate_spans",
     "perplexity_buckets",
     "curriculum_order",
+    "corpus_delta",
     "similarity_topk",
     "embedding_neardup",
     "funnel_match",
