@@ -731,3 +731,43 @@ def test_perplexity_buckets_tercile_rule_exact(spark, sf_dir):
     assert 3 * h >= n and 3 * (h - t1_ties) < n
     assert 3 * hm >= 2 * n and 3 * (hm - t2_ties) < 2 * n
     spark.catalog.clearCache()
+
+
+def test_corpus_delta_statuses_partition_truthfully(spark, sf_dir):
+    """Ground truth beyond the oracle hash: statuses must partition
+    the snapshot algebra exactly — added = cur∖prev, removed =
+    prev∖cur, and every deterministically-revised doc present in both
+    snapshots must be 'changed' (its digest MUST differ after the
+    text revision) while unrevised both-snapshot docs are
+    'unchanged'."""
+    from labelmain_spark.functions.dedup import (
+        DELTA_BP,
+        DELTA_MUT_BP,
+        corpus_delta,
+    )
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    def ids(salt, bp):
+        return {
+            r.doc_id
+            for r in docs.filter(
+                F.expr(_hash_bp_expr("doc_id", "spark", salt=salt)) < bp
+            ).collect()
+        }
+
+    prev_ids = ids("snapA:", DELTA_BP)
+    cur_ids = ids("snapB:", DELTA_BP)
+    revised = ids("mut:", DELTA_MUT_BP)
+    got = {r.doc_id: r.status for r in corpus_delta(spark, sf_dir).collect()}
+
+    assert set(got) == prev_ids | cur_ids
+    assert {d for d, s in got.items() if s == "added"} == cur_ids - prev_ids
+    assert {d for d, s in got.items() if s == "removed"} == prev_ids - cur_ids
+    both = prev_ids & cur_ids
+    assert {d for d, s in got.items() if s == "changed"} == both & revised
+    assert {d for d, s in got.items() if s == "unchanged"} == both - revised
+    assert all(len({s for s in got.values()} & {x}) for x in
+               ("added", "removed", "changed", "unchanged")), "a class is vacuous"
+    spark.catalog.clearCache()
