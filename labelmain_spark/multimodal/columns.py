@@ -184,10 +184,117 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(with_binary_payload(docs))
 
 
+# Content-defined chunking (gearhash CDC — the borg/restic/LBFS family):
+# boundaries follow CONTENT, not fixed offsets, so two payloads sharing
+# a byte range share chunk digests even when an insertion shifts every
+# offset after the edit — the property fixed-size blocks lack, and the
+# standard way to dedupe large binary media (images/video) at sub-file
+# granularity. The gear table is a frozen seeded constant so chunking
+# is deterministic across sessions and engines.
+CDC_MASK = (1 << 6) - 1  # boundary when low 6 gear-hash bits == 0 → ~64 B chunks
+CDC_MIN = 16  # no boundary before MIN bytes (except a doc's final chunk)
+CDC_MAX = 256  # forced boundary at MAX bytes (pathological-content cap)
+
+
+def _gear_table() -> list[int]:
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # two 32-bit draws per entry → full 64-bit gear values
+    hi = rng.randint(0, 1 << 32, size=256, dtype="uint64")
+    lo = rng.randint(0, 1 << 32, size=256, dtype="uint64")
+    return [int((h << np.uint64(32)) | l) for h, l in zip(hi, lo)]
+
+
+_GEAR = _gear_table()
+_U64 = (1 << 64) - 1
+
+
+def cdc_boundaries(data: bytes) -> list[int]:
+    """Chunk END offsets (exclusive) for one payload. The rolling state
+    is a dependent scan, so this is a per-byte Python loop — fine for
+    the Arrow-batched fixture payloads (hundreds of bytes); a
+    production deployment compiles exactly this loop (numba/C), the
+    plan shape above it is unchanged."""
+    ends = []
+    h = 0
+    run = 0
+    pos = 0
+    for b in data:
+        pos += 1
+        h = ((h << 1) + _GEAR[b]) & _U64
+        run += 1
+        if (run >= CDC_MIN and (h & CDC_MASK) == 0) or run >= CDC_MAX:
+            ends.append(pos)
+            h = 0
+            run = 0
+    if run:
+        ends.append(pos)
+    return ends
+
+
+def cdc_chunks(df: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, offset, length, chunk_md5) per content-
+    defined chunk, via Arrow-batched mapInPandas — payload bytes never
+    cross a shuffle; only 16-byte digests + offsets flow downstream."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, offs, lens, digs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                start = 0
+                for i, end in enumerate(cdc_boundaries(data)):
+                    doc_ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(start)
+                    lens.append(end - start)
+                    digs.append(hashlib.md5(data[start:end]).hexdigest())
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, chunk_idx int, offset long, length long, chunk_md5 string",
+    )
+
+
+def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-file binary dedup report: chunk every payload by content,
+    then aggregate per distinct chunk — (chunk_md5, chunk_bytes,
+    n_copies, n_docs, dup_bytes) where dup_bytes is the storage the
+    chunk store saves vs storing every copy. Rows-only (a dependent
+    rolling-hash scan has no SQL twin); the chunking itself is pinned
+    by tiling/determinism/shift-resilience property tests.
+
+    Scale shape: the Python stage is a narrow Arrow map emitting
+    digests; the only shuffle is the partial-agg groupBy on the
+    digest key (uniform by construction — md5), exactly the
+    dedup_exact shape at chunk granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(with_binary_payload(docs))
+    return ch.groupBy("chunk_md5").agg(
+        F.max("length").alias("chunk_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.max("length") * (F.count(F.lit(1)) - 1)).cast("long").alias("dup_bytes"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,  # rows-only: mapInPandas decode path
     "multimodal_frames": multimodal_frames,
+    "multimodal_cdc_dedup": multimodal_cdc_dedup,  # rows-only: rolling-hash scan
 }
 
 ORACLE = {

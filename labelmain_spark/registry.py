@@ -222,6 +222,9 @@ PRIORITY = [
     # the snapshot delta — queued with quality_unigram_nll for the r7
     # rotation.
     "curriculum_order", "corpus_delta",
+    # rows-only by nature (dependent rolling-hash scan): sub-file
+    # binary dedup for media payloads, property-pinned.
+    "multimodal_cdc_dedup",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
     "region_revenue", "embedding_centroid", "group_count", "filter_contains",

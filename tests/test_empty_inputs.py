@@ -112,6 +112,7 @@ REPRESENTATIVE = [
     "perplexity_buckets",
     "curriculum_order",
     "corpus_delta",
+    "multimodal_cdc_dedup",
     "similarity_topk",
     "embedding_neardup",
     "funnel_match",

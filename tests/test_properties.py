@@ -771,3 +771,85 @@ def test_corpus_delta_statuses_partition_truthfully(spark, sf_dir):
     assert all(len({s for s in got.values()} & {x}) for x in
                ("added", "removed", "changed", "unchanged")), "a class is vacuous"
     spark.catalog.clearCache()
+
+
+def test_cdc_chunks_tile_every_payload(spark, sf_dir):
+    """Content-defined chunks must tile each payload exactly:
+    contiguous offsets from 0, lengths in (0, CDC_MAX], all but the
+    final chunk >= CDC_MIN, lengths summing to the payload size — and
+    the per-chunk md5 must equal a driver-side digest of the same
+    slice (the Arrow path mangles no bytes)."""
+    import hashlib
+
+    from labelmain_spark.multimodal.columns import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_chunks,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = {r.doc_id: r.text.encode() for r in docs.collect()}
+    rows = cdc_chunks(with_binary_payload(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(payloads)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        data = payloads[doc_id]
+        pos = 0
+        for i, c in enumerate(chunks):
+            assert c.offset == pos, (doc_id, i)
+            assert 0 < c.length <= CDC_MAX, (doc_id, i, c.length)
+            if i < len(chunks) - 1:
+                assert c.length >= CDC_MIN, (doc_id, i, c.length)
+            assert (
+                hashlib.md5(data[c.offset : c.offset + c.length]).hexdigest()
+                == c.chunk_md5
+            ), (doc_id, i)
+            pos += c.length
+        assert pos == len(data), doc_id
+    spark.catalog.clearCache()
+
+
+def test_cdc_insertion_resyncs_chunks():
+    """THE content-defined property (what fixed blocks lack): inserting
+    bytes mid-payload must leave chunks before the edit identical and
+    RE-SYNC after it — only O(1) chunks around the edit may differ."""
+    import hashlib
+
+    from labelmain_spark.multimodal.columns import cdc_boundaries
+
+    rng_bytes = bytes((i * 131 + 17) % 251 for i in range(4000))
+    edited = rng_bytes[:2000] + b"INSERTED" + rng_bytes[2000:]
+
+    def digests(data):
+        out, start = [], 0
+        for end in cdc_boundaries(data):
+            out.append(hashlib.md5(data[start:end]).hexdigest())
+            start = end
+        return out
+
+    a, b = digests(rng_bytes), digests(edited)
+    assert len(a) > 10, "payload too small to exercise chunking"
+    # identical prefix up to the chunk containing the edit
+    shared_prefix = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        shared_prefix += 1
+    assert shared_prefix >= 1
+    # resync: the tail chunks (after the edit region) must realign
+    shared_suffix = 0
+    for x, y in zip(reversed(a), reversed(b)):
+        if x != y:
+            break
+        shared_suffix += 1
+    assert shared_suffix >= 1, "no resync after insertion — not content-defined"
+    assert shared_prefix + shared_suffix >= len(a) - 3, (
+        shared_prefix, shared_suffix, len(a),
+        "edit disturbed more than O(1) chunks",
+    )
+    # determinism: same bytes -> same boundaries
+    assert digests(rng_bytes) == a
