@@ -125,7 +125,45 @@ def main() -> None:
             }
             print(json.dumps(row), flush=True)
             out.append(row)
+
+            # knn_join over the same corpus — the SHIPPED registry key
+            # (queries Q = N/KNN_Q_MOD by the key's own % rule) vs its
+            # registry oracle on the identical parquet.
+            kdir = os.path.join(tmp, f"knn_{n}")
+            os.makedirs(kdir, exist_ok=True)
+            os.replace(path, os.path.join(kdir, "embeddings.parquet"))
+            ds, ns = spark_knn(spark, kdir)
+            dd, nd = duck_knn(os.path.join(kdir, "embeddings.parquet"))
+            row = {
+                "op": "knn_join", "n": n,
+                "spark_sec": round(ds, 2), "duck_sec": round(dd, 2),
+                "ratio": round(ds / dd, 2),
+                "rows_spark": ns, "rows_duck": nd,
+            }
+            print(json.dumps(row), flush=True)
+            out.append(row)
     spark.stop()
+
+
+def spark_knn(spark, sf_dir: str):
+    from labelmain_spark.functions.vectors import knn_join
+
+    t0 = time.time()
+    n = knn_join(spark, sf_dir).count()
+    dt = time.time() - t0
+    spark.catalog.clearCache()
+    return dt, n
+
+
+def duck_knn(path: str):
+    from labelmain_spark import registry
+
+    sql = registry.oracle_sql()["knn_join"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    t0 = time.time()
+    rows = con.execute(sql).fetchall()
+    return time.time() - t0, len(rows)
 
 
 if __name__ == "__main__":
