@@ -574,7 +574,7 @@ def _banded_round_matrix(raw, digits: int, rederive):
     return R
 
 
-_ASSIGN_UDF_CACHE: dict[int, object] = {}
+_ASSIGN_UDF_CACHE: dict[tuple, object] = {}
 
 
 def _centroid_assign_udf(cents: list[list[float]]):
