@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import DEC, dsum, sql_dsum
+from labelmain_spark.operators.parity import (
+    DEC,
+    dsum,
+    sql_dsum,
+    sql_stable_round,
+    stable_round,
+)
 from labelmain_spark.sources.readers import load_table
 
 SESSION_GAP_S = 1800.0  # 30 min
@@ -158,6 +164,64 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — the classic 8-table market-share query: for
+    PROMO-type parts sold to ASIA-region customers, NATION_2's share
+    of supply volume per order year. The hardest join plan in the
+    analytics family: the lineitem fact joins orders (fact-fact,
+    sort-merge on the order key) while part, supplier and BOTH nation
+    roles (customer's via region, supplier's for the share label)
+    broadcast — five dims, two of them the same table under different
+    roles. The share is a conditional-sum ratio: both numerator and
+    denominator are decimal-exact partials (parity.dsum), the final
+    division one deterministic IEEE op, stable_round-ed — so the
+    cross-engine hash can't flap on summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    cust_dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    share_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dims), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("vol"),
+            share_vol.alias("svol"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        stable_round(
+            dsum("svol") / dsum("vol"), 6
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical time rollup (continuous-aggregate
     pattern): aggregate the raw events ONCE at the finest grain (hour),
@@ -222,6 +286,7 @@ QUERIES = {
     "approx_distinct": approx_distinct,  # rows-only: HLL sketches differ across engines
     "approx_quantiles": approx_quantiles,  # rows-only: GK vs t-digest sketches differ
     "region_revenue": region_revenue,
+    "market_share": market_share,
     "histogram_bins": histogram_bins,
     "time_rollup": time_rollup,
 }
@@ -229,6 +294,13 @@ QUERIES = {
 _PIVOT_COLS = ",\n".join(
     f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}" for t in EVENT_TYPES
 )
+
+_MKT_NUM = sql_dsum(
+    "CASE WHEN n2.n_name = 'NATION_2' "
+    "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END"
+)
+_MKT_DEN = sql_dsum("l_extendedprice * (1.0 - l_discount)")
+_MKT_SHARE_SQL = sql_stable_round(f"{_MKT_NUM} / {_MKT_DEN}", 6)
 
 ORACLE = {
     "time_rollup": f"""
@@ -293,5 +365,19 @@ ORACLE = {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name
+    """,
+    "market_share": f"""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_MKT_SHARE_SQL} AS mkt_share,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY 1
     """,
 }

@@ -227,7 +227,8 @@ PRIORITY = [
     "multimodal_cdc_dedup",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
-    "region_revenue", "embedding_centroid", "group_count", "filter_contains",
+    "region_revenue", "market_share",
+    "embedding_centroid", "group_count", "filter_contains",
     "string_concat", "histogram_bins",
     "doc_fingerprint", "date_arith", "sessionize", "pivot_counts",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",

@@ -550,3 +550,18 @@ def test_curriculum_order_no_corpus_range_exchange(spark, sf_dir):
     checks.assert_no_python_eval(df)
     checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
     spark.catalog.clearCache()
+
+
+def test_market_share_broadcasts_all_dims_no_cartesian(spark, sf_dir):
+    """The Q8-shape plan must broadcast every dimension (part,
+    customer-region subtree, supplier-nation — five dims, nation in
+    two roles) around ONE fact-fact sort-merge on the order key;
+    never a cartesian, never a shuffled dim."""
+    from labelmain_spark.operators.advanced import market_share
+
+    df = market_share(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
