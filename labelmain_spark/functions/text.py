@@ -238,6 +238,36 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nll_threshold_frame(scored: DataFrame) -> DataFrame:
+    """Tercile thresholds (1-row frame ``(t1, t2)``) for an arbitrary
+    ``(doc_id, unigram_nll)`` frame — the perplexity_buckets threshold
+    machinery factored out so the incremental pipeline can fit it on
+    the HISTORY corpus and broadcast it onto each day's batch. Same
+    discretized-cumulative-histogram construction (see
+    :func:`perplexity_buckets` for the scale argument): the histogram
+    is bounded by the 4-dp score space, the running sum is a window
+    over that small table, and the output reduces to one broadcastable
+    row via integer-only predicates."""
+    from pyspark.sql import Window as W
+
+    hist = scored.groupBy("unigram_nll").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("unigram_nll").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("unigram_nll"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("unigram_nll"))
+        ).alias("t2"),
+    )
+
+
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's perplexity terciles: split the corpus into head /
     middle / tail thirds by language-model score (here the unigram
@@ -260,28 +290,8 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer predicates, no division, bit-identical in both engines.
     Tie classes at a threshold land whole in the lower bucket —
     deterministic, and the only deviation from exact thirds."""
-    from pyspark.sql import Window as W
-
     scored = quality_unigram_nll(spark, sf_dir).select("doc_id", "unigram_nll")
-    hist = scored.groupBy("unigram_nll").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            W.orderBy("unigram_nll").rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    tot = hist.agg(F.sum("cnt").alias("n"))
-    th = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 3 >= F.col("n"), F.col("unigram_nll"))
-            ).alias("t1"),
-            F.min(
-                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("unigram_nll"))
-            ).alias("t2"),
-        )
-    )
+    th = nll_threshold_frame(scored)
     return scored.crossJoin(F.broadcast(th)).select(
         "doc_id",
         "unigram_nll",

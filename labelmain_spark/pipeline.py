@@ -120,7 +120,236 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pipeline_e2e": pipeline_e2e, "corpus_pipeline": corpus_pipeline}
+def _nll_micro(cnt) -> "F.Column":
+    """Per-token NLL in exact 1e-6 units under a fitted unigram model
+    (the quality_unigram_nll integer-micro-unit discipline — see
+    functions/text.py:194 for why this beats DECIMAL at long-sum
+    speed). Expects ``total`` in scope; ``cnt`` is the term's corpus
+    count (callers pass COALESCE(cnt, 1) for unseen terms)."""
+    nll = stable_round(F.log(F.col("total").cast("double") / cnt), 6)
+    return F.floor(nll * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def dedup_clean_batch(
+    batch: DataFrame, hist_digests: DataFrame, bench: DataFrame
+) -> DataFrame:
+    """The per-batch half of the incremental lifecycle — incremental
+    exact dedup against the history digest set, then span
+    decontamination against the benchmark n-gram set — shared verbatim
+    between the batch key (corpus_incremental) and the streaming sink
+    (streaming/incremental.py::run_corpus_increment_sink), so stream
+    parity holds by construction. ``batch`` is (doc_id, text);
+    ``hist_digests`` a 1-column ``h`` digest table; ``bench`` the
+    (h1, h2) benchmark n-gram set. Output: one row per surviving doc
+    with (doc_id, n_tokens, n_removed, clean_fp, toks) — docs
+    stripped to nothing drop out. Within-batch duplicates collapse to
+    the min-doc_id survivor; cross-micro-batch duplicates are the
+    stateful streaming half (ttl_dedup /
+    dropDuplicatesWithinWatermark), per the incremental_dedup_stream
+    split discipline."""
+    dig = batch.withColumn("h", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+    nodup = dig.join(hist_digests, "h", "left_anti")
+    first = nodup.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    surv = (
+        nodup.join(first, "h")
+        .filter(F.col("doc_id") == F.col("first_doc"))
+        .select("doc_id", "text")
+    )
+    from labelmain_spark.functions.contamination import decontaminate_docs
+
+    cleaned = decontaminate_docs(surv, bench)
+    return cleaned.filter(F.col("n_tokens") > F.col("n_removed")).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
+        F.split(F.col("clean_text"), " ").alias("toks"),
+    )
+
+
+def score_against_model(
+    kept: DataFrame, freq: DataFrame, tot: DataFrame, th: DataFrame
+) -> DataFrame:
+    """Score a cleaned batch against a PRE-FITTED unigram model
+    (``freq`` term counts + 1-row ``tot``) and tercile thresholds
+    (1-row ``th``) — all three broadcast, so this is one narrow map +
+    one doc-keyed aggregation regardless of history size. Unseen
+    terms score at cnt=1. Adds (unigram_nll, bucket, brank) to the
+    ``dedup_clean_batch`` columns."""
+    bterms = kept.select(
+        "doc_id", "n_tokens", "n_removed", "clean_fp", F.explode("toks").alias("term")
+    )
+    bscored = (
+        bterms.join(F.broadcast(freq), "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            "clean_fp",
+            _nll_micro(F.coalesce(F.col("cnt"), F.lit(1).cast("long"))).alias("m"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_removed", "clean_fp")
+        .agg(
+            stable_round(
+                (F.sum("m").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 4
+            ).alias("unigram_nll")
+        )
+    )
+    return bscored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "clean_fp",
+        "unigram_nll",
+        F.when(F.col("unigram_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("unigram_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(F.col("unigram_nll") <= F.col("t1"), 0)
+        .when(F.col("unigram_nll") <= F.col("t2"), 1)
+        .otherwise(2)
+        .alias("brank"),
+    )
+
+
+def corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus lifecycle as ONE composed lazy plan —
+    the daily-crawl production shape (what corpus_pipeline is for the
+    batch path): given yesterday's snapshot (history) and today's
+    snapshot, emit the day's training-ready INCREMENT in curriculum
+    order. Stages, each individually oracle-checked elsewhere:
+
+    1. snapshot delta   — today's new work = docs ``added`` or
+       ``changed`` vs history, by digest (functions/dedup.py
+       corpus_delta semantics: snapA/snapB 90% keyspaces, 5% revised
+       text; the CHANGED docs flow with their REVISED text)
+    2. incremental exact dedup — drop batch docs whose digest exists
+       anywhere in history, keep the min-doc_id survivor per digest
+       within the batch (dedup_incremental semantics; the near-dup
+       probe keeps its own in-window key, dedup_incremental_near)
+    3. span decontamination — cut benchmark DECON_N-gram spans from
+       the survivors' text, reassemble (functions/contamination.py
+       decontaminate_docs; benchmark = the fixed eval hash split of
+       the corpus, excluded from the batch itself; docs stripped to
+       nothing drop out)
+    4. history-fitted perplexity terciles — unigram model AND tercile
+       thresholds fitted on HISTORY text, applied to the cleaned
+       batch (CCNet's actual deployment shape: the model is
+       yesterday's artifact, today's docs only get scored; unseen
+       terms score at cnt=1)
+    5. curriculum position — bucket-major deterministic shuffle order
+       within the increment via the exclusive prefix-count machinery
+       (functions/sampling.py curriculum_order; no global sort)
+
+    Output: (pos, doc_id, bucket, unigram_nll, n_tokens, n_removed,
+    clean_fp) — the day's audit table, ready to append to the
+    training order and drive write_ordered_corpus.
+
+    At 100 TB: history enters the plan as three PRE-FITTABLE bounded
+    artifacts — the digest set (32 B/doc, bucketed-layout co-located
+    probe), the unigram frequency table (vocab-bounded, broadcast)
+    and the 1-row tercile thresholds — plus the benchmark n-gram set
+    (benchmark-bounded). The fixture fits all of them in-plan from
+    the prev snapshot so the DuckDB oracle can re-derive everything,
+    but no stage ever shuffles history TEXT: the only corpus-scale
+    work is over TODAY'S batch (delta anti/semi probes, the span
+    hash chain, one explode for scoring, the prefix-count). Nothing
+    is quadratic; no global sort; every join against history is
+    broadcast- or digest-keyed."""
+    from labelmain_spark.functions.contamination import (
+        CONTAM_EVAL_BP,
+        benchmark_ngrams,
+    )
+    from labelmain_spark.functions.dedup import DELTA_BP, DELTA_MUT_BP
+    from labelmain_spark.functions.packing import exclusive_cumsum
+    from labelmain_spark.functions.sampling import (
+        CURR_DIGITS,
+        CURR_SALT,
+        _checked_id_pack,
+        _hash_hex_expr,
+    )
+    from labelmain_spark.functions.text import nll_threshold_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
+    in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
+    revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+
+    # 1. delta: new work = cur docs added or changed vs prev, minus
+    # the benchmark split (never train on eval docs).
+    prev = docs.filter(in_prev)
+    prev_dig = prev.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("old_h")
+    )
+    cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+        F.col("text")
+    )
+    cur = docs.filter(in_cur).select("doc_id", cur_text.alias("text"))
+    batch = (
+        cur.withColumn("h", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .join(prev_dig, "doc_id", "left")
+        .filter(F.col("old_h").isNull() | (F.col("old_h") != F.col("h")))
+        .filter(~is_eval)
+        .drop("old_h")
+    )
+
+    # 2+3. incremental exact dedup vs the history digest set, then
+    # span decontamination — the per-batch half, shared verbatim with
+    # the streaming sink (streaming/incremental.py::run_corpus_
+    # increment_sink), which is what makes the stream batch-exact.
+    hist_set = prev_dig.select(F.col("old_h").alias("h")).distinct()
+    bench = benchmark_ngrams(docs.filter(is_eval))
+    kept = dedup_clean_batch(batch.select("doc_id", "text"), hist_set, bench)
+
+    # 4. history-fitted unigram model + terciles, applied to the batch.
+    hterms = prev.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    freq = hterms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    hscored = (
+        hterms.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "term")
+        .select("doc_id", _nll_micro(F.col("cnt")).alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            stable_round(
+                (F.sum("m").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 4
+            ).alias("unigram_nll")
+        )
+    )
+    th = nll_threshold_frame(hscored)
+    bucketed = score_against_model(kept, freq, tot, th)
+
+    # 5. curriculum position within the increment.
+    h28 = F.expr(_hash_hex_expr("doc_id", "spark", CURR_SALT, CURR_DIGITS))
+    keyed = bucketed.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        "clean_fp",
+        "unigram_nll",
+        "bucket",
+        _checked_id_pack(
+            (F.col("brank") * F.lit(1 << 28) + h28) * F.lit(1 << 31) + F.col("doc_id")
+        ).alias("okey"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    return exclusive_cumsum(keyed, "okey", "one", "pos").select(
+        F.col("pos").cast("long").alias("pos"),
+        "doc_id",
+        "bucket",
+        "unigram_nll",
+        "n_tokens",
+        "n_removed",
+        "clean_fp",
+    )
+
+
+QUERIES = {
+    "pipeline_e2e": pipeline_e2e,
+    "corpus_pipeline": corpus_pipeline,
+    "corpus_incremental": corpus_incremental,
+}
 
 ORACLE = {
     "pipeline_e2e": f"""
@@ -197,3 +426,175 @@ def _corpus_pipeline_sql() -> str:
 
 
 ORACLE["corpus_pipeline"] = _corpus_pipeline_sql()
+
+
+def _corpus_incremental_sql() -> str:
+    # The naive single-engine restatement of the whole incremental
+    # lifecycle: global windows and IN-subqueries where the Spark plan
+    # uses prefix-count decomposition and broadcast probes. N-gram
+    # identity is md5 over window TEXT vs Spark's xxhash64 doubling
+    # chain (the decontaminate_spans independence discipline).
+    from labelmain_spark.functions.contamination import CONTAM_EVAL_BP, DECON_N
+    from labelmain_spark.functions.dedup import DELTA_BP, DELTA_MUT_BP
+    from labelmain_spark.functions.sampling import (
+        CURR_DIGITS,
+        CURR_SALT,
+        _hash_hex_expr,
+    )
+
+    def hb(col: str, salt: str) -> str:
+        return _hash_bp_expr(col, "duck", salt=salt)
+
+    r6h = sql_stable_round(
+        "ln(CAST((SELECT total FROM tt) AS DOUBLE) / cnt)", 6
+    )
+    r6b = sql_stable_round(
+        "ln(CAST((SELECT total FROM tt) AS DOUBLE) / COALESCE(cnt, 1))", 6
+    )
+    mean4 = sql_stable_round("(CAST(SUM(m) AS DOUBLE) / 1e6) / COUNT(*)", 4)
+    gram = (
+        f"list_transform(range(greatest(len(toks) - {DECON_N - 1}, 0)), "
+        f"i -> {{'pos': i, 'g': md5(array_to_string("
+        f"list_slice(toks, i + 1, i + {DECON_N}), ' '))}})"
+    )
+    return f"""
+        WITH prevd AS (
+            SELECT doc_id, text, sha256(lower(trim(text))) AS h
+            FROM documents WHERE {hb("doc_id", "snapA:")} < {DELTA_BP}
+        ), curd AS (
+            SELECT doc_id, text, sha256(lower(trim(text))) AS h FROM (
+                SELECT doc_id,
+                       CASE WHEN {hb("doc_id", "mut:")} < {DELTA_MUT_BP}
+                            THEN text || ' rev2' ELSE text END AS text
+                FROM documents WHERE {hb("doc_id", "snapB:")} < {DELTA_BP}
+            )
+        ), batch AS (
+            SELECT c.doc_id, c.text, c.h
+            FROM curd c LEFT JOIN prevd p ON c.doc_id = p.doc_id
+            WHERE (p.doc_id IS NULL OR p.h <> c.h)
+              AND NOT ({hb("c.doc_id", "smp:")} < {CONTAM_EVAL_BP})
+        ), nodup AS (
+            SELECT * FROM batch WHERE h NOT IN (SELECT h FROM prevd)
+        ), firstd AS (
+            SELECT h, MIN(doc_id) AS first_doc FROM nodup GROUP BY h
+        ), surv AS (
+            SELECT n.doc_id, n.text FROM nodup n JOIN firstd fd ON n.h = fd.h
+            WHERE n.doc_id = fd.first_doc
+        ), st AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM surv
+        ), sg AS (
+            SELECT doc_id, u.pos AS pos, u.g AS gram_md5 FROM (
+                SELECT doc_id, unnest({gram}) AS u FROM st
+            )
+        ), bench AS (
+            SELECT DISTINCT u.g AS gram_md5 FROM (
+                SELECT unnest({gram}) AS u FROM (
+                    SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents
+                    WHERE {hb("doc_id", "smp:")} < {CONTAM_EVAL_BP}
+                )
+            )
+        ), cuts AS (
+            SELECT doc_id, pos AS s, pos + {DECON_N} AS e FROM sg
+            WHERE gram_md5 IN (SELECT gram_md5 FROM bench)
+        ), islands AS (
+            SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e FROM (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS island
+                FROM (
+                    SELECT doc_id, s, e,
+                           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                               AS prev_max
+                    FROM cuts
+                )
+            ) GROUP BY doc_id, island
+        ), covered AS (
+            SELECT doc_id, unnest(range(s, e)) AS pos FROM islands
+        ), toksx AS (
+            SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks)),
+                           i -> {{'pos': i, 'tok': toks[i + 1]}})) AS u
+                FROM st
+            )
+        ), keptx AS (
+            SELECT k.doc_id, k.pos, k.tok
+            FROM toksx k LEFT JOIN covered c
+              ON c.doc_id = k.doc_id AND c.pos = k.pos
+            WHERE c.doc_id IS NULL
+        ), outp AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM keptx GROUP BY doc_id
+        ), cov AS (
+            SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY doc_id
+        ), clean AS (
+            SELECT COALESCE(outp.doc_id, cov.doc_id) AS doc_id,
+                   CAST(COALESCE(n_kept, 0) + COALESCE(n_removed, 0) AS BIGINT)
+                       AS n_tokens,
+                   CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+                   COALESCE(clean_text, '') AS clean_text
+            FROM outp FULL OUTER JOIN cov ON outp.doc_id = cov.doc_id
+        ), keptdocs AS (
+            SELECT doc_id, n_tokens, n_removed,
+                   md5(clean_text) AS clean_fp, clean_text
+            FROM clean WHERE n_tokens > n_removed
+        ), ht AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM prevd
+        ), f AS (
+            SELECT term, COUNT(*) AS cnt FROM ht GROUP BY term
+        ), tt AS (
+            SELECT SUM(cnt) AS total FROM f
+        ), hp AS (
+            SELECT doc_id, CAST(floor({r6h} * 1e6 + 0.5) AS BIGINT) AS m
+            FROM ht JOIN f USING (term)
+        ), hs AS (
+            SELECT doc_id, {mean4} AS unigram_nll FROM hp GROUP BY doc_id
+        ), hh AS (
+            SELECT unigram_nll, COUNT(*) AS cnt FROM hs GROUP BY unigram_nll
+        ), hc AS (
+            SELECT unigram_nll,
+                   SUM(cnt) OVER (ORDER BY unigram_nll
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hh
+        ), th AS (
+            SELECT MIN(CASE WHEN cum * 3 >= (SELECT COUNT(*) FROM hs)
+                            THEN unigram_nll END) AS t1,
+                   MIN(CASE WHEN cum * 3 >= 2 * (SELECT COUNT(*) FROM hs)
+                            THEN unigram_nll END) AS t2
+            FROM hc
+        ), bterm AS (
+            SELECT doc_id, unnest(string_split(clean_text, ' ')) AS term
+            FROM keptdocs
+        ), bp AS (
+            SELECT doc_id, CAST(floor({r6b} * 1e6 + 0.5) AS BIGINT) AS m
+            FROM bterm LEFT JOIN f USING (term)
+        ), bs AS (
+            SELECT doc_id, {mean4} AS unigram_nll FROM bp GROUP BY doc_id
+        ), bb AS (
+            SELECT bs.doc_id, bs.unigram_nll,
+                   CASE WHEN bs.unigram_nll <= th.t1 THEN 'head'
+                        WHEN bs.unigram_nll <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   CASE WHEN bs.unigram_nll <= th.t1 THEN 0
+                        WHEN bs.unigram_nll <= th.t2 THEN 1
+                        ELSE 2 END AS brank
+            FROM bs, th
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY bb.brank ASC,
+                            {_hash_hex_expr("bb.doc_id", "duck", CURR_SALT, CURR_DIGITS)} ASC,
+                            bb.doc_id ASC
+               ) - 1 AS BIGINT) AS pos,
+               bb.doc_id, bb.bucket, bb.unigram_nll,
+               k.n_tokens, k.n_removed, k.clean_fp
+        FROM bb JOIN keptdocs k ON bb.doc_id = k.doc_id
+    """
+
+
+ORACLE["corpus_incremental"] = _corpus_incremental_sql()

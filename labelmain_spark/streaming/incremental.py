@@ -237,6 +237,53 @@ def incremental_dedup_stream(docs: DataFrame, history_digests: DataFrame) -> Dat
     return d.join(history_digests, "h", "left_anti")
 
 
+def run_corpus_increment_sink(
+    docs: DataFrame,
+    hist_digests: DataFrame,
+    bench: DataFrame,
+    freq: DataFrame,
+    tot: DataFrame,
+    th: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of the per-batch half of ``corpus_incremental``
+    (pipeline.py): every micro-batch of the crawl stream is digest-
+    deduped against the STATIC history digest table, span-
+    decontaminated against the STATIC benchmark n-gram set, and
+    scored/bucketed against the STATIC pre-fitted unigram model +
+    tercile thresholds — exactly the production daily-crawl loop where
+    history digests, benchmark set, frequency table and thresholds are
+    yesterday's persisted artifacts. The whole body is
+    ``pipeline.dedup_clean_batch`` + ``pipeline.score_against_model``,
+    shared verbatim with the batch key, so stream-accumulated output
+    is batch-exact by construction (pinned by
+    test_stream_corpus_increment_matches_batch). The curriculum
+    POSITION stage is deliberately absent: a global prefix-count over
+    the full increment is a finalization step (write_ordered_corpus),
+    not a per-micro-batch one. Idempotency: each epoch overwrites its
+    own ``epoch=<id>`` directory (the run_upsert_sink discipline —
+    foreachBatch is at-least-once, a plain append would double docs on
+    task retry)."""
+    from labelmain_spark.pipeline import dedup_clean_batch, score_against_model
+
+    def clean_batch(batch: DataFrame, epoch_id: int) -> None:
+        kept = dedup_clean_batch(
+            batch.select("doc_id", "text"), hist_digests, bench
+        )
+        score_against_model(kept, freq, tot, th).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={epoch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(clean_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_decontaminate_sink(
     docs: DataFrame,
     bench: DataFrame,

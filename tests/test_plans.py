@@ -300,6 +300,35 @@ def test_corpus_pipeline_bounded_jobs_and_no_cartesian(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_corpus_incremental_bounded_jobs_digest_history_no_cartesian(spark, sf_dir):
+    """The composed incremental lifecycle stays a small fixed number
+    of driver actions (the decontamination diamond primes + the cumsum
+    level stats + the main action, plus AQE stage jobs), never plans a
+    cartesian product, keeps every Python surface out (pure JVM
+    expressions end to end), and reads only (doc_id, text) — history
+    enters as digests/broadcast artifacts, not as a text-bearing join
+    payload."""
+    from labelmain_spark.pipeline import corpus_incremental
+
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    sc.setJobGroup("corpus_incremental_jobs", "plan pin")
+    df = corpus_incremental(spark, sf_dir)
+    df.count()
+    sc.setJobGroup(None, None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("corpus_incremental_jobs"))
+    assert n_jobs <= 40, f"corpus_incremental ran {n_jobs} Spark jobs"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+    # History digests probe via an existence join (anti), and the
+    # benchmark membership via a semi join — both must appear.
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "LeftSemi" in plan, plan[:1500]
+    spark.catalog.clearCache()
+
+
 def test_duplicate_spans_one_exchange_for_all_window_rounds(spark, sf_dir):
     """All log2(L) prefix-doubling rounds must stack over ONE per-doc
     sort — same window spec ⇒ no re-exchange between rounds. Total

@@ -296,6 +296,89 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got, (len(got), len(want))
 
 
+def test_stream_corpus_increment_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental corpus lifecycle's per-batch half under
+    foreachBatch == the batch key: streaming the current snapshot's
+    new work through run_corpus_increment_sink (static history
+    digests, benchmark set, unigram model, tercile thresholds — the
+    pre-fitted production artifacts) must reproduce
+    corpus_incremental's rows exactly, minus the curriculum POSITION
+    (a finalization-time global prefix-count, not a per-batch stage).
+    The fixture arrives as one file → one micro-batch, so the
+    within-batch min-doc_id dedup is in scope too; the
+    cross-micro-batch dup class stays with ttl_dedup per the
+    incremental_dedup_stream split discipline."""
+    from labelmain_spark.functions.contamination import (
+        CONTAM_EVAL_BP,
+        benchmark_ngrams,
+    )
+    from labelmain_spark.functions.dedup import DELTA_BP, DELTA_MUT_BP
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.functions.text import nll_threshold_frame
+    from labelmain_spark.pipeline import _nll_micro, corpus_incremental
+    from labelmain_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+
+    # Yesterday's artifacts, fitted once from the prev snapshot —
+    # identical derivations to the batch key's stage 2/4 inputs.
+    prev = docs.filter(in_prev)
+    hist = prev.select(
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    ).distinct()
+    bench = benchmark_ngrams(docs.filter(is_eval))
+    hterms = prev.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = hterms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    from labelmain_spark.operators.parity import stable_round
+
+    hscored = (
+        hterms.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "term")
+        .select("doc_id", _nll_micro(F.col("cnt")).alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            stable_round(
+                (F.sum("m").cast("double") / F.lit(1e6)) / F.count(F.lit(1)), 4
+            ).alias("unigram_nll")
+        )
+    )
+    th = nll_threshold_frame(hscored)
+
+    # Today's arrival stream = the batch key's stage-1 new work.
+    in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
+    revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
+    cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+        F.col("text")
+    )
+    prev_dig = prev.select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("old_h")
+    )
+    stream = (
+        inc.stream_documents(spark, sf_dir)
+        .filter(in_cur & ~is_eval)
+        .select("doc_id", cur_text.alias("text"))
+        .withColumn("h", F.sha2(F.lower(F.trim(F.col("text"))), 256))
+        .join(prev_dig, "doc_id", "left")
+        .filter(F.col("old_h").isNull() | (F.col("old_h") != F.col("h")))
+        .select("doc_id", "text")
+    )
+    out_path = str(tmp_path / "increment")
+    inc.run_corpus_increment_sink(
+        stream, hist, bench, freq, tot, th, out_path, str(tmp_path / "ckpt")
+    )
+    got = {
+        (r.doc_id, r.bucket, r.unigram_nll, r.n_tokens, r.n_removed, r.clean_fp)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.bucket, r.unigram_nll, r.n_tokens, r.n_removed, r.clean_fp)
+        for r in corpus_incremental(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+
+
 def test_stream_c4_line_filter_matches_batch(spark, sf_dir):
     """The C4 line filter is pure per-row expression work, so the
     IDENTICAL projection (c4_clean) must run on a readStream with no
