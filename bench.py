@@ -243,10 +243,21 @@ def main() -> None:
         out["duck_total"] = duck_total
         out["spark_common_total"] = spark_common
         out["n_duck_keys"] = len(duck_timings)
+        # Per-key DuckDB medians IN the parsed artifact (r6 verdict
+        # item 7): values aligned with the "queries" dict's key order
+        # (JSON object order is preserved), null = no dual-engine
+        # twin for that key — compact enough to fit the driver's
+        # 2000-char capture alongside the Spark timings.
+        out["dqv"] = [duck_timings.get(k) for k in timings]
     if errors:
         out["n_errors"] = len(errors)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # never let the primary line outgrow the capture
+        # Shed detail in order of least information per byte: first
+        # the aligned duck vector, then the spark per-key tail.
+        out.pop("dqv", None)
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
         out["queries"] = {
             k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:40]
         }

@@ -47,8 +47,24 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+from importlib.util import find_spec as _find_spec
+
+HAS_PIL = _find_spec("PIL") is not None
+
+
 def decode_stub(payload: bytes) -> bytes:
-    """Real decode (image/audio) is unavailable in this container."""
+    """Decode a media payload to raw grayscale pixel bytes. Env-gated
+    on a real codec (PIL): when the library is present the payload is
+    ACTUALLY decoded; in this container (no codecs baked in) it raises
+    and callers route through :func:`decode_features`, whose
+    deterministic fake keeps CI green either way."""
+    if HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.convert("L").tobytes()
     raise NotImplementedError(
         "media decode requires codec libraries not present in this image; "
         "deterministic fake features are used instead (extract_features)"
@@ -65,8 +81,35 @@ def _fake_features(payload: bytes) -> list[float]:
     return [round(c / total, 6) for c in counts]
 
 
+def decode_features(payload: bytes) -> list[float]:
+    """FEATURE_DIM-bucket normalized histogram for a payload, via the
+    REAL decode path when a codec exists (luminance histogram over
+    decoded pixels) and the deterministic byte-histogram fake when it
+    doesn't or when the payload isn't decodable media (this fixture's
+    text/plain payloads). Same output contract on every path —
+    FEATURE_DIM non-negative buckets summing to ~1 — so the Spark
+    plumbing and the property test are identical in both
+    environments."""
+    if HAS_PIL:
+        try:
+            px = decode_stub(payload)
+        except NotImplementedError:  # pragma: no cover — HAS_PIL guard
+            px = None
+        except Exception:  # not decodable media — deterministic fake
+            px = None
+        if px is not None:
+            counts = [0] * FEATURE_DIM
+            for v in px:
+                counts[v * FEATURE_DIM // 256] += 1
+            total = max(1, len(px))
+            return [round(c / total, 6) for c in counts]
+    return _fake_features(payload)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads (real
+    decode when the executor image carries a codec, deterministic fake
+    otherwise — see decode_features)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +117,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": pdf["payload"].map(decode_features),
                 }
             )
 

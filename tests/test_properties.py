@@ -278,8 +278,43 @@ def test_mllib_similarity_join_agrees_with_native_minhash(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises():
+    if mm.HAS_PIL:
+        pytest.skip("codec present: decode_stub decodes instead of raising")
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"\x89PNG")
+
+
+def test_multimodal_decode_features_either_path():
+    """decode_features honors one contract on EVERY path — real codec
+    (PIL present: decoded-pixel luminance histogram), undecodable
+    payload (fake byte histogram), no codec at all (fake) — so the
+    mapInPandas plumbing is environment-independent. With PIL present
+    the real path is exercised on an actual in-memory PNG; without it
+    the same assertions run over the fallback."""
+    payloads = [b"", b"hello world", bytes(range(256)) * 3]
+    if mm.HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+        png = buf.getvalue()
+        payloads.append(png)
+        # Real path really decoded: a uniform-200 image lands entirely
+        # in bucket 200*DIM//256 — the byte-histogram fake of PNG bytes
+        # could not produce a one-hot vector there.
+        feats = mm.decode_features(png)
+        hot = 200 * mm.FEATURE_DIM // 256
+        assert feats[hot] == 1.0 and sum(feats) == 1.0, feats
+    for p in payloads:
+        feats = mm.decode_features(p)
+        assert len(feats) == mm.FEATURE_DIM
+        assert all(f >= 0 for f in feats), feats
+        assert abs(sum(feats) - (1.0 if p else 0.0)) < 1e-3, (p[:16], feats)
+        assert feats == mm.decode_features(p), "must be deterministic"
+    # Undecodable payloads equal the documented fake on either path.
+    assert mm.decode_features(b"hello world") == mm._fake_features(b"hello world")
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):
