@@ -96,6 +96,41 @@ def write_bucketed(
     )
 
 
+def write_digest_history(
+    digests: DataFrame, table: str, buckets: int | None = None
+) -> None:
+    """Persist a corpus DIGEST history (1 column ``h``, 32 B/doc) as a
+    bucketed+sorted managed table — the production artifact behind
+    every incremental-dedup docstring's "history probe is co-located"
+    claim (functions/dedup.py::dedup_incremental,
+    pipeline.py::corpus_incremental stage 2,
+    streaming/incremental.py::incremental_dedup_stream). Written once
+    per snapshot; every day's batch then anti-joins it with NO
+    Exchange under the history scan (asserted in
+    tests/test_layout.py::test_digest_history_probe_is_colocated).
+    Same bucket-count contract as write_bucketed."""
+    if buckets is None:
+        buckets = int(digests.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    (
+        digests.write.mode("overwrite")
+        .bucketBy(buckets, "h")
+        .sortBy("h")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def probe_history_digests(
+    spark: SparkSession, table: str, batch: DataFrame
+) -> DataFrame:
+    """Incremental-dedup history probe against the bucketed digest
+    store: batch rows whose digest history has never seen (the 'new'
+    survivors). The store side reads its buckets in place — only the
+    (small) batch shuffles, and historical TEXT never exists in this
+    plan at all: the store IS digests."""
+    return batch.join(spark.table(table), "h", "left_anti")
+
+
 def consolidate_against_bucketed(
     spark: SparkSession, table: str, fresh: DataFrame
 ) -> DataFrame:

@@ -46,11 +46,32 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Resolved-relation memo — the engine's mini-catalog. Every
+# ``spark.read.parquet`` call re-lists the path and re-reads parquet
+# footers ON THE DRIVER (~70-90 ms/table measured at sf0.1), and a
+# 50-key bench run re-creates the same ten relations hundreds of
+# times; that listing was the single biggest slice of the trivial-key
+# dispatch floor (see PERF.md r7 attribution: 0.44 s join_inner =
+# ~0.20 s plan build, of which ~0.15 s relation creation). A real
+# deployment reads through a metastore catalog whose file index is
+# cached — this memo is the same contract: table paths are immutable
+# landing zones (regenerated fixtures get NEW paths; scale_crossover
+# complies). Keyed by applicationId so a new session never sees a dead
+# session's plans.
+_RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain columnar scan — filters/projections
-    applied by callers reach the parquet reader via Catalyst pushdown."""
+    applied by callers reach the parquet reader via Catalyst pushdown.
+    The resolved relation is memoized per (session, path): see
+    ``_RELATION_MEMO``."""
     if name == "events":
         _enable_nanos_as_long(spark)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _RELATION_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType
@@ -67,6 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # tz is pinned UTC above, so the conversion is the identity
             # on the stored values.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _RELATION_MEMO[memo_key] = df
+    if len(_RELATION_MEMO) > 4096:  # pathological many-path sessions
+        _RELATION_MEMO.clear()
     return df
 
 

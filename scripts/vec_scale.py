@@ -28,7 +28,10 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIM = 64
-SIZES = [2_000, 8_000, 20_000]
+# r7: extended past the x10 class — override with VEC_SIZES=...; the
+# x100-class row (200k vectors vs the 2k registry fixture) is what the
+# r6 verdict's task 2 demands.
+SIZES = [int(x) for x in os.environ.get("VEC_SIZES", "2000,8000,20000").split(",")]
 TARGET_CLUSTER = 125  # k = N / TARGET_CLUSTER
 KNN_Q_FRac = 100  # queries = N / 100
 THRESH = 0.4
@@ -77,6 +80,56 @@ def spark_semantic(spark, path: str, cents) -> float:
 def duck_semantic(path: str, cents) -> float:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    if len(cents) > 300:
+        # k ∝ N makes the inline-literal form unparseable past the x10
+        # class (1600 centroids × 64 floats ≈ 1.6 MB of SQL): register
+        # the centroids as a table and pick each vector's argmax
+        # cluster by rank (sim DESC, cluster ASC = first-max, the
+        # list_position tie rule) — numerically identical: same
+        # round(dot/(|v|·|c|), 6) similarity.
+        import pandas as pd  # noqa: F401 — duckdb reads the frame by name
+
+        cent_df = pd.DataFrame(
+            {
+                "cluster": range(len(cents)),
+                "cv": [list(map(float, c)) for c in cents],
+                "cnorm": [math.sqrt(sum(x * x for x in c)) for c in cents],
+            }
+        )
+        con.register("centroids", cent_df)
+        sql = f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+            en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) vn FROM e),
+            sims AS (
+                SELECT en.vec_id,
+                       c.cluster,
+                       round(list_dot_product(en.v, c.cv) / (en.vn * c.cnorm), 6) AS sim
+                FROM en CROSS JOIN centroids c
+            ),
+            pick AS (
+                SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, sim AS c2c
+                FROM (
+                    SELECT vec_id, cluster, sim,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY vec_id ORDER BY sim DESC, cluster ASC
+                           ) AS rn
+                    FROM sims
+                ) WHERE rn = 1
+            ),
+            a AS (
+                SELECT en.vec_id, list_transform(en.v, x -> x / en.vn) AS nv,
+                       p.cluster, p.c2c
+                FROM en JOIN pick p ON en.vec_id = p.vec_id
+            ),
+            rm AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+                   ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+                   WHERE round(list_dot_product(x.nv, y.nv), 4) >= {THRESH}
+                     AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id)))
+            SELECT COUNT(*) FROM a WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+        """
+        t0 = time.time()
+        n = con.execute(sql).fetchone()[0]
+        return time.time() - t0, n
     sims = "[" + ", ".join(
         f"round(list_dot_product(v, {c}) / (vn * {math.sqrt(sum(x * x for x in c))!r}), 6)"
         for c in cents

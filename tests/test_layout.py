@@ -77,6 +77,45 @@ def test_bucketed_consolidate_eliminates_store_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS test_store_bucketed")
 
 
+def test_digest_history_probe_is_colocated(spark, sf_dir, tmp_path):
+    """The incremental-dedup history probe against the bucketed digest
+    store must read history in place: the LEFT ANTI join plans with
+    strictly fewer Exchanges than the same probe against plain
+    parquet, and produces identical survivors — the measured form of
+    every 'history probe is co-located' docstring claim
+    (dedup_incremental / corpus_incremental / the streaming twin)."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h")
+    )
+    is_new = F.expr(_hash_bp_expr("doc_id", "spark", salt="incr:")) < 1000
+    hist = docs.filter(~is_new).select("h").distinct()
+    batch = docs.filter(is_new)
+
+    layout.write_digest_history(hist, "test_digest_history")
+    plain_path = str(tmp_path / "hist_plain")
+    hist.write.mode("overwrite").parquet(plain_path)
+    try:
+        with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            bucketed = layout.probe_history_digests(
+                spark, "test_digest_history", batch
+            )
+            plain = batch.join(spark.read.parquet(plain_path), "h", "left_anti")
+            n_bucketed = checks.count_exchanges(bucketed)
+            n_plain = checks.count_exchanges(plain)
+            assert n_bucketed < n_plain, (
+                f"bucketed digest store did not save the history shuffle: "
+                f"{n_bucketed} vs {n_plain} exchanges"
+            )
+            got = sorted(r.doc_id for r in bucketed.collect())
+            want = sorted(r.doc_id for r in plain.collect())
+            assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_digest_history")
+
+
 def test_ivf_cell_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """SCALE.md's IVF-layout claim, proven (r6): persisting embeddings
     partitioned by quantizer cell turns an ANN probe into directory
