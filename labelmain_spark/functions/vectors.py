@@ -385,6 +385,15 @@ def _ann_multiprobe(e: DataFrame, n_probes: int = ANN_MP_PROBES) -> DataFrame:
     and recall ≥ 0.9 on planted true near-neighbors (cos ≈ 0.99), the
     production near-dup operating point."""
     q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None or q_row[0] is None:
+        # Empty corpus / absent query vector: a valid empty top-k, not
+        # a driver crash (the empty-partition contract every key holds
+        # — tests/test_empty_inputs.py).
+        return (
+            e.select(
+                "vec_id", F.lit(0.0).alias("cos_sim")
+            ).filter(F.lit(False))
+        )
     probes = _mp_probe_buckets(list(q_row[0]), n_probes)
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
     return (
@@ -440,6 +449,11 @@ def _ivf_fit_assign(
     # noise swamps the structure and recall collapses. At real scale
     # k ≈ sqrt(N) with a sampled fit, and N/k stays in the thousands.
     n = e.count()
+    if n == 0:
+        # Empty corpus: nothing to fit — a valid empty assignment/probe
+        # (the empty-partition contract), not a KMeans crash.
+        empty = e.select("vec_id", "v", F.lit(0).alias("cell")).filter(F.lit(False))
+        return empty, [], e.select(F.col("v").alias("q")).filter(F.lit(False))
     k = max(2, min(IVF_K, n // 60))
     # Quantizer fit is sampled above a bound: k-means cost is O(N·k·i)
     # and the coarse centroids converge on a fraction of the corpus —

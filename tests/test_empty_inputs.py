@@ -142,6 +142,9 @@ REPRESENTATIVE = [
     "bpe_token_count",
     "pack_sequences_bpe",
     "semantic_dedup_ivf",
+    # round-7 additions
+    "corpus_incremental",
+    "ann_multiprobe_topk",
 ]
 
 
