@@ -1,7 +1,10 @@
 """Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {key: sec}, "sf": ...}.
+"queries": {key: sec}, "sf": ..., "duck_total": ..., "dqv": [...]}
+— "dqv" is the per-key DuckDB median vector aligned with the
+"queries" dict's key order (null where a key has no dual-engine twin),
+so every artifact carries its own per-key denominator.
 
 Headline set = the heavier representatives of each operator family
 (scan, agg, rollup, distinct, nest, explode, topk, ...); extended as
