@@ -11,7 +11,10 @@ Scale design:
   bucket probing) and `ann_ivf_topk` (sample-fitted coarse quantizer)
   prune the scan to probed buckets/cells — at 100 TB, partition
   pruning when the store is laid out by bucket — at a recall cost
-  measured against the brute-force baseline in tests. `ann_lsh_topk`
+  measured against the brute-force baseline in tests. `ann_pq_topk`
+  (r7) is the orthogonal axis: product quantization shrinks the
+  per-vector payload 32× so the query-time scan reads codes, not
+  floats; IVF × PQ compose into IVF-ADC at real scale. `ann_lsh_topk`
   is the didactic single-probe OR-construction baseline (demoted r6,
   scripts/lsh_sweep.py).
 - All dot products run on DOUBLE arrays with `zip_with` +
@@ -533,6 +536,177 @@ def probe_ivf_store(
     return _ivf_score(store, q)
 
 
+PQ_M = 8  # subspaces: 64-dim vectors → 8 sub-vectors of 8 dims each
+PQ_KS = 16  # codewords per subspace (4-bit codes here; 256 = classic PQ at scale)
+PQ_RERANK = 50  # ADC candidate pool re-ranked with exact cosine
+PQ_FIT_CAP = 50_000  # driver-side training-sample bound (same argument as the BPE fit)
+PQ_FIT_ITERS = 10
+
+
+def _pq_fit(mat):
+    """Per-subspace Lloyd's k-means over a normalized sample — the PQ
+    codebook fit of Jégou/Douze/Schmid 2011 (TPAMI, "Product
+    Quantization for Nearest Neighbor Search"). Deterministic by
+    construction: seeded init, fixed iteration count, argmin ties to
+    the lower index. Returns (M, k, dsub) codebooks."""
+    import numpy as np
+
+    n, dim = mat.shape
+    dsub = dim // PQ_M
+    rng = np.random.RandomState(42)
+    books = []
+    for m in range(PQ_M):
+        sub = mat[:, m * dsub : (m + 1) * dsub]
+        k = min(PQ_KS, n)
+        idx = rng.choice(n, size=k, replace=False)
+        cents = sub[idx].copy()
+        for _ in range(PQ_FIT_ITERS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(k):
+                pts = sub[assign == j]
+                if len(pts):
+                    cents[j] = pts.mean(0)
+        books.append(cents)
+    return np.stack(books)
+
+
+def _pq_normalize(mat):
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(1, keepdims=True))
+    norms[norms == 0.0] = 1.0  # zero vectors encode as themselves
+    return mat / norms
+
+
+def _pq_encode_udf(books):
+    """Arrow-batched encoder: normalize, then per-subspace nearest
+    codeword → M small ints per vector. This is the stored
+    representation — dim×4 bytes collapse to M codes (64-dim float32 →
+    8 bytes, 32×), which is what lets a 100 TB embedding corpus keep
+    its scannable form in memory."""
+    import numpy as np
+
+    dsub = books.shape[2]
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        mat = _pq_normalize(np.array(vs.tolist(), dtype=np.float64))
+        codes = np.empty((len(mat), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            # ||s - c||² = ||s||² - 2s·c + ||c||²; argmin over c drops ||s||²
+            d2 = (books[m] * books[m]).sum(1)[None, :] - 2.0 * (sub @ books[m].T)
+            codes[:, m] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _pq_adc_udf(books, qnorm):
+    """Asymmetric-distance scorer: the query stays un-quantized; a
+    (M × k) lookup table of sub-inner-products is computed once on the
+    driver and captured in the UDF closure (broadcast with the task
+    binary — ~M·k·8 bytes). Score = Σ_m lut[m, code_m] ≈ ⟨q, v⟩ on
+    normalized vectors ≈ cosine. A narrow map over the codes column —
+    the corpus' float payload is never read at query time."""
+    import numpy as np
+
+    dsub = books.shape[2]
+    lut = np.stack(
+        [books[m] @ qnorm[m * dsub : (m + 1) * dsub] for m in range(PQ_M)]
+    )  # (M, k)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=np.float64)
+        c = np.array(codes.tolist(), dtype=np.int64)  # (batch, M)
+        return pd.Series(lut[np.arange(PQ_M)[None, :], c].sum(1))
+
+    return adc
+
+
+_PQ_BOOKS_CACHE: dict[tuple, object] = {}
+
+
+def _ann_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
+    """PQ encode → ADC scan → exact re-rank over an arbitrary
+    (vec_id, v) corpus; `ann_pq_topk` binds it to the embeddings table.
+    `cache_key` memoizes the fitted codebooks per immutable corpus."""
+    import numpy as np
+
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None:
+        # empty-partition contract: valid empty result, not a crash
+        return (
+            e.select("vec_id", F.lit(0.0).alias("cos_sim")).filter(F.lit(False))
+        )
+    dim = len(q_row[0])
+    if dim % PQ_M:
+        raise ValueError(f"PQ needs dim divisible by {PQ_M}, got {dim}")
+    qnorm = _pq_normalize(np.array([q_row[0]], dtype=np.float64))[0]
+
+    books = _PQ_BOOKS_CACHE.get(cache_key) if cache_key else None
+    if books is None:
+        n = e.count()
+        fit_df = e if n <= PQ_FIT_CAP else e.sample(fraction=PQ_FIT_CAP / n, seed=42)
+        sample = np.array(
+            [r[0] for r in fit_df.select("v").collect()], dtype=np.float64
+        )
+        books = _pq_fit(_pq_normalize(sample))
+        if cache_key:
+            _PQ_BOOKS_CACHE[cache_key] = books
+
+    enc, adc = _pq_encode_udf(books), _pq_adc_udf(books, qnorm)
+    cands = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("code", enc("v"))
+        .withColumn("adc_ip", adc("code"))
+        .orderBy(F.col("adc_ip").desc(), F.col("vec_id").asc())
+        .limit(PQ_RERANK)
+        .select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return (
+        e.join(F.broadcast(cands), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid 2011, TPAMI):
+    per-subspace codebooks fit on a bounded seeded sample → vectors
+    encoded to M 4-bit codes (narrow Arrow map) → query-time ADC scores
+    the codes against a driver-built (M × k) lookup table (narrow map —
+    the float payload is never read at query time) → top-`PQ_RERANK`
+    candidates re-ranked with exact cosine → top-k. Complements the
+    family: multiprobe/IVF prune WHICH vectors are scored; PQ shrinks
+    WHAT is read per vector (64-dim float32 → 8 bytes, 32×) — at
+    100 TB the two compose (IVF cells × PQ codes = IVF-ADC, the FAISS
+    default).
+
+    Scale shape: fit is O(sample) on the driver; encoding is
+    embarrassingly parallel and stored once; the ADC scan shuffles
+    nothing (TakeOrdered collects k·partitions candidates); the re-rank
+    reads `PQ_RERANK` rows by id — a broadcast semi-join here, point
+    lookups in the id-bucketed store at scale. Rows-only key: the
+    fitted codebooks have no SQL twin; recall is property-tested
+    against the brute-force baseline (tests/test_properties.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return _ann_pq(
+        spark, e, cache_key=(spark.sparkContext.applicationId, sf_dir)
+    )
+
+
 SEM_K = 16
 SEM_THRESHOLD = 0.4
 
@@ -1015,6 +1189,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,  # rows-only: LSH plane constants are impractical to inline in SQL
     "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
+    "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
     "knn_join": knn_join,

@@ -145,6 +145,7 @@ REPRESENTATIVE = [
     # round-7 additions
     "corpus_incremental",
     "ann_multiprobe_topk",
+    "ann_pq_topk",
 ]
 
 

@@ -199,6 +199,85 @@ def test_multiprobe_planted_neighbors_recall(spark, sf_dir):
     assert scanned / total <= 0.5, f"probe filter scanned {scanned}/{total}"
 
 
+def test_pq_planted_neighbors_recall(spark, sf_dir):
+    """PQ-ADC at the production operating point — true near-duplicates
+    at cos ≈ 0.99 must survive quantization: the 4-bit × 8-subspace
+    codes lose fine rank among near-random neighbors (cos ≈ 0.4), but a
+    planted neighbor's approximate inner product towers over the bulk,
+    so it must reach the rerank pool and the exact rerank must rank it.
+    Recall ≥ 0.9 over 10 plants."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = np.array(
+        e.filter(F.col("vec_id") == vectors.QUERY_VEC_ID).first()[1], dtype=float
+    )
+    rng = np.random.RandomState(11)
+    planted_ids = list(range(2_000_000, 2_000_010))
+    rows = []
+    for pid in planted_ids:
+        noise = rng.standard_normal(64)
+        v = qv + 0.03 * np.linalg.norm(qv) * noise / np.linalg.norm(noise)
+        rows.append((pid, [float(x) for x in v]))
+    corpus = e.union(spark.createDataFrame(rows, "vec_id long, v array<double>"))
+
+    got = {r.vec_id for r in vectors._ann_pq(spark, corpus).collect()}
+    recall = len(got & set(planted_ids)) / len(planted_ids)
+    assert recall >= 0.9, f"PQ planted-neighbor recall {recall}"
+
+
+def test_pq_rerank_scores_exact_and_deterministic(spark, sf_dir):
+    """The PQ key's returned scores are EXACT cosines (quantization may
+    cost pool recall, never score fidelity): every returned (vec_id,
+    cos_sim) must equal the brute-force score for that id, and two runs
+    must return identical rows (seeded fit, fixed iterations)."""
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "cast(embedding as array<double>) v"
+    )
+    q = e.filter(F.col("vec_id") == vectors.QUERY_VEC_ID).select(
+        F.col("v").alias("q")
+    )
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in (
+            e.filter(F.col("vec_id") != vectors.QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                vectors.stable_round(
+                    vectors.cosine(F.col("v"), F.col("q")), 4
+                ).alias("cos_sim"),
+            )
+            .collect()
+        )
+    }
+    run1 = [(r.vec_id, r.cos_sim) for r in vectors.ann_pq_topk(spark, sf_dir).collect()]
+    run2 = [(r.vec_id, r.cos_sim) for r in vectors.ann_pq_topk(spark, sf_dir).collect()]
+    assert run1 == run2
+    assert len(run1) == vectors.TOP_K
+    for vid, cs in run1:
+        assert brute[vid] == cs, f"vec {vid}: pq score {cs} != exact {brute[vid]}"
+
+
+def test_pq_codes_are_m_small_ints(spark, sf_dir):
+    """The stored representation is really M codes in [0, PQ_KS) — the
+    32× compression claim is the schema, not prose."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sample = np.array(
+        [r[0] for r in e.limit(200).select("v").collect()], dtype=np.float64
+    )
+    books = vectors._pq_fit(vectors._pq_normalize(sample))
+    enc = vectors._pq_encode_udf(books)
+    codes = e.select(enc("v").alias("code")).collect()
+    for row in codes:
+        assert len(row.code) == vectors.PQ_M
+        assert all(0 <= c < vectors.PQ_KS for c in row.code)
+
+
 def test_simhash_identical_docs_same_signature(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
     dup = docs.union(docs)  # every doc duplicated
