@@ -426,24 +426,32 @@ IVF_NPROBE = 4
 def _ivf_fit_assign(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[int], DataFrame]:
+    """The IVF quantizer pipeline over the embeddings table — see
+    `_ivf_fit_assign_df` for the corpus-generic core."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf_fit_assign_df(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+def _ivf_fit_assign_df(
+    edf: DataFrame,
+) -> tuple[DataFrame, list[int], DataFrame]:
     """The IVF quantizer pipeline shared by `ann_ivf_topk` (in-memory
-    probe) and the cell-partitioned store path (`write_ivf_store` /
-    `probe_ivf_store`): sampled spherical-k-means fit, narrow cell
-    assignment, query-side probe-cell selection. Returns
+    probe), the cell-partitioned store path (`write_ivf_store` /
+    `probe_ivf_store`), and the IVF-ADC composition (`ann_ivf_pq_topk`):
+    sampled spherical-k-means fit, narrow cell assignment, query-side
+    probe-cell selection over an arbitrary (vec_id, v) corpus. Returns
     (assigned(vec_id, v, cell), probe_cells, q(one row: q))."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # L2-normalize before clustering: on unit vectors, L2 k-means is
     # spherical k-means, so cell assignment agrees with the cosine
     # metric the probe ranks by (unnormalized cells cut across cosine
     # neighborhoods; recall@10 with nprobe=4: 1.0 at sf0.001, 0.6 at
     # sf0.01 on the near-random fixture vectors).
-    e = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn(
+    e = edf.withColumn(
         "fv", array_to_vector(F.transform("v", lambda x: x / _norm(F.col("v"))))
     )
 
@@ -632,10 +640,15 @@ def _pq_adc_udf(books, qnorm):
 _PQ_BOOKS_CACHE: dict[tuple, object] = {}
 
 
-def _ann_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
+def _ann_pq(
+    spark: SparkSession, e: DataFrame, cache_key=None, universe: DataFrame | None = None
+) -> DataFrame:
     """PQ encode → ADC scan → exact re-rank over an arbitrary
     (vec_id, v) corpus; `ann_pq_topk` binds it to the embeddings table.
-    `cache_key` memoizes the fitted codebooks per immutable corpus."""
+    `cache_key` memoizes the fitted codebooks per immutable corpus.
+    `universe` optionally restricts the ADC scan to a pre-pruned
+    candidate subset (the IVF-ADC composition) — codebooks still fit on
+    the full corpus, and the exact re-rank still reads from `e`."""
     import numpy as np
 
     q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
@@ -661,8 +674,9 @@ def _ann_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
             _PQ_BOOKS_CACHE[cache_key] = books
 
     enc, adc = _pq_encode_udf(books), _pq_adc_udf(books, qnorm)
+    base = e if universe is None else universe
     cands = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("code", enc("v"))
         .withColumn("adc_ip", adc("code"))
         .orderBy(F.col("adc_ip").desc(), F.col("vec_id").asc())
@@ -703,6 +717,35 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     return _ann_pq(
+        spark, e, cache_key=(spark.sparkContext.applicationId, sf_dir)
+    )
+
+
+def _ann_ivf_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
+    """IVF-ADC over an arbitrary (vec_id, v) corpus: IVF prunes WHICH
+    vectors are scanned (probed cells), PQ shrinks WHAT is read per
+    vector (ADC over codes), exact cosine re-ranks the pool."""
+    assigned, probe, _q = _ivf_fit_assign_df(e)
+    universe = assigned.filter(F.col("cell").isin(probe)).select("vec_id", "v")
+    return _ann_pq(spark, e, cache_key=cache_key, universe=universe)
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN shape — IVF-ADC (the FAISS default:
+    IVFx,PQy): the sampled spherical-k-means coarse quantizer restricts
+    the scan to `IVF_NPROBE` cells (partition pruning once the store is
+    laid out by cell — `write_ivf_store`), product-quantization codes
+    shrink the per-vector payload inside those cells 32×, ADC ranks the
+    pool, and exact cosine re-ranks the top-`PQ_RERANK`. The two
+    orthogonal axes the family ships separately (`ann_ivf_topk`,
+    `ann_pq_topk`), composed and tested end-to-end: at 100 TB this is
+    nprobe/k of the corpus read as codes-only — the only family member
+    whose query cost is sublinear in BOTH rows and bytes-per-row.
+    Rows-only key: fitted quantizer + codebooks have no SQL twin;
+    planted-neighbor recall tested in tests/test_properties.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return _ann_ivf_pq(
         spark, e, cache_key=(spark.sparkContext.applicationId, sf_dir)
     )
 
@@ -1190,6 +1233,7 @@ QUERIES = {
     "ann_multiprobe_topk": ann_multiprobe_topk,  # rows-only: recall-tested vs brute force
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,  # rows-only: the composed IVF-ADC production shape; recall-tested
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
     "knn_join": knn_join,

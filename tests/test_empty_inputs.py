@@ -146,6 +146,7 @@ REPRESENTATIVE = [
     "corpus_incremental",
     "ann_multiprobe_topk",
     "ann_pq_topk",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -227,6 +227,34 @@ def test_pq_planted_neighbors_recall(spark, sf_dir):
     assert recall >= 0.9, f"PQ planted-neighbor recall {recall}"
 
 
+def test_ivf_pq_compose_planted_recall(spark, sf_dir):
+    """IVF-ADC (the FAISS-default composition, `ann_ivf_pq_topk`) at
+    the production operating point: planted near-duplicates of the
+    query (cos ≈ 0.99) must survive BOTH pruning axes — land in the
+    query's probed cells (spherical k-means sends near-identical
+    vectors to the same cell) AND top the ADC ranking — so the exact
+    rerank returns them. Recall ≥ 0.9 over 10 plants."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = np.array(
+        e.filter(F.col("vec_id") == vectors.QUERY_VEC_ID).first()[1], dtype=float
+    )
+    rng = np.random.RandomState(17)
+    planted_ids = list(range(3_000_000, 3_000_010))
+    rows = []
+    for pid in planted_ids:
+        noise = rng.standard_normal(64)
+        v = qv + 0.03 * np.linalg.norm(qv) * noise / np.linalg.norm(noise)
+        rows.append((pid, [float(x) for x in v]))
+    corpus = e.union(spark.createDataFrame(rows, "vec_id long, v array<double>"))
+
+    got = {r.vec_id for r in vectors._ann_ivf_pq(spark, corpus).collect()}
+    recall = len(got & set(planted_ids)) / len(planted_ids)
+    assert recall >= 0.9, f"IVF-ADC planted-neighbor recall {recall}"
+
+
 def test_pq_rerank_scores_exact_and_deterministic(spark, sf_dir):
     """The PQ key's returned scores are EXACT cosines (quantization may
     cost pool recall, never score fidelity): every returned (vec_id,
