@@ -1162,6 +1162,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _score_batches(it):
         import pandas as pd
 
+        nq = len(q_ids)
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -1174,21 +1175,52 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i, j: _py_seq_dot(V[i], Q[j])
                 / (math.sqrt(_py_seq_dot(V[i], V[i])) * qn[j]),
             )
-            k = min(KNN_K, len(ids))
-            picks = []
-            for col in range(len(q_ids)):
-                order = np.lexsort((ids, -R[:, col]))[:k]
-                picks.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": q_ids[col],
-                            "vec_id": ids[order],
-                            "cos": R[order, col],
-                        }
-                    )
-                )
-            yield pd.concat(picks, ignore_index=True)
+            n = len(ids)
+            k = min(KNN_K, n)
+            # the local top-k per query, vectorized across ALL queries
+            # in one argpartition (the per-query lexsort loop was the
+            # measured ×100-scale bottleneck: 2 000 python-level sorts
+            # + 2 000 DataFrame builds per batch). R sits on the 1e-4
+            # grid, so c = rint(R·1e4) is its exact integer image and
+            # key = c·n + (n−1−pos) — pos the batch-local ascending
+            # ordinal of vec_id — totally orders every row by
+            # (cos desc, vec_id asc); keys are unique, so the
+            # argpartition SET is the exact lexsort head.
+            c = np.rint(R * 10000.0).astype(np.int64)
+            pos = np.empty(n, dtype=np.int64)
+            pos[np.argsort(ids, kind="stable")] = np.arange(n)
+            key = c * np.int64(n) + (np.int64(n - 1) - pos)[:, None]
+            if n > k:
+                top = np.argpartition(-key, k - 1, axis=0)[:k]
+            else:
+                top = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+            cols = np.broadcast_to(np.arange(nq), top.shape)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.broadcast_to(q_ids, top.shape).ravel(),
+                    "vec_id": ids[top].ravel(),
+                    "cos": R[top, cols].ravel(),
+                }
+            )
 
+    # the scorer is CPU-dense (≈6 s single-thread per 10k-row Arrow
+    # batch at Q=2 000), but Spark sizes scan partitions by BYTES —
+    # a 200k-vector corpus is ~50 MB = ONE split, serializing every
+    # batch through one Python worker (measured: the ×100 wall was
+    # ~20 batches × 6.3 s ≈ the single-thread sum, 169 s total).
+    # Rebalance to the core count when the scan under-splits AND the
+    # work is dense enough to cover the shuffle (Q is a free
+    # corpus-size proxy at plan build — Q = N/KNN_Q_MOD by the key's
+    # rule; below the threshold the whole job is sub-second and the
+    # extra stage would only re-add dispatch floor). A real multi-TB
+    # corpus already carries ≥ parallelism splits and never pays the
+    # shuffle (vectors are ~0.5 KB/row — MBs moved vs minutes of
+    # matmul). Measured at ×100 (200k vectors, Q=2 000): 169 → 25 s,
+    # 0.36× the DuckDB twin — the brute-force key's crossover.
+    if len(qrows) >= 200:
+        par = spark.sparkContext.defaultParallelism
+        if c.rdd.getNumPartitions() < par:
+            c = c.repartition(par)
     scored = c.mapInPandas(_score_batches, out_schema)
     w2 = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
