@@ -191,6 +191,97 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# (query_id, terms) — a fixed multi-term query set over the corpus
+# vocabulary: the retrieval stand-in for "score every doc against the
+# eval/query batch" (data-selection-by-retrieval, contamination
+# triage, search-quality evals).
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["join", "order"]),
+    (1, ["window", "merge", "sort"]),
+    (2, ["hash", "table"]),
+    (3, ["stream", "batch", "spark"]),
+]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-BM25_TOPK documents per query for a fixed
+    multi-term query set (Robertson/Sparck-Jones BM25, the Okapi
+    k1/b form — the standard lexical ranking function; tfidf_topk is
+    per-doc keyword EXTRACTION, this is multi-query document
+    RETRIEVAL, the other direction).
+
+    Scale: the postings explode is filtered to the QUERY VOCABULARY
+    before the (doc, term) aggregation — the corpus-scale stream
+    prunes to |docs containing a query term| immediately after the
+    narrow explode (predicate on the exploded column, no shuffle of
+    non-matching tokens). Document length rides the projection (no
+    second corpus pass or doc_id join); df and the query map are
+    vocab-bounded broadcasts; corpus totals (N, Σdl) fold in as a
+    broadcast 1-row aggregate (the quality_unigram_nll pattern). One
+    corpus-wide shuffle total — the (doc, term) partial-agg — then
+    per-query ranking over the matched-doc subset.
+
+    Determinism: each term's BM25 contribution is computed from exact
+    longs (tf, dl, df, N, Σdl) with an explicitly-parenthesized
+    expression mirrored token-for-token in the oracle, rounded to 6 dp
+    → exact integer micro-units → LONG sum per (query, doc) → final
+    4-dp round (the NLL micro-unit discipline: order-free exactness at
+    long-sum speed). Ranking orders by the ROUNDED score then doc_id."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qvocab = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    post = docs.select(
+        "doc_id", F.size(_toks()).alias("dl"), F.explode(_toks()).alias("term")
+    ).filter(F.col("term").isin(qvocab))
+    tf = post.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(_toks()).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        ((F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+         / (F.col("df") + F.lit(0.5)))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / avgdl
+    )
+    contrib = stable_round(
+        (idf * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))) / denom, 6
+    )
+    micro = F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", micro.alias("m"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        stable_round(F.sum("m").cast("double") / F.lit(1e6), 4).alias("bm25")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "query_id", "doc_id", "bm25", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
 def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram language-model quality score: per-document
     mean negative log probability of its tokens under the corpus
@@ -451,11 +542,25 @@ QUERIES = {
     "text_quality": text_quality,
     "quality_repetition": quality_repetition,
     "tfidf_topk": tfidf_topk,
+    "bm25_topk": bm25_topk,
     "quality_unigram_nll": quality_unigram_nll,
     "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
 }
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+)
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted({t for _, ts in BM25_QUERIES for t in ts}))
+# explicitly-parenthesized BM25 contribution, token-for-token the Spark
+# expression's shape (exact longs in, one double expression out)
+_BM25_CONTRIB = (
+    "(LN((((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5) / (df.df + 0.5)) + 1.0)"
+    f" * (CAST(tf.tf AS DOUBLE) * {BM25_K1 + 1.0!r}))"
+    f" / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+    f" + (({BM25_B!r} * tf.dl) / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))"
+)
 
 ORACLE = {
     "c4_line_filter": f"""
@@ -547,6 +652,36 @@ ORACLE = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
             ) AS rnk FROM sc
         ) WHERE rnk <= {TFIDF_TOPK}
+    """,
+    "bm25_topk": f"""
+        WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+        d AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), post AS (
+            SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM d
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+            FROM post WHERE term IN ({_BM25_IN})
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), s AS (
+            SELECT COUNT(*) AS n_docs, SUM(len(t)) AS sum_dl FROM d
+        ), c AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(FLOOR({sql_stable_round(_BM25_CONTRIB, 6)} * 1e6 + 0.5)
+                        AS BIGINT) AS m
+            FROM tf JOIN df USING (term) JOIN q USING (term), s
+        ), a AS (
+            SELECT query_id, doc_id,
+                   {sql_stable_round("CAST(SUM(m) AS DOUBLE) / 1e6", 4)} AS bm25
+            FROM c GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, bm25, CAST(rnk AS INTEGER) AS rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC
+            ) AS rnk FROM a
+        ) WHERE rnk <= {BM25_TOPK}
     """,
     "quality_unigram_nll": f"""
         WITH t AS (

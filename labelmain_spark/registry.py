@@ -258,6 +258,9 @@ PRIORITY = [
     "order_limit", "similarity_topk", "label_stats",
     "bpe_token_count", "pack_sequences_bpe",
     "semantic_dedup_ivf",
+    # r7 late additions (never yet driver-verified — r8 rotation
+    # candidates): multi-query BM25 retrieval (full oracle).
+    "bm25_topk",
 ]
 
 

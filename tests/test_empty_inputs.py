@@ -147,6 +147,7 @@ REPRESENTATIVE = [
     "ann_multiprobe_topk",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "bm25_topk",
 ]
 
 

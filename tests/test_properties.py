@@ -995,3 +995,32 @@ def test_cdc_insertion_resyncs_chunks():
     )
     # determinism: same bytes -> same boundaries
     assert digests(rng_bytes) == a
+
+
+def test_bm25_ranking_semantics(spark, sf_dir):
+    """Every ranked doc must actually contain one of its query's
+    terms; ranks are contiguous from 1 per query; scores are
+    non-increasing in rank; every query with any matching doc
+    appears."""
+    from labelmain_spark.functions.text import BM25_QUERIES, BM25_TOPK, bm25_topk
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    qterms = dict(BM25_QUERIES)
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert docs[r.doc_id] & set(qterms[r.query_id]), (
+            r, "ranked doc contains no query term")
+    assert set(by_q) == {qid for qid, ts in BM25_QUERIES
+                         if any(set(ts) & tv for tv in docs.values())}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        scores = [r.bm25 for r in rs]
+        assert scores == sorted(scores, reverse=True), (qid, scores)
+    spark.catalog.clearCache()
