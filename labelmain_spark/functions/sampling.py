@@ -336,8 +336,47 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_N = 200
+WSAMPLE_SALT = "wsmp:"
+_WSAMPLE_DENOM = float(16**8)
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis (2006) A-ES scheme — each row draws a uniform
+    u and ranks by u^(1/w); the top-N by that key are a weighted
+    sample without replacement. Ranking by ln(u)/w is the same order
+    (ln is monotone, both forms negative), numerically safer, and
+    what every distributed implementation ships. Here u is NOT random
+    but the portable md5 hash of the key under a dedicated salt
+    (u = (h8 + 0.5) / 16^8 — the hash_sample determinism contract:
+    retry-, partition- and engine-stable, independent of the sampler/
+    mixer/shuffle salts), and the weight is the document length — the
+    corpus-resampling shape (length-proportional token budgeting,
+    DSIR-weighted selection uses the same operator with model weights).
+
+    Scale: a narrow map computes the key; the global top-N is
+    TakeOrdered (per-partition heads → single merge — no global sort,
+    no range exchange). Determinism: rank on the ROUNDED key (6 dp)
+    with doc_id tiebreak — a total order, so the selected SET is
+    engine-exact; u's power-of-two denominator keeps (h + 0.5)/2^32
+    exact in doubles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = F.expr(_hash_hex_expr("doc_id", "spark", WSAMPLE_SALT, 8))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_WSAMPLE_DENOM)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.withColumn("wkey", stable_round(F.log(u) / w, 6))
+        .orderBy(F.col("wkey").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_N)
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
+    "sample_weighted": sample_weighted,
     "corpus_shuffle": corpus_shuffle,
     "curriculum_order": curriculum_order,
     "split_train_val": split_train_val,
@@ -368,7 +407,20 @@ def _curriculum_oracle() -> str:
     """
 
 
+_WSAMPLE_KEY_SQL = sql_stable_round(
+    f"LN((CAST({_hash_hex_expr('doc_id', 'duck', WSAMPLE_SALT, 8)} AS DOUBLE)"
+    f" + 0.5) / {_WSAMPLE_DENOM!r})"
+    " / CAST(GREATEST(n_chars, 1) AS DOUBLE)",
+    6,
+)
+
 ORACLE = {
+    "sample_weighted": f"""
+        SELECT doc_id, lang, n_chars, {_WSAMPLE_KEY_SQL} AS wkey
+        FROM documents
+        ORDER BY wkey DESC, doc_id ASC
+        LIMIT {WSAMPLE_N}
+    """,
     "corpus_shuffle": f"""
         SELECT CAST(ROW_NUMBER() OVER (
                    ORDER BY {_hash_hex_expr("doc_id", "duck", "shuf:", 8)} ASC,

@@ -259,8 +259,9 @@ PRIORITY = [
     "bpe_token_count", "pack_sequences_bpe",
     "semantic_dedup_ivf",
     # r7 late additions (never yet driver-verified — r8 rotation
-    # candidates): multi-query BM25 retrieval (full oracle).
-    "bm25_topk",
+    # candidates): multi-query BM25 retrieval; Efraimidis–Spirakis
+    # weighted sampling without replacement (both full oracles).
+    "bm25_topk", "sample_weighted",
 ]
 
 

@@ -148,6 +148,7 @@ REPRESENTATIVE = [
     "ann_pq_topk",
     "ann_ivf_pq_topk",
     "bm25_topk",
+    "sample_weighted",
 ]
 
 

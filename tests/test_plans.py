@@ -613,3 +613,21 @@ def test_bm25_broadcasts_stats_prunes_postings(spark, sf_dir):
     checks.assert_no_python_eval(df)
     checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
     spark.catalog.clearCache()
+
+
+def test_sample_weighted_is_take_ordered(spark, sf_dir):
+    """The weighted-sample top-N must be TakeOrdered (per-partition
+    heads + single merge), never a global sort / range exchange; key
+    computation is a narrow JVM map reading only the three output
+    columns."""
+    from labelmain_spark.functions.sampling import sample_weighted
+
+    df = sample_weighted(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "rangepartitioning" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(
+        df, {"doc_id", "lang", "n_chars"}, table_hint="documents"
+    )
+    spark.catalog.clearCache()

@@ -1024,3 +1024,23 @@ def test_bm25_ranking_semantics(spark, sf_dir):
         scores = [r.bm25 for r in rs]
         assert scores == sorted(scores, reverse=True), (qid, scores)
     spark.catalog.clearCache()
+
+
+def test_sample_weighted_favors_heavy_rows(spark, sf_dir):
+    """A-ES semantics: under length weights the selected sample's mean
+    length must exceed the corpus mean (inclusion probability rises
+    with weight), the sample is exactly WSAMPLE_N rows (corpus
+    permitting), keys are within the valid range (ln u / w < 0), and
+    re-running yields the identical set (hash determinism, no RNG)."""
+    from labelmain_spark.functions.sampling import WSAMPLE_N, sample_weighted
+
+    rows = sample_weighted(spark, sf_dir).collect()
+    corpus = load_table(spark, sf_dir, "documents").select("n_chars").collect()
+    assert len(rows) == min(WSAMPLE_N, len(corpus))
+    assert all(r.wkey < 0 for r in rows)
+    mean_sample = sum(r.n_chars for r in rows) / len(rows)
+    mean_corpus = sum(r.n_chars for r in corpus) / len(corpus)
+    assert mean_sample > mean_corpus, (mean_sample, mean_corpus)
+    again = {r.doc_id for r in sample_weighted(spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in rows}
+    spark.catalog.clearCache()
