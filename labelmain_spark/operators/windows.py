@@ -153,8 +153,58 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward
+    (the TimescaleDB `time_bucket_gapfill` + `locf` shape, and the
+    feature-store backfill primitive): per user, an hourly bucket
+    SPINE spanning [first event hour, last event hour], hours with no
+    events emitted as gap rows carrying the previous bucket's value
+    forward.
+
+    Scale: one (user, hour) partial-agg shuffle builds the observed
+    buckets; per-user bounds reduce from THOSE buckets (not the raw
+    events); the spine explode is bounded by the time window per key
+    (hours, not events); the LOCF window partitions by user_id — the
+    high-cardinality natural key, never a global window. Per-bucket
+    representative value is max_by(value, event_id) — unique event_id
+    makes it deterministic in both engines, and NO float arithmetic
+    happens anywhere (values are carried verbatim), so there is
+    nothing to round."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max_by("value", "event_id").alias("v"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("bucket_ts"),
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("n_obs").isNull().alias("is_gap"),
+    )
+
+
 QUERIES = {
     "window_rank": window_rank,
+    "gap_fill": gap_fill,
     "window_lag": window_lag,
     "window_running": window_running,
     "window_tumbling": window_tumbling,
@@ -165,6 +215,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gap_fill": """
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS n_obs, max_by(value, event_id) AS v
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ), bounds AS (
+            SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+            FROM hourly GROUP BY user_id
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+            FROM bounds
+        )
+        SELECT s.user_id, s.h AS bucket_ts,
+               CAST(COALESCE(hy.n_obs, 0) AS BIGINT) AS n_events,
+               last_value(hy.v IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled,
+               (hy.n_obs IS NULL) AS is_gap
+        FROM spine s
+        LEFT JOIN hourly hy ON s.user_id = hy.user_id AND s.h = hy.h
+    """,
     "window_rank": """
         SELECT user_id, event_id, ts, event_type FROM (
             SELECT user_id, event_id, ts, event_type,

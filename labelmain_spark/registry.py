@@ -260,8 +260,9 @@ PRIORITY = [
     "semantic_dedup_ivf",
     # r7 late additions (never yet driver-verified — r8 rotation
     # candidates): multi-query BM25 retrieval; Efraimidis–Spirakis
-    # weighted sampling without replacement (both full oracles).
-    "bm25_topk", "sample_weighted",
+    # weighted sampling without replacement; hourly-spine LOCF gap
+    # fill (all full oracles).
+    "bm25_topk", "sample_weighted", "gap_fill",
 ]
 
 

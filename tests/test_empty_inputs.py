@@ -149,6 +149,7 @@ REPRESENTATIVE = [
     "ann_ivf_pq_topk",
     "bm25_topk",
     "sample_weighted",
+    "gap_fill",
 ]
 
 

@@ -1044,3 +1044,35 @@ def test_sample_weighted_favors_heavy_rows(spark, sf_dir):
     again = {r.doc_id for r in sample_weighted(spark, sf_dir).collect()}
     assert again == {r.doc_id for r in rows}
     spark.catalog.clearCache()
+
+
+def test_gap_fill_spine_contiguous_and_locf(spark, sf_dir):
+    """Per user the bucket spine is contiguous hourly from the first
+    to the last observed hour; gap rows carry n_events = 0 and the
+    previous bucket's value verbatim; the first bucket is never a gap;
+    value_filled is never null."""
+    from labelmain_spark.operators.windows import gap_fill
+
+    rows = gap_fill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    saw_gap = False
+    for _uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.bucket_ts)
+        assert not rs[0].is_gap
+        prev = None
+        for i, r in enumerate(rs):
+            assert r.value_filled is not None
+            if i > 0:
+                assert (r.bucket_ts - rs[i - 1].bucket_ts).total_seconds() == 3600
+            if r.is_gap:
+                saw_gap = True
+                assert r.n_events == 0
+                assert r.value_filled == prev
+            else:
+                assert r.n_events > 0
+            prev = r.value_filled
+    assert saw_gap, "fixture produced no gaps — test exercises nothing"
+    spark.catalog.clearCache()
