@@ -130,9 +130,136 @@ def user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"user_components": user_components}
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000  # rank carried as integer 1e-9 units
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (Brin/Page 1998) over the directed
+    user → attribute graph (src = user_id, dst = props.k — the same
+    co-occurrence edges user_components clusters, directed): influence
+    scoring for wallet-graph / citation-graph analytics.
+
+    INTEGER PageRank: rank is carried as exact 1e-9 units (longs) and
+    every operation is integer — r0 = SCALE DIV N, per-edge
+    contribution = units DIV outdeg, damping = (85·Σ) DIV 100 — so
+    the five unrolled iterations are bit-exact in ANY engine (no
+    float sum order, nothing to round; the ≤1e-9-per-step quantization
+    is far below any ranking-relevant difference). Dangling mass
+    (nodes without out-edges) is dropped rather than redistributed —
+    the common simplification; the Google-matrix variant adds one
+    broadcast 1-row dangling aggregate per iteration.
+
+    Scale: per iteration — one shuffle join of ranks onto edges keyed
+    src, one map-side-combinable long-sum agg keyed dst, one left
+    join back onto the node set. Edges/degrees/node-base persist once
+    (the connected_components lineage discipline); five iterations =
+    bounded plan depth, no driver actions, no fixpoint probe (the
+    iteration count is fixed by contract, matching the oracle's
+    unrolled CTEs)."""
+    from labelmain_spark.operators.parity import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    e = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e.join(outdeg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    st = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base_nodes = (
+        nodes.crossJoin(F.broadcast(st))
+        .select(
+            "node",
+            F.expr(f"{PR_SCALE} DIV n").alias("units"),
+            F.expr(
+                f"(({PR_SCALE} DIV n) * {PR_D_DEN - PR_D_NUM}) DIV {PR_D_DEN}"
+            ).alias("base"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    r = base_nodes.select("node", "units")
+    for _ in range(PR_ITERS):
+        s = (
+            deg.join(r, deg["src"] == r["node"])
+            .select(F.col("dst"), F.expr("units DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            base_nodes.select("node", "base")
+            .join(s, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.col("base")
+                    + F.expr(f"({PR_D_NUM} * coalesce(s, 0)) DIV {PR_D_DEN}")
+                ).alias("units"),
+            )
+        )
+    return r.select(
+        "node",
+        F.col("units").alias("rank_units"),
+        stable_round(F.col("units").cast("double") / F.lit(1e9), 9).alias("pr"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    from labelmain_spark.operators.parity import sql_stable_round
+
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""r{i} AS (
+            SELECT b.node,
+                   CAST(b.base + (({PR_D_NUM} * COALESCE(s.s, 0))
+                        // {PR_D_DEN}) AS BIGINT) AS units,
+                   b.base
+            FROM r{i - 1} b LEFT JOIN (
+                SELECT e.dst, CAST(SUM(r.units // d.outdeg) AS BIGINT) AS s
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) s ON b.node = s.dst
+        )""")
+    chain = ",\n        ".join(its)
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT user_id AS src,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        st AS (SELECT COUNT(*) AS n FROM nodes),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+            SELECT node, CAST({PR_SCALE} // n AS BIGINT) AS units,
+                   CAST((({PR_SCALE} // n) * {PR_D_DEN - PR_D_NUM})
+                        // {PR_D_DEN} AS BIGINT) AS base
+            FROM nodes, st
+        ),
+        {chain}
+        SELECT node, units AS rank_units,
+               {sql_stable_round("CAST(units AS DOUBLE) / 1e9", 9)} AS pr
+        FROM r{PR_ITERS}
+    """
+
+
+QUERIES = {"user_components": user_components, "pagerank": pagerank}
 
 ORACLE = {
+    "pagerank": _pagerank_oracle(),
     "user_components": """
         WITH edges AS (
             SELECT DISTINCT user_id AS u,

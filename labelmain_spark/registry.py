@@ -263,6 +263,8 @@ PRIORITY = [
     # weighted sampling without replacement; hourly-spine LOCF gap
     # fill (all full oracles).
     "bm25_topk", "sample_weighted", "gap_fill",
+    # fixed-iteration integer PageRank (bit-exact unrolled oracle).
+    "pagerank",
 ]
 
 

@@ -150,6 +150,7 @@ REPRESENTATIVE = [
     "bm25_topk",
     "sample_weighted",
     "gap_fill",
+    "pagerank",
 ]
 
 

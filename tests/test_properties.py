@@ -1076,3 +1076,34 @@ def test_gap_fill_spine_contiguous_and_locf(spark, sf_dir):
             prev = r.value_filled
     assert saw_gap, "fixture produced no gaps — test exercises nothing"
     spark.catalog.clearCache()
+
+
+def test_pagerank_mass_and_hub_dominance(spark, sf_dir):
+    """Integer-PageRank invariants: every node appears exactly once;
+    total rank mass never exceeds SCALE (integer division + dropped
+    dangling mass only LOSE units, never create them); the highest
+    in-degree node outranks the median node; ranks are positive."""
+    from labelmain_spark.functions.graph import PR_SCALE, pagerank
+
+    rows = pagerank(spark, sf_dir).collect()
+    assert len(rows) == len({r.node for r in rows})
+    total = sum(r.rank_units for r in rows)
+    assert 0 < total <= PR_SCALE, total
+    ev = load_table(spark, sf_dir, "events")
+    indeg: dict[int, int] = {}
+    for r in (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+        .collect()
+    ):
+        indeg[r.dst] = indeg.get(r.dst, 0) + 1
+    hub = max(indeg, key=lambda k: indeg[k])
+    by_node = {r.node: r.rank_units for r in rows}
+    ranks = sorted(by_node.values())
+    median = ranks[len(ranks) // 2]
+    assert by_node[hub] >= median, (hub, by_node[hub], median)
+    spark.catalog.clearCache()
