@@ -13,6 +13,12 @@ public tokenizer / tiktoken):
   production deployment fits once offline and ships the merge table;
   fitting is never per-row work). Deterministic: ties broken by
   (count desc, pair lexicographic).
+- ``train_bpe_merges_distributed`` / ``bpe_train`` (r7): the SAME
+  algorithm with whole-corpus pair statistics — one corpus-scale
+  word-frequency pass reduces to the vocab-bounded word table, then
+  per-round JVM pair-explode/count/argmax with the segments re-folded
+  by a higher-order ``aggregate`` — asserted EXACTLY equal to the
+  reference fit on the same texts.
 - ``bpe_token_count``: per-document BPE token count. The merge-rank
   dict rides to executors in the UDF closure (broadcast — it is
   O(n_merges), bounded); counting is an Arrow-batched pandas_udf that
@@ -193,7 +199,126 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_segments(docs)
 
 
+BPE_TRAIN_MERGES = 24
+_PRETOKEN_JAVA_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def _apply_merge(seg, left: str, right: str):
+    """Apply ONE learned merge to a symbol array, JVM-side: a left
+    fold (higher-order ``aggregate``) that appends each symbol unless
+    it completes the (left, right) pair, in which case the pair
+    collapses — byte-identical to the reference trainer's
+    left-to-right while-loop on every input (overlaps included:
+    'aaa' + (a,a) → [aa, a] in both)."""
+    merged = left + right
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(seg, F.array().cast("array<string>"), step)
+
+
+def train_bpe_merges_distributed(
+    docs: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """DISTRIBUTED BPE merge learning (Sennrich et al. 2016) — the
+    production path for the fit `fit_bpe_merges` runs on a bounded
+    driver sample: here the pair statistics come from the WHOLE
+    corpus.
+
+    Shape: ONE corpus-scale pass (pre-tokenize via JVM regexp →
+    word-frequency aggregation) reduces the problem to the
+    vocab-bounded word table (the language caps distinct words, not
+    the corpus — the same bound the unigram-NLL broadcast rides), and
+    every merge round then runs on that bounded table: adjacent-pair
+    explode → map-side-combinable count → argmax collect (ONE bounded
+    driver action per round — the GraphX loop discipline, like
+    connected_components' fixpoint probe; the argmax is inherently
+    sequential across rounds). Segments re-fold JVM-side per round;
+    persist/unpersist truncates lineage exactly as the
+    connected_components loop does. small_plan_conf gates the loop on
+    the MEASURED vocab size so tiny fixtures don't pay AQE's
+    per-stage job fan-out.
+
+    Determinism: counts are exact longs; ties break (count desc, pair
+    lexicographic asc) — identical to the reference; the result is
+    asserted EQUAL to `fit_bpe_merges` on the same texts in pytest."""
+    from pyspark import StorageLevel
+
+    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
+
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_JAVA_RE), 0)
+        ).alias("word")
+    )
+    words = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("seg"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_vocab = words.count()
+    merges: list[tuple[str, str, int]] = []
+    pair_structs = (
+        "zip_with(slice(seg, 1, size(seg) - 1), slice(seg, 2, size(seg) - 1),"
+        " (a, b) -> struct(a AS l, b AS r))"
+    )
+    with small_plan_conf(docs.sparkSession, n_vocab <= SMALL_PLAN_ROWS):
+        for _ in range(n_merges):
+            top = (
+                words.select("cnt", F.explode(F.expr(pair_structs)).alias("p"))
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.col("pc").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            left, right, pc = top[0].l, top[0].r, int(top[0].pc)
+            merges.append((left, right, pc))
+            nw = words.select(
+                "cnt", _apply_merge(F.col("seg"), left, right).alias("seg")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            words.unpersist()
+            words = nw
+    words.unpersist()
+    return merges
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry key: learn BPE_TRAIN_MERGES merges from the full
+    documents corpus, distributed (see
+    `train_bpe_merges_distributed`). Rows-only by design (iterative
+    data-dependent argmax has no fixed SQL form); pinned instead by
+    EXACT equality with the pure-Python reference trainer on the same
+    texts."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = train_bpe_merges_distributed(docs, BPE_TRAIN_MERGES)
+    schema = "merge_rank int, left string, right string, pair_count long"
+    rows = [(i + 1, m[0], m[1], m[2]) for i, m in enumerate(merges)]
+    return spark.createDataFrame(rows, schema)
+
+
 QUERIES = {
+    "bpe_train": bpe_train,
     "bpe_token_count": bpe_token_count,
     "pack_sequences_bpe": pack_sequences_bpe,
 }

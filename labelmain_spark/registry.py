@@ -265,6 +265,9 @@ PRIORITY = [
     "bm25_topk", "sample_weighted", "gap_fill",
     # fixed-iteration integer PageRank (bit-exact unrolled oracle).
     "pagerank",
+    # distributed BPE merge learning (rows-only: iterative argmax has
+    # no fixed SQL form; exact-equality-vs-reference property test).
+    "bpe_train",
 ]
 
 

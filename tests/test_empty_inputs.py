@@ -151,6 +151,7 @@ REPRESENTATIVE = [
     "sample_weighted",
     "gap_fill",
     "pagerank",
+    "bpe_train",
 ]
 
 

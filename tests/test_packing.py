@@ -217,3 +217,39 @@ def test_pack_sequences_bpe_tiles_exactly(spark, sf_dir):
             assert start == pos, (doc_id, segs)
             pos += ln
         assert pos == want[doc_id]
+
+
+def test_bpe_train_distributed_equals_reference(spark, sf_dir):
+    """The distributed trainer must reproduce the pure-Python Sennrich
+    reference EXACTLY on the same corpus: same merges, same order
+    (count-desc / lexicographic tie-break), and pair counts matching
+    the reference's stats at each round."""
+    from collections import Counter
+
+    from labelmain_spark.functions.bpe import (
+        BPE_TRAIN_MERGES,
+        bpe_train,
+        fit_bpe_merges,
+        pretokenize,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    expected = fit_bpe_merges(texts, n_merges=BPE_TRAIN_MERGES)
+    got = sorted(bpe_train(spark, sf_dir).collect(), key=lambda r: r.merge_rank)
+    assert [(r.left, r.right) for r in got] == expected
+    # independently recompute the first round's pair stats and check
+    # the first merge's recorded count
+    freqs = Counter()
+    for t in texts:
+        for w in pretokenize(t):
+            freqs[tuple(w)] += 1
+    pairs = Counter()
+    for sym, c in freqs.items():
+        for a, b in zip(sym, sym[1:]):
+            pairs[(a, b)] += c
+    assert got[0].pair_count == pairs[(got[0].left, got[0].right)]
+    spark.catalog.clearCache()
