@@ -91,6 +91,16 @@ HEADLINE = [
     # variants of families already represented (text_tokens-class,
     # shard_pack-class, semantic_dedup).
     "corpus_shuffle",
+    # round-7 new families: the incremental-lifecycle composition,
+    # BM25 retrieval, and time-series gap fill. Excluded as variants:
+    # sample_weighted (TakeOrdered top-N — topk-class), pagerank and
+    # bpe_train (driver-coordinated iterative loops whose sf0.1 wall
+    # is stage dispatch on a bounded graph/vocab, the family
+    # dedup_clusters already measures), ann_pq/ivf_pq (ann/semantic
+    # family represented by semantic_dedup + knn_join).
+    "corpus_incremental",
+    "bm25_topk",
+    "gap_fill",
 ]
 
 

@@ -155,10 +155,17 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, one map-side-combinable long-sum agg keyed dst, one left
     join back onto the node set. Edges/degrees/node-base persist once
     (the connected_components lineage discipline); five iterations =
-    bounded plan depth, no driver actions, no fixpoint probe (the
-    iteration count is fixed by contract, matching the oracle's
-    unrolled CTEs)."""
+    bounded plan depth, no fixpoint probe (the iteration count is
+    fixed by contract, matching the oracle's unrolled CTEs). The
+    corpus-scale passes (edge distinct, node count) run under the
+    session conf; the ITERATIONS run under small_plan_conf gated on
+    the MEASURED node count and materialize once at the end — a tiny
+    cached graph otherwise pays 15 stages of AQE job fan-out (the
+    connected_components measurement), while a big graph keeps AQE.
+    The node-count probe + final materialization are the same
+    eager-bounded-action class as the CC fixpoint probe."""
     from labelmain_spark.operators.parity import stable_round
+    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
 
     ev = load_table(spark, sf_dir, "events")
     e = (
@@ -189,6 +196,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_nodes = base_nodes.count()  # materializes the corpus passes too
     r = base_nodes.select("node", "units")
     for _ in range(PR_ITERS):
         s = (
@@ -208,11 +216,14 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("units"),
             )
         )
-    return r.select(
+    out = r.select(
         "node",
         F.col("units").alias("rank_units"),
         stable_round(F.col("units").cast("double") / F.lit(1e9), 9).alias("pr"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    with small_plan_conf(spark, n_nodes <= SMALL_PLAN_ROWS):
+        out.count()  # run the cached-graph iterations under the gated conf
+    return out
 
 
 def _pagerank_oracle() -> str:
