@@ -425,7 +425,7 @@ IVF_NPROBE = 4
 
 def _ivf_fit_assign(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[int], DataFrame]:
+) -> tuple[DataFrame, list[int], DataFrame, list[list[float]]]:
     """The IVF quantizer pipeline over the embeddings table — see
     `_ivf_fit_assign_df` for the corpus-generic core."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -436,13 +436,15 @@ def _ivf_fit_assign(
 
 def _ivf_fit_assign_df(
     edf: DataFrame,
-) -> tuple[DataFrame, list[int], DataFrame]:
+) -> tuple[DataFrame, list[int], DataFrame, list[list[float]]]:
     """The IVF quantizer pipeline shared by `ann_ivf_topk` (in-memory
     probe), the cell-partitioned store path (`write_ivf_store` /
     `probe_ivf_store`), and the IVF-ADC composition (`ann_ivf_pq_topk`):
     sampled spherical-k-means fit, narrow cell assignment, query-side
     probe-cell selection over an arbitrary (vec_id, v) corpus. Returns
-    (assigned(vec_id, v, cell), probe_cells, q(one row: q))."""
+    (assigned(vec_id, v, cell), probe_cells, q(one row: q),
+    centroids) — the centroid list IS the frozen quantizer, persisted
+    by `write_ivf_store` so later batches upsert consistently."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -464,7 +466,7 @@ def _ivf_fit_assign_df(
         # Empty corpus: nothing to fit — a valid empty assignment/probe
         # (the empty-partition contract), not a KMeans crash.
         empty = e.select("vec_id", "v", F.lit(0).alias("cell")).filter(F.lit(False))
-        return empty, [], e.select(F.col("v").alias("q")).filter(F.lit(False))
+        return empty, [], e.select(F.col("v").alias("q")).filter(F.lit(False)), []
     k = max(2, min(IVF_K, n // 60))
     # Quantizer fit is sampled above a bound: k-means cost is O(N·k·i)
     # and the coarse centroids converge on a fraction of the corpus —
@@ -485,7 +487,7 @@ def _ivf_fit_assign_df(
     probe = sorted(range(k), key=lambda c: l2(centroids[c], qv))[:IVF_NPROBE]
 
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
-    return assigned.select("vec_id", "v", "cell"), probe, q
+    return assigned.select("vec_id", "v", "cell"), probe, q, centroids
 
 
 def _ivf_score(cands: DataFrame, q: DataFrame) -> DataFrame:
@@ -518,18 +520,87 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew splitting or splitting fat cells into sub-cells (IVF-HNSW
     hybrids do the same).
     """
-    assigned, probe, q = _ivf_fit_assign(spark, sf_dir)
+    assigned, probe, q, _cents = _ivf_fit_assign(spark, sf_dir)
     return _ivf_score(assigned.filter(F.col("cell").isin(probe)), q)
 
 
-def write_ivf_store(assigned: DataFrame, path: str) -> None:
+def write_ivf_store(
+    assigned: DataFrame, path: str, centroids: list[list[float]] | None = None
+) -> None:
     """Persist an IVF-assigned corpus partitioned by cell — one file
     per cell directory (repartition first: the small-files trap), so a
     probe's `cell IN (...)` becomes directory-level partition pruning
-    and reads nprobe/k of the store's files."""
+    and reads nprobe/k of the store's files.
+
+    When ``centroids`` is given, the frozen quantizer is persisted
+    alongside under ``_quantizer/`` (underscore-prefixed → invisible
+    to the data scan's file listing, the _SUCCESS convention), making
+    the store SELF-DESCRIBING: later batches upsert with the same
+    quantizer (`upsert_ivf_store`) without refitting — refitting would
+    silently re-shard history (cell ids change meaning) and is the
+    classic IVF-maintenance bug."""
     (
         assigned.repartition(F.col("cell"))
         .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    if centroids is not None:
+        spark = assigned.sparkSession
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+        spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path + "/_quantizer")
+
+
+def upsert_ivf_store(spark: SparkSession, path: str, batch: DataFrame) -> None:
+    """Incremental IVF index maintenance — the daily-embedding-batch
+    shape (the dedup_incremental / corpus_incremental discipline
+    applied to the ANN index): assign the new batch with the store's
+    FROZEN quantizer and APPEND into the existing cell directories.
+    Existing files are never rewritten; a probe after the upsert sees
+    old and new rows through the same partition pruning.
+
+    Assignment rule: argmin squared-L2 against the persisted centroids
+    over the L2-NORMALIZED vector (spherical assignment — identical to
+    the fit-time `KMeans.transform` geometry), ties to the lowest cell
+    id; computed as one numpy matmul per Arrow batch (the
+    `_centroid_assign_udf` pattern — a narrow map, no shuffle until
+    the per-cell repartition for file sizing). Pinned in pytest
+    against a driver-side numpy reference and by the planted-neighbor
+    probe property."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = sorted(
+        (r.cell, r.centroid)
+        for r in spark.read.parquet(path + "/_quantizer").collect()
+    )
+    C = np.stack([np.asarray(c, dtype=np.float64) for _, c in cents])
+    cell_ids = np.array([i for i, _ in cents], dtype=np.int32)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        V = V / np.sqrt(np.einsum("ij,ij->i", V, V))[:, None]
+        # ||v - c||² = ||v||² + ||c||² - 2v·c → argmin over cells; numpy
+        # argmin takes the FIRST minimum = lowest cell id on ties
+        d = (
+            np.einsum("ij,ij->i", V, V)[:, None]
+            + np.einsum("ij,ij->i", C, C)[None, :]
+            - 2.0 * (V @ C.T)
+        )
+        return pd.Series(cell_ids[np.argmin(d, axis=1)])
+
+    assigned = batch.select(
+        "vec_id", "v", _assign(F.col("v")).alias("cell")
+    )
+    (
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
     )
@@ -725,7 +796,7 @@ def _ann_ivf_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
     """IVF-ADC over an arbitrary (vec_id, v) corpus: IVF prunes WHICH
     vectors are scanned (probed cells), PQ shrinks WHAT is read per
     vector (ADC over codes), exact cosine re-ranks the pool."""
-    assigned, probe, _q = _ivf_fit_assign_df(e)
+    assigned, probe, _q, _cents = _ivf_fit_assign_df(e)
     universe = assigned.filter(F.col("cell").isin(probe)).select("vec_id", "v")
     return _ann_pq(spark, e, cache_key=cache_key, universe=universe)
 

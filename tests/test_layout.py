@@ -128,9 +128,9 @@ def test_ivf_cell_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
     from labelmain_spark.functions import vectors
 
-    assigned, probe, q = vectors._ivf_fit_assign(spark, sf_dir)
+    assigned, probe, q, cents = vectors._ivf_fit_assign(spark, sf_dir)
     path = str(tmp_path / "ivf_store")
-    vectors.write_ivf_store(assigned, path)
+    vectors.write_ivf_store(assigned, path, cents)
 
     cell_dirs = glob.glob(path + "/cell=*")
     assert len(cell_dirs) > len(probe), "fixture must have unprobed cells"
@@ -160,3 +160,67 @@ def test_ivf_cell_store_probe_prunes_partitions(spark, sf_dir, tmp_path):
 
     want = vectors.ann_ivf_topk(spark, sf_dir).collect()
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
+
+
+def test_ivf_store_upsert_appends_with_frozen_quantizer(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: a new batch upserted into the cell
+    store (a) is assigned EXACTLY as the driver-side numpy reference
+    assigns against the persisted centroids, (b) only APPENDS files —
+    every pre-existing file is untouched, (c) a probe after the upsert
+    finds a planted near-duplicate of the query at rank 1 while the
+    pre-upsert rows still appear through the same partition pruning."""
+    import glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions import vectors
+
+    assigned, probe, q, cents = vectors._ivf_fit_assign(spark, sf_dir)
+    path = str(tmp_path / "ivf_store")
+    vectors.write_ivf_store(assigned, path, cents)
+    before = {r.vec_id for r in vectors.probe_ivf_store(spark, path, probe, q).collect()}
+    pre_files = set(glob.glob(path + "/cell=*/*.parquet"))
+    pre_sizes = {f: os.path.getsize(f) for f in pre_files}
+
+    # new batch: a planted near-dup of the query + two random vectors
+    qv = np.asarray(q.first().q, dtype=np.float64)
+    rng = np.random.RandomState(3)
+    planted = (qv + 1e-3 * rng.standard_normal(len(qv))).tolist()
+    batch_rows = [
+        (900001, planted),
+        (900002, rng.standard_normal(len(qv)).tolist()),
+        (900003, rng.standard_normal(len(qv)).tolist()),
+    ]
+    batch = spark.createDataFrame(batch_rows, "vec_id long, v array<double>")
+    vectors.upsert_ivf_store(spark, path, batch)
+
+    # (b) append-only: every pre-existing file byte-identical in size
+    post_files = set(glob.glob(path + "/cell=*/*.parquet"))
+    assert pre_files <= post_files
+    assert all(os.path.getsize(f) == pre_sizes[f] for f in pre_files)
+
+    # (a) assignment equals the numpy reference against the persisted
+    # centroids (normalized L2 argmin, first-min ties)
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in cents])
+    store = spark.read.parquet(path)
+    got_cells = {
+        r.vec_id: r.cell
+        for r in store.filter(F.col("vec_id") >= 900001).collect()
+    }
+    for vid, v in batch_rows:
+        V = np.asarray(v, dtype=np.float64)
+        V = V / np.sqrt(V @ V)
+        want = int(np.argmin(((V[None, :] - C) ** 2).sum(axis=1)))
+        assert got_cells[vid] == want, (vid, got_cells[vid], want)
+
+    # (c) the planted near-dup lands in a probed cell and tops the probe
+    assert got_cells[900001] in probe, "planted dup missed the query's cells"
+    after = vectors.probe_ivf_store(spark, path, probe, q).collect()
+    assert after[0].vec_id == 900001
+    # same k results; every non-planted survivor was already a
+    # pre-upsert result (the planted dup displaces exactly the old
+    # bottom-ranked row)
+    assert len(after) == len(before)
+    assert {r.vec_id for r in after} - {900001} <= before
