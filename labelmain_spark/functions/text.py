@@ -194,6 +194,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
+BM25_SALT = 32  # phase-1 rank parallelism for the two-phase top-k
 # (query_id, terms) — a fixed multi-term query set over the corpus
 # vocabulary: the retrieval stand-in for "score every doc against the
 # eval/query batch" (data-selection-by-retrieval, contamination
@@ -213,68 +214,121 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc keyword EXTRACTION, this is multi-query document
     RETRIEVAL, the other direction).
 
-    Scale: the postings explode is filtered to the QUERY VOCABULARY
-    before the (doc, term) aggregation — the corpus-scale stream
-    prunes to |docs containing a query term| immediately after the
-    narrow explode (predicate on the exploded column, no shuffle of
-    non-matching tokens). Document length rides the projection (no
-    second corpus pass or doc_id join); df and the query map are
-    vocab-bounded broadcasts; corpus totals (N, Σdl) fold in as a
-    broadcast 1-row aggregate (the quality_unigram_nll pattern). One
-    corpus-wide shuffle total — the (doc, term) partial-agg — then
-    per-query ranking over the matched-doc subset.
+    Scale (re-planned after the ×100 crossover): the query vocabulary
+    is BOUNDED by the operator's contract (queries are the small
+    side), so per-doc term frequencies are computed as |qvocab|
+    array-filter COLUMNS in one narrow projection — the corpus never
+    explodes into token rows and never shuffles on (doc, term). The
+    first postings-join plan paid a 9M-row (doc, term) aggregation
+    PLUS a duplicate compute of it on the broadcast-df build side
+    (measured: 48 s at 500k docs where stage-level sums said ~15 —
+    the broadcast job races the main stages past the not-yet-filled
+    cache) — all of that is gone. Corpus statistics (N, Σdl, per-term
+    df) reduce in ONE 1-row aggregate (broadcast); per-query scores
+    are then row-local expressions over the tf columns; the first
+    shuffle in the whole plan is the salted top-k rank itself. For an
+    UNBOUNDED query set this inverts back to the postings-join shape
+    (the knn_join large-Q / IVF routing argument, documented there).
 
     Determinism: each term's BM25 contribution is computed from exact
     longs (tf, dl, df, N, Σdl) with an explicitly-parenthesized
     expression mirrored token-for-token in the oracle, rounded to 6 dp
-    → exact integer micro-units → LONG sum per (query, doc) → final
-    4-dp round (the NLL micro-unit discipline: order-free exactness at
-    long-sum speed). Ranking orders by the ROUNDED score then doc_id."""
+    → exact integer micro-units. A term absent from a doc contributes
+    exactly 0 micro-units (idf·0/denom rounds to 0), so the row-local
+    fixed-order long sum equals the oracle's order-free SUM over its
+    (doc, term) rows; (query, doc) membership = any matching term
+    (the oracle's inner join). Ranking orders by the ROUNDED score
+    then doc_id."""
+    from functools import reduce
+
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     qvocab = sorted({t for _, ts in BM25_QUERIES for t in ts})
-    qmap = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
-        "query_id int, term string",
+    toks = _toks()
+
+    def _tf(term: str):
+        # size − size(array_remove): counts occurrences WITHOUT a
+        # higher-order function — HOFs (F.filter/F.aggregate lambdas)
+        # evaluate interpreted per element and measured 10× slower
+        # than this codegen-friendly form on the ×20 tier (15.1 s vs
+        # 1.6 s for the tf projection)
+        return F.size(toks) - F.size(F.array_remove(toks, term))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).cast("long").alias(f"tf_{i}") for i, t in enumerate(qvocab)],
     )
-    post = docs.select(
-        "doc_id", F.size(_toks()).alias("dl"), F.explode(_toks()).alias("term")
-    ).filter(F.col("term").isin(qvocab))
-    tf = post.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qvocab))
+        ],
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.size(_toks()).alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
+    row = base.crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        ((F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
-         / (F.col("df") + F.lit(0.5)))
-        + F.lit(1.0)
+
+    def micro_term(i: int):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(
+            ((F.col("n_docs").cast("double") - df + F.lit(0.5))
+             / (df + F.lit(0.5)))
+            + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / avgdl
+        )
+        contrib = stable_round(
+            (idf * (tf.cast("double") * F.lit(BM25_K1 + 1.0))) / denom, 6
+        )
+        return F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    idx = {t: i for i, t in enumerate(qvocab)}
+    entries = []
+    for qid, terms in BM25_QUERIES:
+        ms = [micro_term(idx[t]) for t in terms]
+        m_sum = reduce(lambda a, b: a + b, ms)
+        matched = reduce(
+            lambda a, b: a | b, [F.col(f"tf_{idx[t]}") > 0 for t in terms]
+        )
+        entries.append(
+            F.struct(
+                F.lit(qid).cast("int").alias("query_id"),
+                stable_round(m_sum.cast("double") / F.lit(1e6), 4).alias("bm25"),
+                matched.alias("ok"),
+            )
+        )
+    agg = (
+        row.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.ok"))
+        .select(F.col("e.query_id").alias("query_id"), "doc_id", F.col("e.bm25").alias("bm25"))
     )
-    denom = F.col("tf") + F.lit(BM25_K1) * (
-        F.lit(1.0 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / avgdl
+    # Two-phase salted top-k (the knn_join r5 rank pattern): a window
+    # partitioned by query_id ALONE has |Q| partitions — at ×100 scale
+    # that serialized ~500k scored docs per query through 4 sort tasks
+    # (measured: the key's crossover wall was this window, not the
+    # scoring). Phase 1 takes the per-(query, doc-hash-salt) top-k —
+    # |Q|·SALT parallel partitions — which provably contains the
+    # global top-k (any global top-k row is top-k within its own salt
+    # bucket under the same total order); phase 2 ranks only the
+    # |Q|·SALT·k survivors.
+    salt = F.pmod(F.hash("doc_id"), F.lit(BM25_SALT))
+    w1 = W.partitionBy("query_id", "salt").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
     )
-    contrib = stable_round(
-        (idf * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))) / denom, 6
-    )
-    micro = F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qmap), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", micro.alias("m"))
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        stable_round(F.sum("m").cast("double") / F.lit(1e6), 4).alias("bm25")
+    pruned = (
+        agg.withColumn("salt", salt)
+        .withColumn("srnk", F.row_number().over(w1))
+        .filter(F.col("srnk") <= BM25_TOPK)
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= BM25_TOPK)
         .select(
             "query_id", "doc_id", "bm25", F.col("rnk").cast("int").alias("rnk")
