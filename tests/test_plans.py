@@ -633,3 +633,65 @@ def test_sample_weighted_is_take_ordered(spark, sf_dir):
         df, {"doc_id", "lang", "n_chars"}, table_hint="documents"
     )
     spark.catalog.clearCache()
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """The 100 TB fact-fact join story is not only AQE skew handling:
+    Catalyst's runtime Bloom-filter rule injects a might_contain()
+    row-level filter on the BIG side's scan, built from the selective
+    side's join keys — for free, from the declarative plan. The
+    production thresholds (10 GB application-side scan) never trip on
+    local fixtures, so this pins the MACHINERY under representative
+    settings: lower the scan threshold, disable broadcast (force the
+    shuffle join that benefits), and assert the bloom build + probe
+    appear in the executed plan."""
+    from contextlib import ExitStack, contextmanager
+
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.sources.readers import load_table
+
+    @contextmanager
+    def _c(key, value):
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+    with ExitStack() as st:
+        st.enter_context(
+            _c(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "0",
+            )
+        )
+        st.enter_context(
+            _c(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "100MB",
+            )
+        )
+        st.enter_context(_c("spark.sql.autoBroadcastJoinThreshold", "-1"))
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        sel = orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = checks.physical_plan(j)
+        assert "might_contain" in plan, plan[:1500]
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        # and it actually runs
+        assert j.count() >= 0
+    spark.catalog.clearCache()
