@@ -695,3 +695,21 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
         # and it actually runs
         assert j.count() >= 0
     spark.catalog.clearCache()
+
+
+def test_gap_fill_no_global_window_prunes_scan(spark, sf_dir):
+    """gap_fill's LOCF window must partition by user_id (never a
+    global window), the spine explode must come from the per-user
+    bounds aggregate (no cartesian), and the scan reads only the four
+    needed event columns."""
+    from labelmain_spark.operators.windows import gap_fill
+
+    df = gap_fill(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "user_id" in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(
+        df, {"user_id", "ts", "value", "event_id"}, table_hint="events"
+    )
+    spark.catalog.clearCache()

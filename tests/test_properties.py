@@ -1107,3 +1107,46 @@ def test_pagerank_mass_and_hub_dominance(spark, sf_dir):
     median = ranks[len(ranks) // 2]
     assert by_node[hub] >= median, (hub, by_node[hub], median)
     spark.catalog.clearCache()
+
+
+def test_bm25_postings_plan_equals_columnar(spark, sf_dir):
+    """The unbounded-Q postings-join BM25 scorer must produce
+    BIT-IDENTICAL (query, doc, score) rows to the bounded-Q columnar
+    plan the registry key ships — same exact-long inputs, same rounded
+    expression — so the two shapes are interchangeable at the scale
+    boundary they're each built for."""
+    from labelmain_spark.functions.text import (
+        BM25_QUERIES,
+        bm25_scores_postings,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_scores_postings(docs, BM25_QUERIES).collect()
+    }
+    top = bm25_topk(spark, sf_dir).collect()
+    assert top, "fixture produced no BM25 matches"
+    # every ranked row's score must equal the postings plan's score
+    for r in top:
+        assert post[(r.query_id, r.doc_id)] == r.bm25, (
+            r, post[(r.query_id, r.doc_id)])
+    # and the key's whole top-k must equal a driver-side rank over the
+    # postings plan's FULL score set — same total order
+    from labelmain_spark.functions.text import BM25_TOPK
+
+    by_q: dict[int, list] = {}
+    for (qid, did), sc in post.items():
+        by_q.setdefault(qid, []).append((sc, did))
+    want = {
+        (qid, did, sc, rnk + 1)
+        for qid, pairs in by_q.items()
+        for rnk, (sc, did) in enumerate(
+            sorted(pairs, key=lambda p: (-p[0], p[1]))[:BM25_TOPK]
+        )
+    }
+    got = {(r.query_id, r.doc_id, r.bm25, r.rnk) for r in top}
+    assert got == want
+    spark.catalog.clearCache()
+
