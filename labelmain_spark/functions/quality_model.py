@@ -61,8 +61,7 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = _features(docs)
-    q = feats.approxQuantile("f_stopword_ratio", [0.5], 0.0)
-    if not q:  # empty corpus: nothing to train on, score nothing
+    if feats.isEmpty():  # empty corpus: nothing to train on, score nothing
         return feats.select(
             "doc_id",
             F.lit("train").alias("split"),
@@ -70,14 +69,49 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("prob_keep"),
             F.lit(0.0).alias("pred"),
         )
-    median = q[0]
-    labeled = feats.withColumn(
-        "label", (F.col("f_stopword_ratio") > F.lit(median)).cast("double")
-    ).withColumn(
-        "split",
-        F.when(
-            F.expr(_hash_bp_expr("doc_id", "spark", salt="qm:")) < VAL_BP, "val"
-        ).otherwise("train"),
+    # weak-label threshold = corpus median stopword ratio, folded into
+    # the plan as a broadcast 1-row aggregate over the DISCRETIZED
+    # cumulative histogram (the perplexity_buckets machinery — the
+    # histogram is bounded by the 4-dp score space, never the corpus).
+    # Replaces the r4-r6 "known, bounded" eager approxQuantile at plan
+    # build: the only eager work left is .fit() itself, which IS the
+    # operator. min{v : 2·cum(v) ≥ N} is an exact median definition on
+    # the rounded values — integer predicate, engine-stable.
+    from pyspark.sql import Window as W
+
+    from labelmain_spark.operators.parity import stable_round
+
+    hist = (
+        feats.select(stable_round(F.col("f_stopword_ratio"), 4).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    med = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med")
+    )
+    labeled = (
+        feats.crossJoin(F.broadcast(med))
+        .withColumn(
+            "label",
+            (stable_round(F.col("f_stopword_ratio"), 4) > F.col("med")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "split",
+            F.when(
+                F.expr(_hash_bp_expr("doc_id", "spark", salt="qm:")) < VAL_BP,
+                "val",
+            ).otherwise("train"),
+        )
+        .drop("med")
     )
     cols = ["f_tokens", "f_mean_len", "f_stopword_ratio", "f_distinct_ratio"]
     asm = VectorAssembler(inputCols=cols, outputCol="features")
