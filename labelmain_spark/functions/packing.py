@@ -181,9 +181,114 @@ def pack_segments(docs: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"shard_pack": shard_pack, "pack_sequences": pack_sequences}
+BIN_BUDGET = 256
+HARMONIC_K = 8
+
+
+def pack_bins_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin packing WITHOUT document splitting — the Harmonic-K
+    algorithm (Lee & Lee 1985, JACM): documents are bucketed into
+    size classes k = floor(budget / n_tokens) capped at K, and class
+    k packs exactly k documents per bin (every class-k doc has
+    n_tokens ≤ budget/k, so k of them provably fit). The counterpart
+    to `pack_sequences` (which SPLITS documents across windows) for
+    trainers that must keep documents whole — SFT/eval batching,
+    long-context curricula. Oversized docs (n_tokens > budget) get a
+    bin alone with `overflow` flagged.
+
+    Why Harmonic and not first-fit-decreasing: FFD's bin state is
+    inherently sequential (each placement depends on all previous
+    bins); Harmonic's class rule makes every placement a PURE KEY
+    FUNCTION of (class, rank-within-class) — embarrassingly parallel,
+    retry-stable, identical in any engine, with the published
+    1.691-competitive waste bound. Full bins of class k < K carry
+    > budget·k/(k+1) tokens by construction (property-tested); the
+    small-item class K is the classic algorithm's loose end.
+
+    Scale shape: class assignment is a narrow map; rank-within-class
+    = global exclusive prefix-COUNT over the packed (class, doc_id)
+    key (the corpus_shuffle machinery — NO global window, NO
+    per-class corpus-width window; class-partitioned row_number would
+    serialize the corpus through ≤K sort tasks, the bm25 ×100
+    lesson) minus a broadcast K-row class-offset table."""
+    from labelmain_spark.functions.sampling import _checked_id_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    cls = F.greatest(
+        F.lit(1),
+        F.least(F.lit(HARMONIC_K), F.expr(f"{BIN_BUDGET} DIV n_tokens")),
+    ).cast("int")
+    c = d.select(
+        "doc_id",
+        "n_tokens",
+        cls.alias("size_class"),
+        (F.col("n_tokens") > F.lit(BIN_BUDGET)).alias("overflow"),
+    )
+    keyed = c.select(
+        "doc_id",
+        "n_tokens",
+        "size_class",
+        "overflow",
+        _checked_id_pack(
+            F.col("size_class").cast("long") * F.lit(1 << 31) + F.col("doc_id")
+        ).alias("okey"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    pos = exclusive_cumsum(keyed, "okey", "one", "pos")
+    counts = c.groupBy("size_class").agg(F.count(F.lit(1)).alias("n"))
+    offs = counts.withColumn(
+        "class_off",
+        F.coalesce(
+            # K-row table: this window is over ≤ HARMONIC_K rows by
+            # construction, never the corpus
+            F.sum("n").over(
+                W.orderBy("size_class").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        pos.join(F.broadcast(offs.select("size_class", "class_off")), "size_class")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "size_class",
+            F.expr("(pos - class_off) DIV size_class").cast("long").alias("bin_seq"),
+            "overflow",
+        )
+    )
+
+
+QUERIES = {
+    "shard_pack": shard_pack,
+    "pack_sequences": pack_sequences,
+    "pack_bins_harmonic": pack_bins_harmonic,
+}
 
 ORACLE = {
+    "pack_bins_harmonic": f"""
+        WITH d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(GREATEST(1, LEAST({HARMONIC_K},
+                        {BIN_BUDGET} // n_tokens)) AS INTEGER) AS size_class,
+                   (n_tokens > {BIN_BUDGET}) AS overflow
+            FROM d
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY size_class ORDER BY doc_id
+            ) - 1 AS rnk FROM c
+        )
+        SELECT doc_id, n_tokens, size_class,
+               CAST(rnk // size_class AS BIGINT) AS bin_seq, overflow
+        FROM r
+    """,
     "pack_sequences": f"""
         WITH t AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents

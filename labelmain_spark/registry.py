@@ -268,6 +268,8 @@ PRIORITY = [
     # distributed BPE merge learning (rows-only: iterative argmax has
     # no fixed SQL form; exact-equality-vs-reference property test).
     "bpe_train",
+    # Harmonic-K whole-document bin packing (full oracle).
+    "pack_bins_harmonic",
 ]
 
 

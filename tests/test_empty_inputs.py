@@ -152,6 +152,7 @@ REPRESENTATIVE = [
     "gap_fill",
     "pagerank",
     "bpe_train",
+    "pack_bins_harmonic",
 ]
 
 

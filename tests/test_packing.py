@@ -253,3 +253,38 @@ def test_bpe_train_distributed_equals_reference(spark, sf_dir):
             pairs[(a, b)] += c
     assert got[0].pair_count == pairs[(got[0].left, got[0].right)]
     spark.catalog.clearCache()
+
+
+def test_pack_bins_harmonic_invariants(spark, sf_dir):
+    """Harmonic-K invariants on real data: (a) every non-overflow bin
+    fits the budget, (b) class-k bins hold at most k docs and every
+    doc in class k < K has n_tokens in (B/(k+1), B/k], (c) every FULL
+    bin of class k < K carries more than B*k/(k+1) tokens (the
+    published waste bound), (d) an overflow doc sits alone in its
+    bin."""
+    from labelmain_spark.functions.packing import (
+        BIN_BUDGET,
+        HARMONIC_K,
+        pack_bins_harmonic,
+    )
+
+    rows = pack_bins_harmonic(spark, sf_dir).collect()
+    assert rows
+    bins: dict[tuple, list] = {}
+    for r in rows:
+        bins.setdefault((r.size_class, r.bin_seq), []).append(r)
+        if not r.overflow and r.size_class < HARMONIC_K:
+            assert BIN_BUDGET // (r.size_class + 1) < r.n_tokens <= BIN_BUDGET // r.size_class
+    saw_full = False
+    for (k, _seq), docs in bins.items():
+        assert len(docs) <= k
+        total = sum(d.n_tokens for d in docs)
+        if any(d.overflow for d in docs):
+            assert len(docs) == 1
+            continue
+        assert total <= BIN_BUDGET, (k, _seq, total)
+        if len(docs) == k and k < HARMONIC_K:
+            saw_full = True
+            assert total * (k + 1) > BIN_BUDGET * k, (k, total)
+    assert saw_full, "fixture produced no full bins — bound untested"
+    spark.catalog.clearCache()
