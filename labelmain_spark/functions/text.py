@@ -527,6 +527,80 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LAMBDA = 0.75  # Jelinek-Mercer interpolation weight on the bigram MLE
+
+
+def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model quality score — the next
+    fidelity step above :func:`quality_unigram_nll` toward the CCNet /
+    RedPajama KenLM filter: per-document mean negative log probability
+    of each token transition under a Jelinek-Mercer-smoothed bigram LM
+    (Chen & Goodman 1996), p(cur|prev) = λ·c(prev,cur)/c(prev) +
+    (1-λ)·c(cur)/N with λ=0.75. A doc of fluent transitions scores low;
+    shuffled or template text that unigram statistics cannot separate
+    (same words, scrambled order) scores high — exactly the signal the
+    unigram key misses. Only transitions are scored (the first token
+    has no history), so single-token docs are absent from the output.
+
+    Scale shape: bigram formation happens INSIDE the token-array
+    expression (slice + arrays_zip, pure JVM) — no self-join, no
+    per-doc window sort, zero extra shuffle to build transitions. Raw
+    transition postings never shuffle corpus-wide: they pre-aggregate
+    per (doc, prev, cur) first (map-side combinable), the corpus
+    bigram table derives from that reduced frame, and the per-doc
+    re-aggregation combines map-side again. The UNIGRAM table stays
+    broadcast (vocab-bounded, the quality_unigram_nll argument) but
+    the BIGRAM table deliberately does NOT — distinct bigrams grow
+    ~O(corpus^0.7) toward |V|² and blow the executor at 100 TB — so
+    the dbg↔cb join is a shuffle join on the (prev, cur) key, where
+    AQE's skew-join splits the Zipf-hot transitions ("of the") whose
+    per-doc pre-aggregation has already collapsed repeats.
+    Determinism: the per-transition NLL is rounded to 6 dp and summed
+    as exact integer micro-units weighted by the transition
+    multiplicity — the quality_unigram_nll discipline, bit-stable on
+    1000 executors at long-sum speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    cu = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_u"))
+    )
+    tot = cu.agg(F.sum("cnt_u").alias("total"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("prev"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("cur"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    dbg = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("m"))
+    cb = dbg.groupBy("prev", "cur").agg(F.sum("m").alias("cnt_b"))
+    cu_prev = cu.select(F.col("term").alias("prev"), F.col("cnt_u").alias("cnt_prev"))
+    cu_cur = cu.select(F.col("term").alias("cur"), F.col("cnt_u").alias("cnt_cur"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("cnt_b").cast("double") / F.col("cnt_prev")
+    ) + F.lit(1.0 - BIGRAM_LAMBDA) * (F.col("cnt_cur").cast("double") / F.col("total"))
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dbg.join(cb, ["prev", "cur"])
+        .join(F.broadcast(cu_prev), "prev")
+        .join(F.broadcast(cu_cur), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_bigrams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("bigram_nll"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -678,6 +752,7 @@ QUERIES = {
     "tfidf_topk": tfidf_topk,
     "bm25_topk": bm25_topk,
     "quality_unigram_nll": quality_unigram_nll,
+    "quality_bigram_nll": quality_bigram_nll,
     "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
@@ -831,6 +906,50 @@ ORACLE = {
         )
         SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
                {sql_stable_round("(CAST(SUM(m) AS DOUBLE) / 1e6) / COUNT(*)", 4)} AS unigram_nll
+        FROM p GROUP BY doc_id
+    """,
+    # identical λ-interpolated transition probability, identical
+    # micro-unit discipline: round the per-transition NLL to 6 dp,
+    # carry it as an exact BIGINT count of 1e-6 units weighted by the
+    # transition multiplicity, divide once at the end
+    "quality_bigram_nll": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), cu AS (
+            SELECT term, COUNT(*) AS cnt_u FROM (
+                SELECT unnest(toks) AS term FROM t
+            ) GROUP BY term
+        ), bg AS (
+            SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), dbg AS (
+            SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bg GROUP BY doc_id, prev, cur
+        ), cb AS (
+            SELECT prev, cur, CAST(SUM(m) AS BIGINT) AS cnt_b
+            FROM dbg GROUP BY prev, cur
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln({BIGRAM_LAMBDA!r} * (CAST(cb.cnt_b AS DOUBLE) / pu.cnt_u)"
+                       f" + {1.0 - BIGRAM_LAMBDA!r} * (CAST(cc.cnt_u AS DOUBLE)"
+                       " / (SELECT SUM(cnt_u) FROM cu)))", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dbg d
+            JOIN cb ON cb.prev = d.prev AND cb.cur = d.cur
+            JOIN cu pu ON pu.term = d.prev
+            JOIN cu cc ON cc.term = d.cur
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_bigrams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS bigram_nll
         FROM p GROUP BY doc_id
     """,
     # identical discretized-histogram threshold rule as the Spark

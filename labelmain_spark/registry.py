@@ -270,6 +270,13 @@ PRIORITY = [
     "bpe_train",
     # Harmonic-K whole-document bin packing (full oracle).
     "pack_bins_harmonic",
+    # λ-interpolated bigram LM quality score (Jelinek-Mercer; the
+    # fidelity step above quality_unigram_nll toward CCNet's KenLM —
+    # full oracle, exact micro-unit transition sums).
+    "quality_bigram_nll",
+    # UT1/C4-style domain-blocklist document filter (suffix-rule
+    # matching as one narrow JVM map, zero shuffles — full oracle).
+    "blocklist_filter",
 ]
 
 

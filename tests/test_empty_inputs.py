@@ -153,6 +153,8 @@ REPRESENTATIVE = [
     "pagerank",
     "bpe_train",
     "pack_bins_harmonic",
+    "quality_bigram_nll",
+    "blocklist_filter",
 ]
 
 

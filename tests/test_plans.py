@@ -565,6 +565,43 @@ def test_term_stats_broadcast_onto_postings(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_bigram_nll_expression_transitions_broadcast_unigrams(spark, sf_dir):
+    """The bigram-LM key must form transitions inside the token-array
+    expression — no self-join and no per-doc window sort anywhere in
+    the plan — broadcast BOTH vocab-bounded unigram probes (prev and
+    cur), and read only (doc_id, text). The corpus bigram table is
+    the one deliberate non-broadcast join (it grows toward |V|² with
+    corpus size), so the plan may carry shuffle joins, but never a
+    cartesian and never a Python node."""
+    from labelmain_spark.functions.text import quality_bigram_nll
+
+    df = quality_bigram_nll(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+    spark.catalog.clearCache()
+
+
+def test_blocklist_filter_zero_shuffle_narrow_map(spark, sf_dir):
+    """The blocklist verdict must be a single narrow map over the
+    corpus: URL extraction, host parse, suffix-chain expansion and
+    blocklist membership all inside row-local array expressions — NO
+    Exchange anywhere in the plan, no join, no Python, and only
+    (doc_id, text) read."""
+    from labelmain_spark.functions.web import blocklist_filter
+
+    df = blocklist_filter(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    checks.assert_read_schema(df, {"doc_id", "text"}, table_hint="documents")
+    spark.catalog.clearCache()
+
+
 def test_curriculum_order_no_corpus_range_exchange(spark, sf_dir):
     """Curriculum position assignment must decompose the global sort
     exactly as corpus_shuffle does: no rangepartitioning anywhere in
