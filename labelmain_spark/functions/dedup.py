@@ -91,6 +91,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Source-priority tiers for cross-source dedup: tier 0 = curated,
+# 1 = semi-curated, 2 = raw crawl (deterministic partition of the
+# fixture's src0..src19; a real pipeline broadcasts a source → tier
+# dim table instead of the inline CASE).
+_TIER_SQL = (
+    "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0 "
+    "WHEN source IN ('src3', 'src4', 'src5', 'src6', 'src7') THEN 1 "
+    "ELSE 2 END"
+)
+
+
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup with provenance priority — the
+    Pile/Dolma multi-source assembly rule: when the same text arrives
+    from a curated source AND a raw crawl, keep the curated copy (its
+    metadata and licensing survive), never an arbitrary one. Survivor
+    per content hash = lowest (tier, doc_id); output adds how many
+    tiers the cluster spanned — clusters with tier_spread > 1 are
+    exactly the rows where priority CHANGED the survivor vs plain
+    min-doc_id dedup.
+
+    Scale shape: identical to dedup_exact — ONE digest-keyed
+    partial-agg shuffle; the survivor is a min(struct(tier, doc_id))
+    that combines map-side, so a boilerplate text shared by 10^6
+    crawl docs collapses to one candidate row per upstream partition.
+    The tier expression is a row-local CASE (broadcast dim join in
+    production) — no extra shuffle over dedup_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    tier = F.expr(_TIER_SQL)
+    return (
+        docs.select(h.alias("h"), "doc_id", tier.cast("int").alias("tier"))
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("tier", "doc_id")).alias("w"),
+            F.countDistinct("tier").cast("int").alias("tier_spread"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select(
+            "h",
+            F.col("w.doc_id").alias("keep_doc_id"),
+            F.col("w.tier").alias("keep_tier"),
+            "tier_spread",
+            "n_dups",
+        )
+    )
+
+
 INCR_NEW_BP = 1000  # newest 10% of the doc_id hash keyspace = today's batch
 
 
@@ -750,6 +798,7 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_minhash": dedup_minhash,
     "ngram_jaccard": ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -835,6 +884,27 @@ ORACLE = {
         SELECT sha256(lower(trim(text))) AS h,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY sha256(lower(trim(text)))
+    """,
+    # survivor via ROW_NUMBER over (tier, doc_id) — independent path
+    # to the same min-struct winner
+    "dedup_cross_source": f"""
+        WITH d AS (
+            SELECT sha256(lower(trim(text))) AS h, doc_id,
+                   CAST({_TIER_SQL} AS INTEGER) AS tier
+            FROM documents
+        ), ranked AS (
+            SELECT h, doc_id, tier,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h ORDER BY tier, doc_id
+                   ) AS rn,
+                   COUNT(DISTINCT tier) OVER (PARTITION BY h) AS tier_spread,
+                   COUNT(*) OVER (PARTITION BY h) AS n_dups
+            FROM d
+        )
+        SELECT h, doc_id AS keep_doc_id, tier AS keep_tier,
+               CAST(tier_spread AS INTEGER) AS tier_spread,
+               CAST(n_dups AS BIGINT) AS n_dups
+        FROM ranked WHERE rn = 1
     """,
     "dedup_incremental": """
         WITH d AS (

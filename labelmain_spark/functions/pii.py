@@ -98,9 +98,82 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"pii_scrub": pii_scrub}
+# Candidate card-number shape (16 digits, optional space/dash group
+# separators). Backslash-free character classes so the SAME text works
+# as a Spark SQL literal and a DuckDB literal (the url_canonical rule).
+CARD_RE = "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}"
+
+# Deterministic injected candidates keyed by doc_id: two VALID Luhn
+# test PANs (one dashed, one spaced) and one check-digit-invalid
+# number the filter must NOT flag or redact — the false-positive case
+# pure-regex PII scrubbers get wrong.
+_LUHN_AUG = """
+    text
+    || CASE WHEN doc_id % 6 = 0 THEN ' pay 4111-1111-1111-1111 now'
+            WHEN doc_id % 6 = 1 THEN ' card 5500 0055 5555 5559 ok'
+            WHEN doc_id % 6 = 2 THEN ' num 4111111111111112 bad'
+            ELSE '' END
+"""
+
+
+def pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card detection with Luhn (mod-10) validation — the
+    Dolma / RedPajama-v2 PII upgrade over pure regex: a 16-digit
+    match is only PII if its check digit verifies, so invoice and
+    serial numbers stop being false positives. Valid cards (and ONLY
+    valid cards) are redacted to ``<CARD>``.
+
+    Scale shape: like pii_scrub this is a map-only narrow stage — the
+    candidate extraction, per-candidate Luhn fold (reverse digits →
+    indexed transform doubling every second → sum % 10), and the
+    selective-replace fold over validated candidates are ALL
+    row-local array expressions inside whole-stage codegen; zero
+    shuffles, zero Python, linear in corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    luhn_ok = (
+        "aggregate(transform(reverse(split(regexp_replace(c, '[^0-9]', ''), '')),"
+        " (d, i) -> CASE WHEN i % 2 = 1"
+        " THEN IF(2*CAST(d AS INT) > 9, 2*CAST(d AS INT) - 9, 2*CAST(d AS INT))"
+        " ELSE CAST(d AS INT) END),"
+        " 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    cands = f"regexp_extract_all(aug, '{CARD_RE}', 0)"
+    valids = f"filter({cands}, c -> {luhn_ok})"
+    return docs.selectExpr("doc_id", f"{_LUHN_AUG} AS aug").selectExpr(
+        "doc_id",
+        f"CAST(size({cands}) AS INT) AS n_candidates",
+        f"CAST(size({valids}) AS INT) AS n_valid_cards",
+        f"size({valids}) > 0 AS has_card",
+        f"aggregate({valids}, aug, (acc, x) -> replace(acc, x, '<CARD>')) AS redacted",
+    )
+
+
+QUERIES = {"pii_scrub": pii_scrub, "pii_luhn": pii_luhn}
+
+_LUHN_OK_DUCK = (
+    "list_sum(list_transform(list_reverse("
+    "string_split(regexp_replace(c, '[^0-9]', '', 'g'), '')),"
+    " (d, i) -> CASE WHEN i % 2 = 0"
+    " THEN CASE WHEN 2*CAST(d AS INT) > 9 THEN 2*CAST(d AS INT) - 9"
+    " ELSE 2*CAST(d AS INT) END"
+    " ELSE CAST(d AS INT) END)) % 10 = 0"
+)
+_LUHN_CANDS = f"regexp_extract_all(aug, '{CARD_RE}')"
+_LUHN_VALIDS = f"list_filter({_LUHN_CANDS}, c -> {_LUHN_OK_DUCK})"
 
 ORACLE = {
+    # same Luhn fold with DuckDB's 1-based lambda index (even i =
+    # every second digit from the right); redaction via list_reduce
+    # with the augmented text prepended as the fold seed
+    "pii_luhn": f"""
+        SELECT doc_id,
+               CAST(len({_LUHN_CANDS}) AS INTEGER) AS n_candidates,
+               CAST(len({_LUHN_VALIDS}) AS INTEGER) AS n_valid_cards,
+               len({_LUHN_VALIDS}) > 0 AS has_card,
+               list_reduce(list_prepend(aug, {_LUHN_VALIDS}),
+                           (acc, x) -> replace(acc, x, '<CARD>')) AS redacted
+        FROM (SELECT doc_id, {_LUHN_AUG} AS aug FROM documents)
+    """,
     "pii_scrub": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(aug, '{EMAIL_RE}')) AS INTEGER) AS n_emails,

@@ -374,9 +374,51 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GSAMPLE_K = 25
+GSAMPLE_SALT = "gsmp:"
+
+
+def sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement — the
+    per-language quota shape (take the K best-weighted docs of EVERY
+    language, not K global): Efraimidis–Spirakis keys exactly as
+    :func:`sample_weighted` (deterministic u from a dedicated salt,
+    length weights, rounded-key total order), ranked within each
+    group.
+
+    Scale shape — a per-lang window LOOKS like the canonical skew
+    trap (a 100 TB crawl is ~half one language, and a naive group
+    sort would land half the corpus on one reducer), but Catalyst's
+    rank-limit pushdown makes the single-window form the optimal
+    plan: the ``rk <= K`` filter compiles to ``WindowGroupLimit
+    Partial`` BEFORE the exchange — every map partition forwards only
+    its local top-K per lang, so the hot language's reducer receives
+    ≤ K rows per upstream partition, exactly the salted two-phase
+    top-K but with one shuffle instead of two (the test pins the
+    Partial node so a regression to a full group sort fails loudly).
+    The (wkey desc, doc_id) rank order is total, so the selected rows
+    AND ranks are engine-exact."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = F.expr(_hash_hex_expr("doc_id", "spark", GSAMPLE_SALT, 8))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_WSAMPLE_DENOM)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.withColumn("wkey", stable_round(F.log(u) / w, 6))
+    w2 = W.partitionBy("lang").orderBy(F.col("wkey").desc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= GSAMPLE_K)
+        .select("lang", "rk", "doc_id", "n_chars", "wkey")
+    )
+
+
 QUERIES = {
     "sample_hash": sample_hash,
     "sample_weighted": sample_weighted,
+    "sample_group": sample_group,
     "corpus_shuffle": corpus_shuffle,
     "curriculum_order": curriculum_order,
     "split_train_val": split_train_val,
@@ -414,7 +456,29 @@ _WSAMPLE_KEY_SQL = sql_stable_round(
     6,
 )
 
+_GSAMPLE_KEY_SQL = sql_stable_round(
+    f"LN((CAST({_hash_hex_expr('doc_id', 'duck', GSAMPLE_SALT, 8)} AS DOUBLE)"
+    f" + 0.5) / {_WSAMPLE_DENOM!r})"
+    " / CAST(GREATEST(n_chars, 1) AS DOUBLE)",
+    6,
+)
+
 ORACLE = {
+    # single plain per-group window — an independent path to the same
+    # rows the salted two-phase plan selects
+    "sample_group": f"""
+        SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars, wkey
+        FROM (
+            SELECT lang, doc_id, n_chars, wkey,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY wkey DESC, doc_id ASC
+                   ) AS rk
+            FROM (
+                SELECT doc_id, lang, n_chars, {_GSAMPLE_KEY_SQL} AS wkey
+                FROM documents
+            )
+        ) WHERE rk <= {GSAMPLE_K}
+    """,
     "sample_weighted": f"""
         SELECT doc_id, lang, n_chars, {_WSAMPLE_KEY_SQL} AS wkey
         FROM documents

@@ -601,6 +601,99 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tag taxonomy for phrase-dictionary tagging: tag → marker phrases
+# (multi-word, so matching is substring-level, not token-set overlap
+# like lang_id). Deterministic dict order fixes the column build.
+TAXONOMY: dict[str, list[str]] = {
+    "db": ["hash table", "sort order", "query plan"],
+    "perf": ["fast scan", "slow join", "big sort"],
+    "stream": ["window merge", "stream batch", "the stream"],
+}
+
+
+def keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-dictionary document tagging — the taxonomy / topic /
+    flag-list labeling pass (toxic-phrase lists, domain taxonomies,
+    compliance term sheets) that routes corpus slices to different
+    treatments. A document carries a tag when ANY of the tag's marker
+    phrases occurs as a substring; output is the sorted tag array,
+    the tag count, and the total phrase-hit count.
+
+    Scale shape: the dictionary is bounded (thousands of phrases at
+    production size), so every match is a row-local ``contains`` over
+    broadcast-as-literal phrases — one narrow codegen map, zero
+    shuffles, zero Python, linear in corpus bytes × phrases. A
+    dictionary too large for the expression tree (10^5+ phrases)
+    switches to the token-postings LEFT SEMI broadcast join on each
+    phrase's first token + verify, the decontamination-family shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    tag_arrays = []
+    n_hits = F.lit(0)
+    for tag, phrases in TAXONOMY.items():
+        cond = F.lit(False)
+        for p in phrases:
+            cond = cond | F.col("text").contains(p)
+            n_hits = n_hits + F.when(F.col("text").contains(p), 1).otherwise(0)
+        tag_arrays.append(
+            F.when(cond, F.array(F.lit(tag))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    tags = F.array_sort(F.concat(*tag_arrays))
+    return docs.select(
+        "doc_id",
+        tags.alias("tags"),
+        F.size(tags).cast("int").alias("n_tags"),
+        n_hits.cast("int").alias("n_phrase_hits"),
+    )
+
+
+ENTROPY_MIN = 2.0  # nats; below ≈ repeated-char / binary-garbage text
+
+
+def entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter — the RefinedWeb-class garbage
+    detector that catches what word statistics can't: base64 blobs,
+    repeated-character padding, and binary spill all have extreme
+    character-level Shannon entropy, while natural language sits in a
+    narrow band. H = ln(n) − Σ c·ln(c)/n over the per-doc character
+    histogram; docs under ENTROPY_MIN nats flag ``low_entropy``.
+
+    Scale shape: char explode → per-(doc, char) partial count (the
+    hot space-character collapses map-side) → per-doc re-agg whose
+    input is bounded by each doc's ALPHABET, not its length — the
+    corpus-wide shuffle carries one row per (doc, distinct-char,
+    partition). Determinism: ln(c) is rounded to 6 dp and carried as
+    exact integer micro-units times the exact count (the
+    quality_unigram_nll discipline) so the order-free per-doc sum is
+    a plain long sum; one double expression at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    hist = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    micro = F.floor(
+        stable_round(F.log(F.col("cnt").cast("double")), 6) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    agg = hist.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+        F.sum(F.col("cnt") * micro).alias("msum"),
+    )
+    ent = stable_round(
+        F.log(F.col("n").cast("double"))
+        - (F.col("msum").cast("double") / F.lit(1e6)) / F.col("n"),
+        4,
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_seen"),
+        "n_distinct_chars",
+        ent.alias("char_entropy"),
+        (ent < F.lit(ENTROPY_MIN)).alias("low_entropy"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-text fingerprint (md5 of lower/trimmed text) grouped to
     expose exact-duplicate clusters."""
@@ -753,6 +846,8 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "quality_unigram_nll": quality_unigram_nll,
     "quality_bigram_nll": quality_bigram_nll,
+    "entropy_filter": entropy_filter,
+    "keyword_tag": keyword_tag,
     "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
@@ -951,6 +1046,51 @@ ORACLE = {
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS bigram_nll
         FROM p GROUP BY doc_id
+    """,
+    "keyword_tag": f"""
+        SELECT doc_id,
+               list_sort({" || ".join(
+                   "CASE WHEN "
+                   + " OR ".join(f"contains(text, '{p}')" for p in ps)
+                   + f" THEN ['{t}'] ELSE [] END"
+                   for t, ps in TAXONOMY.items()
+               )}) AS tags,
+               CAST(len({" || ".join(
+                   "CASE WHEN "
+                   + " OR ".join(f"contains(text, '{p}')" for p in ps)
+                   + f" THEN ['{t}'] ELSE [] END"
+                   for t, ps in TAXONOMY.items()
+               )}) AS INTEGER) AS n_tags,
+               CAST({" + ".join(
+                   f"CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END"
+                   for ps in TAXONOMY.values() for p in ps
+               )} AS INTEGER) AS n_phrase_hits
+        FROM documents
+    """,
+    # identical micro-unit discipline over the per-doc char histogram
+    "entropy_filter": f"""
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+        ), h AS (
+            SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ch GROUP BY doc_id, c
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+                   CAST(SUM(cnt * CAST(floor({sql_stable_round(
+                       "ln(CAST(cnt AS DOUBLE))", 6
+                   )} * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS msum
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, n AS n_chars_seen, n_distinct_chars,
+               {sql_stable_round(
+                   "ln(CAST(n AS DOUBLE)) - (CAST(msum AS DOUBLE) / 1e6) / n", 4
+               )} AS char_entropy,
+               {sql_stable_round(
+                   "ln(CAST(n AS DOUBLE)) - (CAST(msum AS DOUBLE) / 1e6) / n", 4
+               )} < {ENTROPY_MIN!r} AS low_entropy
+        FROM agg
     """,
     # identical discretized-histogram threshold rule as the Spark
     # plan: integer predicate 3*cum >= N on the 4-dp score histogram,

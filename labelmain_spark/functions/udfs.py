@@ -142,13 +142,71 @@ def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decomposed-unicode suffixes the fixture's ASCII corpus lacks, keyed
+# by doc_id so NFC normalization has real work on a deterministic
+# subset: each literal is the DECOMPOSED form (e+COMBINING ACUTE,
+# A+COMBINING RING, o+COMBINING DIAERESIS), shared verbatim by the
+# Spark expression and the DuckDB twin; NFC composes them.
+_NFC_SUFFIX = (
+    "CASE WHEN doc_id % 3 = 0 THEN ' cafe\u0301' "
+    "WHEN doc_id % 4 = 0 THEN ' A\u030angstro\u0308m' ELSE '' END"
+)
+
+
+def _nfc_fn(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the corpus-cleaning pass every
+    multilingual pipeline runs before tokenization (decomposed
+    combining sequences and precomposed code points must hash and
+    tokenize identically). Spark has no built-in normalizer, so this
+    is the one genuinely-Python text stage: an Arrow-batched scalar
+    pandas_udf over ``unicodedata.normalize`` — a narrow map, zero
+    shuffles, no per-row serde — verified against DuckDB's native
+    ``nfc_normalize`` as an independent NFC implementation (ICU vs
+    Python's unicodedata). Output keeps lengths before/after, a
+    changed flag, and the md5 of the normalized text (computed
+    JVM-side on UTF-8 bytes in both engines)."""
+    nfc = F.pandas_udf(_nfc_fn, "string")
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.selectExpr("doc_id", f"text || {_NFC_SUFFIX} AS raw")
+    out = aug.select("doc_id", "raw", nfc(F.col("raw")).alias("norm"))
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("int").alias("len_raw"),
+        F.length("norm").cast("int").alias("len_norm"),
+        (F.col("norm") != F.col("raw")).alias("changed"),
+        F.md5("norm").alias("norm_md5"),
+    )
+
+
 QUERIES = {
     "udf_scalar": udf_scalar,
     "udaf_grouped": udaf_grouped,
     "udaf_grouped_agg": udaf_grouped_agg,
+    "text_normalize": text_normalize,
 }
 
 ORACLE = {
+    # DuckDB's native nfc_normalize (ICU) as the independent NFC
+    # implementation vs the UDF's unicodedata; the decomposed-literal
+    # injection is the same _NFC_SUFFIX text verbatim. length() counts
+    # code points in both engines (verified on combining sequences).
+    "text_normalize": f"""
+        WITH aug AS (
+            SELECT doc_id, text || {_NFC_SUFFIX} AS raw FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS INTEGER) AS len_raw,
+               CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_norm,
+               nfc_normalize(raw) <> raw AS changed,
+               md5(nfc_normalize(raw)) AS norm_md5
+        FROM aug
+    """,
     "udf_scalar": """
         SELECT doc_id,
                CAST((n_chars + 3) // 4 + doc_id % 7 AS BIGINT) AS est_tokens

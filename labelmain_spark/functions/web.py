@@ -94,6 +94,57 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic stand-in for the UT1 / C4-style domain blocklist
+# (the public "Université Toulouse 1" list both C4 and RefinedWeb
+# filter against). Suffix semantics: an entry blocks the exact host
+# AND every subdomain of it — `example.org` blocks m0.example.org.
+BLOCKLIST = ["site3.example.com", "site5.example.com", "example.org"]
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist document filter — the C4 / RefinedWeb URL
+    filtering stage: a document is dropped when ANY host it links to
+    matches a blocklist entry under registrable-domain suffix rules
+    (entry blocks itself and all subdomains). Output per document:
+    distinct hosts mentioned, the matched blocklist entry (min across
+    matches, NULL when clean), and the keep verdict.
+
+    Scale shape: the ENTIRE plan is one narrow JVM map over the
+    corpus — URL extraction, host parse, per-host suffix-chain
+    expansion (bounded by DNS label count, ≤ ~10), and blocklist
+    membership all run inside array expressions on the row; zero
+    shuffles, zero joins, zero Python. The demo list rides as a
+    literal array; a production UT1-class list (~3M entries) swaps
+    ``array_intersect(suffixes, lit)`` for a LEFT SEMI broadcast join
+    of the exploded suffix chain against the broadcast blocklist
+    table — same bounded-small-side class as the dedup family's
+    benchmark shingles, and the per-doc verdict re-aggregates
+    map-side. Either way the corpus never shuffles to be classified."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = F.transform(
+        F.regexp_extract_all(_augmented(), F.lit(URL_RE), 0),
+        lambda u: F.regexp_extract(u, DOMAIN_RE, 1),
+    )
+    base = docs.select("doc_id", hosts.alias("hosts"))
+    # per-host suffix chain: "m0.example.org" -> [itself, example.org,
+    # org]; min matched entry across all hosts, NULL when clean
+    out = base.selectExpr(
+        "doc_id",
+        "CAST(size(array_distinct(hosts)) AS INT) AS n_hosts",
+        "array_min(flatten(transform(hosts, h -> array_intersect("
+        "transform(sequence(1, size(split(h, '[.]'))), "
+        "i -> array_join(slice(split(h, '[.]'), i, "
+        "size(split(h, '[.]')) - i + 1), '.')), "
+        + "array(" + ", ".join(f"'{b}'" for b in BLOCKLIST) + "))))) AS blocked_domain",
+    )
+    return out.select(
+        "doc_id",
+        "n_hosts",
+        "blocked_domain",
+        F.col("blocked_domain").isNull().alias("kept"),
+    )
+
+
 def _cast_str(x: str, engine: str) -> str:
     return f"CAST({x} AS STRING)" if engine == "spark" else f"CAST({x} AS VARCHAR)"
 
@@ -154,6 +205,22 @@ _C_ASSEMBLE = (
 )
 
 
+def _canonicalize(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Apply the shared canonicalization stage chain to a frame with a
+    raw-URL column ``u``, carrying ``keep`` columns through; appends
+    ``canon``. Pure JVM regexp map stages — zero shuffles."""
+    return (
+        df.selectExpr(*keep, f"{_C_STRIP_FRAG} AS c0")
+        .selectExpr(*keep, *[f"{v} AS {k}" for k, v in _C_PARTS.items()])
+        .selectExpr(
+            *keep, "scheme", "host", "port",
+            f"{_C_PATH} AS path", f"{_C_QUERY} AS q",
+        )
+        .selectExpr(*keep, "scheme", "host", "port", "path", f"{_C_CLEANQ} AS cq")
+        .selectExpr(*keep, f"{_C_ASSEMBLE} AS canon")
+    )
+
+
 def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-URL dedup — the CommonCrawl /
     C4 frontier step that collapses spelling variants of one page
@@ -180,19 +247,62 @@ def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.expr(v) for v in _raw_urls("spark")])
         ).alias("u"),
     ).filter(F.col("u").isNotNull())
-    c = (
-        raw.selectExpr("u", f"{_C_STRIP_FRAG} AS c0")
-        .selectExpr("u", *[f"{v} AS {k}" for k, v in _C_PARTS.items()])
-        .selectExpr(
-            "u", "scheme", "host", "port",
-            f"{_C_PATH} AS path", f"{_C_QUERY} AS q",
-        )
-        .selectExpr("u", "scheme", "host", "port", "path", f"{_C_CLEANQ} AS cq")
-        .selectExpr("u", f"{_C_ASSEMBLE} AS canon")
-    )
+    c = _canonicalize(raw, ["u"])
     return c.groupBy(F.col("canon").alias("canonical_url")).agg(
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
         F.countDistinct("u").cast("long").alias("n_variants"),
+    )
+
+
+# Each document's single "source page URL" for URL-level dedup — one
+# of two MESSY spellings (keyed by doc_id parity) of the canonical URL
+# shared by every doc with the same (site, article, id) index triple,
+# so canonical groups span spelling variants by construction.
+def _page_url(engine: str) -> str:
+    k = _cast_str("doc_id % 7", engine)
+    m = _cast_str("doc_id % 20", engine)
+    j = _cast_str("doc_id % 5", engine)
+    return (
+        f"CASE WHEN doc_id % 2 = 0 THEN "
+        f"'HTTPS://Site' || {k} || '.Example.COM:443/Art/' || {m}"
+        f" || '/?utm_source=feed&id=' || {j} || '#frag'"
+        f" ELSE 'https://site' || {k} || '.example.com/Art/' || {m}"
+        f" || '?id=' || {j} || '&utm_campaign=news' END"
+    )
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level document dedup — the CCNet / CommonCrawl snapshot
+    step that keeps ONE document per canonical page URL before any
+    text-level dedup runs: canonicalize each doc's source URL (the
+    url_canonical stage chain, shared verbatim), group by canonical
+    URL, and keep the best-quality member (max n_chars, ties to min
+    doc_id — the "longest capture wins" recrawl rule). Output per
+    canonical URL: the surviving doc, its length, and the group size.
+
+    Scale shape: canonicalization is the same zero-shuffle JVM regexp
+    chain as url_canonical; survivor selection is ONE partial-agg
+    shuffle keyed by canonical URL carrying a min(struct) — a page
+    recrawled 10^4 times collapses map-side to one candidate row per
+    upstream partition (the dedup_paragraph argument), so hot-URL
+    skew never materializes as a fat reduce key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    raw = docs.selectExpr("doc_id", "n_chars", f"{_page_url('spark')} AS u")
+    c = _canonicalize(raw, ["doc_id", "n_chars"])
+    best = c.groupBy(F.col("canon").alias("canonical_url")).agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_chars"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+    )
+    return best.select(
+        "canonical_url",
+        F.col("w.doc_id").alias("doc_id"),
+        (-F.col("w.neg_chars")).cast("long").alias("n_chars"),
+        "n_dupes",
     )
 
 
@@ -218,10 +328,77 @@ def _sql_url_canonical() -> str:
     """
 
 
-QUERIES = {"domain_stats": domain_stats, "url_canonical": url_canonical}
+QUERIES = {
+    "domain_stats": domain_stats,
+    "url_canonical": url_canonical,
+    "blocklist_filter": blocklist_filter,
+    "dedup_url": dedup_url,
+}
+
+
+def _sql_dedup_url() -> str:
+    parts = ",\n".join(f"{v} AS {k}" for k, v in _C_PARTS.items())
+    keep = "doc_id, n_chars,"
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, n_chars, {_page_url("duck")} AS u FROM documents
+        ),
+        s0 AS (SELECT {keep} {_C_STRIP_FRAG} AS c0 FROM raw),
+        s1 AS (SELECT {keep} {parts} FROM s0),
+        s2 AS (SELECT {keep} scheme, host, port,
+                      {_C_PATH} AS path, {_C_QUERY} AS q FROM s1),
+        s3 AS (SELECT {keep} scheme, host, port, path, {_C_CLEANQ} AS cq FROM s2),
+        c AS (SELECT {keep} {_C_ASSEMBLE} AS canon FROM s3),
+        sel AS (
+            SELECT canon AS canonical_url, doc_id, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY canon ORDER BY n_chars DESC, doc_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY canon) AS n_dupes
+            FROM c
+        )
+        SELECT canonical_url, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_dupes AS BIGINT) AS n_dupes
+        FROM sel WHERE rn = 1
+    """
+
+_SQL_BLOCKLIST = "[" + ", ".join(f"'{b}'" for b in BLOCKLIST) + "]"
 
 ORACLE = {
     "url_canonical": _sql_url_canonical(),
+    # identical stage chain; survivor via ROW_NUMBER (independent path
+    # to the same min-struct winner)
+    "dedup_url": _sql_dedup_url(),
+    # identical suffix-chain + list-intersect expression shape
+    "blocklist_filter": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all({_SQL_AUG}, '{URL_RE}'),
+                       u -> regexp_extract(u, '{DOMAIN_RE}', 1)
+                   ) AS hosts
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(hosts)) AS INTEGER) AS n_hosts,
+                   list_min(flatten(list_transform(hosts,
+                       h -> list_intersect(
+                           list_transform(
+                               range(1, len(string_split(h, '.')) + 1),
+                               i -> array_to_string(list_slice(
+                                   string_split(h, '.'), i,
+                                   len(string_split(h, '.'))), '.')
+                           ),
+                           {_SQL_BLOCKLIST}
+                       )
+                   ))) AS blocked_domain
+            FROM h
+        )
+        SELECT doc_id, n_hosts, blocked_domain,
+               blocked_domain IS NULL AS kept
+        FROM m
+    """,
     "domain_stats": f"""
         WITH urls AS (
             SELECT doc_id, n_chars,

@@ -277,6 +277,30 @@ PRIORITY = [
     # UT1/C4-style domain-blocklist document filter (suffix-rule
     # matching as one narrow JVM map, zero shuffles — full oracle).
     "blocklist_filter",
+    # CCNet-style canonical-URL dedup: keep the best capture per page
+    # (min-struct survivor, map-side-collapsing — full oracle).
+    "dedup_url",
+    # Unicode NFC normalization: Arrow-batched unicodedata UDF vs
+    # DuckDB's ICU nfc_normalize as an independent implementation
+    # (full oracle — two unrelated NFC engines must agree).
+    "text_normalize",
+    # per-group E-S weighted sampling via Catalyst's rank-limit
+    # pushdown (per-language quota shape; full oracle).
+    "sample_group",
+    # character-entropy garbage filter (RefinedWeb-class; exact
+    # micro-unit histogram entropy — full oracle).
+    "entropy_filter",
+    # Luhn-validated credit-card PII (Dolma/RedPajama-v2 upgrade over
+    # pure regex: mod-10 fold in row-local array expressions, only
+    # VALID cards redacted — full oracle incl. the false-positive).
+    "pii_luhn",
+    # phrase-dictionary taxonomy tagging (bounded broadcast-as-literal
+    # dictionary, one codegen map — full oracle).
+    "keyword_tag",
+    # cross-source exact dedup with provenance priority (Pile/Dolma
+    # curated-beats-crawl survivor rule; min(tier, doc_id) struct agg,
+    # same one-shuffle shape as dedup_exact — full oracle).
+    "dedup_cross_source",
 ]
 
 

@@ -24,7 +24,7 @@ def _norm_cell(v):
     # driver's comparator (scripts/driver_sim.py _norm) exactly.
     if isinstance(v, (pd.Timestamp, datetime, date)):
         return pd.Timestamp(v).isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
         return tuple(_norm_cell(x) for x in v)
     if hasattr(v, "asDict"):  # pyspark Row
         return tuple((k, _norm_cell(x)) for k, x in v.asDict().items())

@@ -155,6 +155,13 @@ REPRESENTATIVE = [
     "pack_bins_harmonic",
     "quality_bigram_nll",
     "blocklist_filter",
+    "dedup_url",
+    "text_normalize",
+    "sample_group",
+    "entropy_filter",
+    "pii_luhn",
+    "keyword_tag",
+    "dedup_cross_source",
 ]
 
 

@@ -602,6 +602,70 @@ def test_blocklist_filter_zero_shuffle_narrow_map(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_dedup_url_single_partial_agg_exchange(spark, sf_dir):
+    """Canonical-URL dedup = the zero-shuffle canonicalizer chain +
+    exactly ONE exchange (the canonical-URL partial agg); the
+    min(struct) survivor must combine map-side (partial_min in the
+    plan), no window over the corpus, no Python."""
+    from labelmain_spark.functions.web import dedup_url
+
+    df = dedup_url(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "Window" not in plan, plan[:1500]
+    assert "partial_min" in plan, plan[:2000]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
+
+
+def test_text_normalize_single_arrow_stage_no_shuffle(spark, sf_dir):
+    """NFC normalization must be ONE Arrow-batched Python stage in an
+    otherwise shuffle-free narrow map — exactly one ArrowEvalPython,
+    zero Exchanges, no row-at-a-time PythonUDF node."""
+    from labelmain_spark.functions.udfs import text_normalize
+
+    df = text_normalize(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan[:1500]
+    assert "Exchange" not in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan, plan[:1500]
+    spark.catalog.clearCache()
+
+
+def test_sample_group_rank_limit_pushed_map_side(spark, sf_dir):
+    """Per-group sampling must get Catalyst's rank-limit pushdown: a
+    'WindowGroupLimit ... Partial' node BEFORE the exchange, so every
+    map partition forwards only its local top-K per lang and the hot
+    language's reducer receives ≤ K rows per upstream partition — a
+    regression to a full per-group sort (no Partial node) is the
+    canonical 100 TB skew trap and must fail here."""
+    from labelmain_spark.functions.sampling import sample_group
+
+    df = sample_group(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # tree prints top-down, so the map-side (Partial) limit must
+    # appear BELOW the exchange, i.e. later in the string
+    assert "Partial" in plan and plan.rindex("Partial") > plan.index(
+        "Exchange"
+    ), plan[:2000]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
+
+
+def test_pii_luhn_zero_shuffle_codegen_map(spark, sf_dir):
+    """Luhn-validated card detection must stay a map-only stage: the
+    per-candidate mod-10 fold and selective replace are row-local
+    array expressions — no Exchange, no Python node."""
+    from labelmain_spark.functions.pii import pii_luhn
+
+    df = pii_luhn(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "Exchange" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
+
+
 def test_curriculum_order_no_corpus_range_exchange(spark, sf_dir):
     """Curriculum position assignment must decompose the global sort
     exactly as corpus_shuffle does: no rangepartitioning anywhere in
