@@ -112,6 +112,52 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles (p50/p90/p99) — the oracle-checkable
+    complement to :func:`approx_quantiles`, and the scale-safe way to
+    get exact percentiles: the canonical plan (sort each group, index
+    into it) materializes whole groups; this one never does. Values
+    round to 4 dp, so the per-(group, value) histogram is BOUNDED by
+    the discretized value space; the running sum is a window over
+    that histogram (not the raw rows); each percentile is then
+    ``min{v : 100·cum(v) ≥ p·n}`` — a pure integer predicate,
+    engine-exact, the perplexity_buckets machinery generalized to
+    arbitrary p. This is the type-1 (lower) quantile on the rounded
+    values, the one quantile definition that needs no interpolation
+    arithmetic and therefore survives a cross-engine hash gate.
+
+    Scale shape: one partial-agg shuffle keyed (group, v) — raw rows
+    collapse map-side onto histogram cells; the window and threshold
+    scan run over histogram rows only. A group with 10^9 raw events
+    and a 4-dp value space of 10^5 cells costs the window 10^5 rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = stable_round(F.col("value"), 4)
+    hist = ev.groupBy("event_type", v.alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("event_type")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def pick(p: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n"), F.col("v"))
+        ).alias(f"p{p}")
+
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"), pick(50), pick(90), pick(99)
+    )
+
+
 BIN_WIDTH = 50.0
 
 
@@ -289,6 +335,7 @@ QUERIES = {
     "market_share": market_share,
     "histogram_bins": histogram_bins,
     "time_rollup": time_rollup,
+    "group_quantiles": group_quantiles,
 }
 
 _PIVOT_COLS = ",\n".join(
@@ -303,6 +350,31 @@ _MKT_DEN = sql_dsum("l_extendedprice * (1.0 - l_discount)")
 _MKT_SHARE_SQL = sql_stable_round(f"{_MKT_NUM} / {_MKT_DEN}", 6)
 
 ORACLE = {
+    # identical discretized type-1 quantile: integer predicate
+    # 100·cum ≥ p·n over the per-group 4-dp histogram
+    "group_quantiles": f"""
+        WITH h AS (
+            SELECT event_type, {sql_stable_round("value", 4)} AS v,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, {sql_stable_round("value", 4)}
+        ), c AS (
+            SELECT event_type, v, cnt,
+                   SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM h
+        ), t AS (
+            SELECT event_type, SUM(cnt) AS n FROM h GROUP BY event_type
+        )
+        SELECT c.event_type, CAST(MAX(t.n) AS BIGINT) AS n,
+               MIN(CASE WHEN c.cum * 100 >= 50 * t.n THEN c.v END) AS p50,
+               MIN(CASE WHEN c.cum * 100 >= 90 * t.n THEN c.v END) AS p90,
+               MIN(CASE WHEN c.cum * 100 >= 99 * t.n THEN c.v END) AS p99
+        FROM c JOIN t ON t.event_type = c.event_type
+        GROUP BY c.event_type
+    """,
     "time_rollup": f"""
         SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
                COUNT(*) AS n, {sql_dsum('value')} AS sum_value

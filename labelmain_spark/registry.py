@@ -301,6 +301,14 @@ PRIORITY = [
     # curated-beats-crawl survivor rule; min(tier, doc_id) struct agg,
     # same one-shuffle shape as dedup_exact — full oracle).
     "dedup_cross_source",
+    # fastText-shape quality classifier: hashing-trick word+bigram
+    # features (no vocabulary object — corpus-size-independent),
+    # sparse treeAggregate LR (rows-only; held-out accuracy property).
+    "quality_fasttext_score",
+    # exact per-group quantiles via the discretized-histogram
+    # machinery (no group ever materializes; integer predicates —
+    # full oracle; approx_quantiles' exact complement).
+    "group_quantiles",
 ]
 
 

@@ -162,6 +162,8 @@ REPRESENTATIVE = [
     "pii_luhn",
     "keyword_tag",
     "dedup_cross_source",
+    "quality_fasttext_score",
+    "group_quantiles",
 ]
 
 

@@ -29,3 +29,28 @@ def test_quality_model_split_deterministic(spark, sf_dir):
     a = quality_model_score(spark, sf_dir).select("doc_id", "split")
     b = quality_model_score(spark, sf_dir).select("doc_id", "split")
     assert a.exceptAll(b).count() == 0
+
+
+def test_quality_fasttext_learns_heldout(spark, sf_dir):
+    """The hashed-feature model must learn the weak task through 2^15
+    sparse buckets: stopword identity IS representable in hashed
+    unigram frequencies, so held-out accuracy below 0.9 on the
+    CONFIDENT bands (outer terciles — the examples the classifier is
+    trained to separate, matching how production quality classifiers
+    train clear-positive vs clear-negative) means the hashing/LR
+    pipeline broke. Split must agree with the dense twin (same salt)
+    so the two models are comparable row-for-row."""
+    from labelmain_spark.functions.quality_model import quality_fasttext_score
+
+    scored = quality_fasttext_score(spark, sf_dir).cache()
+    val = scored.filter((F.col("split") == "val") & (F.col("band") != "mid"))
+    n_val = val.count()
+    assert n_val > 0
+    acc = val.filter(F.col("pred") == F.col("label")).count() / n_val
+    assert acc > 0.9, f"held-out confident-band accuracy {acc:.3f}"
+    # the scored middle band must still be covered (everyone scored)
+    assert scored.filter(F.col("band") == "mid").count() > 0
+    dense_split = quality_model_score(spark, sf_dir).select("doc_id", "split")
+    ft_split = scored.select("doc_id", "split")
+    assert ft_split.exceptAll(dense_split).count() == 0
+    scored.unpersist()
