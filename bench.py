@@ -101,6 +101,11 @@ HEADLINE = [
     "corpus_incremental",
     "bm25_topk",
     "gap_fill",
+    # late-r7: the NLL/LM-quality family's first bench representative
+    # (its hardest member — the bigram table is the scale-interesting
+    # shuffle; measured 0.73x DuckDB at x100). The other late keys
+    # are map-only or variants of represented families.
+    "quality_bigram_nll",
 ]
 
 

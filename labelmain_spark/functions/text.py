@@ -576,7 +576,18 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    dbg = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("m"))
+    # dbg feeds BOTH the probe side and the corpus bigram table; the
+    # differently-keyed downstream aggs de-canonicalize the subtrees,
+    # so without the persist the explode + per-doc agg execute twice
+    # (verified in the physical plan) — the _exploded_shingles
+    # discipline, released via session.release_caches.
+    from pyspark import StorageLevel
+
+    dbg = (
+        pairs.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cb = dbg.groupBy("prev", "cur").agg(F.sum("m").alias("cnt_b"))
     cu_prev = cu.select(F.col("term").alias("prev"), F.col("cnt_u").alias("cnt_prev"))
     cu_cur = cu.select(F.col("term").alias("cur"), F.col("cnt_u").alias("cnt_cur"))
@@ -645,6 +656,66 @@ def keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         tags.alias("tags"),
         F.size(tags).cast("int").alias("n_tags"),
         n_hits.cast("int").alias("n_phrase_hits"),
+    )
+
+
+CHI2_K = 10  # distinctive terms reported per language
+
+
+def chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive terms by chi-squared association — the
+    corpus-report op (Dolma-style data cards, slice characterization):
+    for each (lang, term) cell of the term×language contingency table,
+    χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over the exact token
+    counts, then the top-K terms per language. High χ² = "this term is
+    what makes this slice different".
+
+    Scale shape: the contingency table is ONE partial-agg shuffle
+    keyed (lang, term) — raw postings collapse map-side; term and
+    language marginals are vocab-/language-bounded broadcasts; χ² is
+    a row-local double expression over exact longs (products cast to
+    double BEFORE squaring — (ad−bc)² overflows int64 at ~10^9-token
+    marginals, the kind of bug only a 100 TB corpus exposes); the
+    per-language top-K gets Catalyst's rank-limit pushdown
+    (WindowGroupLimit — the sample_group argument). Determinism: χ²
+    rounds to 4 dp and ranks with a term tiebreak — a total order, so
+    the selected rows are engine-exact."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ct = (
+        docs.select("lang", F.explode(_toks()).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    termtot = ct.groupBy("term").agg(F.sum("a").alias("term_total"))
+    langtot = ct.groupBy("lang").agg(F.sum("a").alias("lang_total"))
+    tot = ct.agg(F.sum("a").alias("nn"))
+    j = (
+        ct.join(F.broadcast(termtot), "term")
+        .join(F.broadcast(langtot), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("term_total") - F.col("a")).cast("double")
+    c = (F.col("lang_total") - F.col("a")).cast("double")
+    d = (F.col("nn") - F.col("term_total") - F.col("lang_total") + F.col("a")).cast(
+        "double"
+    )
+    chi2 = stable_round(
+        F.col("nn").cast("double")
+        * F.pow(a * d - b * c, F.lit(2.0))
+        / ((a + b) * (c + d) * (a + c) * (b + d)),
+        4,
+    )
+    ranked = j.select("lang", "term", "a", chi2.alias("chi2")).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("chi2").desc(), F.col("term").asc())
+        ),
+    )
+    return ranked.filter(F.col("rk") <= CHI2_K).select(
+        "lang", F.col("rk").cast("int").alias("rk"), "term", "a", "chi2"
     )
 
 
@@ -848,6 +919,7 @@ QUERIES = {
     "quality_bigram_nll": quality_bigram_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
+    "chi2_keywords": chi2_keywords,
     "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
     "doc_winnow": doc_winnow,
@@ -1046,6 +1118,41 @@ ORACLE = {
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS bigram_nll
         FROM p GROUP BY doc_id
+    """,
+    # identical χ² expression over exact longs (cast to double before
+    # squaring in both engines), identical 4-dp rank total order
+    "chi2_keywords": f"""
+        WITH ct AS (
+            SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS a FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ) GROUP BY lang, term
+        ), tt AS (
+            SELECT term, SUM(a) AS term_total FROM ct GROUP BY term
+        ), lt AS (
+            SELECT lang, SUM(a) AS lang_total FROM ct GROUP BY lang
+        ), n AS (SELECT SUM(a) AS nn FROM ct),
+        x AS (
+            SELECT ct.lang, ct.term, ct.a,
+                   {sql_stable_round(
+                       "CAST(nn AS DOUBLE)"
+                       " * power(CAST(ct.a AS DOUBLE) * CAST(nn - term_total - lang_total + ct.a AS DOUBLE)"
+                       "         - CAST(term_total - ct.a AS DOUBLE) * CAST(lang_total - ct.a AS DOUBLE), 2.0)"
+                       " / ((CAST(ct.a AS DOUBLE) + CAST(term_total - ct.a AS DOUBLE))"
+                       "    * (CAST(lang_total - ct.a AS DOUBLE) + CAST(nn - term_total - lang_total + ct.a AS DOUBLE))"
+                       "    * (CAST(ct.a AS DOUBLE) + CAST(lang_total - ct.a AS DOUBLE))"
+                       "    * (CAST(term_total - ct.a AS DOUBLE) + CAST(nn - term_total - lang_total + ct.a AS DOUBLE)))",
+                       4,
+                   )} AS chi2
+            FROM ct JOIN tt USING (term) JOIN lt USING (lang) CROSS JOIN n
+        )
+        SELECT lang, CAST(rk AS INTEGER) AS rk, term, a, chi2 FROM (
+            SELECT lang, term, a, chi2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY chi2 DESC, term ASC
+                   ) AS rk
+            FROM x
+        ) WHERE rk <= {CHI2_K}
     """,
     "keyword_tag": f"""
         SELECT doc_id,

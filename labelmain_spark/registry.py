@@ -270,6 +270,8 @@ PRIORITY = [
     "bpe_train",
     # Harmonic-K whole-document bin packing (full oracle).
     "pack_bins_harmonic",
+    # ---- late-late-r7 continuation block (never yet driver-verified
+    # — prime r8 rotation candidates; all full-oracle unless noted) --
     # λ-interpolated bigram LM quality score (Jelinek-Mercer; the
     # fidelity step above quality_unigram_nll toward CCNet's KenLM —
     # full oracle, exact micro-unit transition sums).
@@ -309,6 +311,10 @@ PRIORITY = [
     # machinery (no group ever materializes; integer predicates —
     # full oracle; approx_quantiles' exact complement).
     "group_quantiles",
+    # per-language distinctive terms by chi-squared over the exact
+    # term×lang contingency table, top-K per lang via rank-limit
+    # pushdown (the corpus-report op — full oracle).
+    "chi2_keywords",
 ]
 
 

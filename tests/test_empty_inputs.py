@@ -164,6 +164,7 @@ REPRESENTATIVE = [
     "dedup_cross_source",
     "quality_fasttext_score",
     "group_quantiles",
+    "chi2_keywords",
 ]
 
 
