@@ -103,8 +103,9 @@ HEADLINE = [
     "gap_fill",
     # late-r7: the NLL/LM-quality family's first bench representative
     # (its hardest member — the bigram table is the scale-interesting
-    # shuffle; measured 0.73x DuckDB at x100). The other late keys
-    # are map-only or variants of represented families.
+    # shuffle; 2.3x DuckDB at x20 falling to 1.1-1.7x at x100). The
+    # other late keys are map-only or variants of represented
+    # families.
     "quality_bigram_nll",
 ]
 

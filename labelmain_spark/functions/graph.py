@@ -175,8 +175,21 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull())
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return integer_pagerank(spark, e)
+
+
+def integer_pagerank(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The integer-PageRank core over an arbitrary ``(src, dst)`` edge
+    frame (node type free — longs for the event graph, domain strings
+    for the web graph): the :func:`pagerank` contract (exact 1e-9-unit
+    longs, fixed PR_ITERS, dangling mass dropped, small-graph
+    iterations under the gated conf) factored out so every graph
+    source shares one verified loop."""
+    from labelmain_spark.operators.parity import stable_round
+    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
+
+    e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = e.join(outdeg, "src")
     nodes = (
@@ -226,7 +239,16 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle(
+    edge_sql: str = """
+            SELECT DISTINCT user_id AS src,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS dst
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+    """,
+) -> str:
+    """Unrolled-CTE integer-PageRank oracle over an arbitrary edge CTE
+    (the :func:`integer_pagerank` twin — same parameterization)."""
     from labelmain_spark.operators.parity import sql_stable_round
 
     its = []
@@ -246,10 +268,7 @@ def _pagerank_oracle() -> str:
     chain = ",\n        ".join(its)
     return f"""
         WITH e AS (
-            SELECT DISTINCT user_id AS src,
-                   CAST(json_extract(props, '$.k') AS BIGINT) AS dst
-            FROM events
-            WHERE json_extract(props, '$.k') IS NOT NULL
+            {edge_sql}
         ),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         st AS (SELECT COUNT(*) AS n FROM nodes),

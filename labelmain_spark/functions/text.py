@@ -576,18 +576,16 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    # dbg feeds BOTH the probe side and the corpus bigram table; the
-    # differently-keyed downstream aggs de-canonicalize the subtrees,
-    # so without the persist the explode + per-doc agg execute twice
-    # (verified in the physical plan) — the _exploded_shingles
-    # discipline, released via session.release_caches.
-    from pyspark import StorageLevel
-
-    dbg = (
-        pairs.groupBy("doc_id", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # dbg feeds BOTH the probe side and the corpus bigram table, and
+    # the differently-keyed downstream aggs de-canonicalize the
+    # subtrees, so the explode + per-doc agg DO execute twice — but
+    # persisting dbg here was MEASURED SLOWER at ×100 (56.6 s vs
+    # 44.4 s idle): materializing ~corpus-token-count string-pair rows
+    # to memory/disk costs more than recomputing a codegen explode.
+    # The _exploded_shingles persist discipline pays off for SHARED
+    # SHINGLE tables consumed by 3+ keys; a two-consumer diamond of
+    # cheap expression work keeps the recompute.
+    dbg = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("m"))
     cb = dbg.groupBy("prev", "cur").agg(F.sum("m").alias("cnt_b"))
     cu_prev = cu.select(F.col("term").alias("prev"), F.col("cnt_u").alias("cnt_prev"))
     cu_cur = cu.select(F.col("term").alias("cur"), F.col("cnt_u").alias("cnt_cur"))

@@ -145,6 +145,48 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph PageRank — the CommonCrawl
+    host/domain-rank artifact (used for crawl prioritization and as a
+    quality prior in corpus recipes): publisher → mentioned-host
+    edges from the corpus's own link extraction, ranked by the shared
+    :func:`integer_pagerank` core. Composition, not new machinery:
+    the web family's zero-shuffle URL extraction builds the edge
+    frame; the graph family's verified integer loop (exact 1e-9-unit
+    longs, fixed iterations, bit-exact unrolled-CTE oracle) does the
+    ranking over STRING nodes — the same code path the event graph
+    exercises with long nodes.
+
+    Scale: edge construction is one narrow map + distinct (the edge
+    set is bounded by distinct (publisher, host) pairs, ≪ mentions);
+    the loop's per-iteration cost is the pagerank argument."""
+    from labelmain_spark.functions.graph import integer_pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = F.transform(
+        F.regexp_extract_all(_augmented(), F.lit(URL_RE), 0),
+        lambda u: F.regexp_extract(u, DOMAIN_RE, 1),
+    )
+    e = (
+        docs.select(F.col("source").alias("src"), F.explode(hosts).alias("dst"))
+        .filter(F.col("dst") != "")
+        .distinct()
+    )
+    return integer_pagerank(spark, e)
+
+
+_DOMAIN_EDGE_SQL = f"""
+            SELECT DISTINCT source AS src, dst FROM (
+                SELECT source,
+                       unnest(list_transform(
+                           regexp_extract_all({_SQL_AUG}, '{URL_RE}'),
+                           u -> regexp_extract(u, '{DOMAIN_RE}', 1)
+                       )) AS dst
+                FROM documents
+            ) WHERE dst <> ''
+"""
+
+
 def _cast_str(x: str, engine: str) -> str:
     return f"CAST({x} AS STRING)" if engine == "spark" else f"CAST({x} AS VARCHAR)"
 
@@ -333,7 +375,14 @@ QUERIES = {
     "url_canonical": url_canonical,
     "blocklist_filter": blocklist_filter,
     "dedup_url": dedup_url,
+    "domain_rank": domain_rank,
 }
+
+
+def _sql_domain_rank() -> str:
+    from labelmain_spark.functions.graph import _pagerank_oracle
+
+    return _pagerank_oracle(_DOMAIN_EDGE_SQL)
 
 
 def _sql_dedup_url() -> str:
@@ -367,6 +416,10 @@ _SQL_BLOCKLIST = "[" + ", ".join(f"'{b}'" for b in BLOCKLIST) + "]"
 
 ORACLE = {
     "url_canonical": _sql_url_canonical(),
+    # the graph family's unrolled-CTE integer-PageRank oracle over the
+    # domain edge CTE — bit-exact, same parameterization as the Spark
+    # side's shared integer_pagerank core
+    "domain_rank": _sql_domain_rank(),
     # identical stage chain; survivor via ROW_NUMBER (independent path
     # to the same min-struct winner)
     "dedup_url": _sql_dedup_url(),

@@ -315,6 +315,10 @@ PRIORITY = [
     # term×lang contingency table, top-K per lang via rank-limit
     # pushdown (the corpus-report op — full oracle).
     "chi2_keywords",
+    # domain-level link-graph PageRank (CommonCrawl host-rank shape):
+    # web extraction composes into the shared integer_pagerank core
+    # over string nodes; bit-exact unrolled-CTE oracle.
+    "domain_rank",
 ]
 
 

@@ -165,6 +165,7 @@ REPRESENTATIVE = [
     "quality_fasttext_score",
     "group_quantiles",
     "chi2_keywords",
+    "domain_rank",
 ]
 
 
