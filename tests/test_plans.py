@@ -653,6 +653,22 @@ def test_sample_group_rank_limit_pushed_map_side(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_chi2_keywords_broadcast_marginals_ranklimit(spark, sf_dir):
+    """χ² keyword extraction must broadcast both bounded marginal
+    tables onto the contingency frame (≥2 BroadcastHashJoin), never
+    a cartesian beyond the 1-row total, and the per-language top-K
+    must get the rank-limit pushdown (WindowGroupLimit present)."""
+    from labelmain_spark.functions.text import chi2_keywords
+
+    df = chi2_keywords(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()
+
+
 def test_pii_luhn_zero_shuffle_codegen_map(spark, sf_dir):
     """Luhn-validated card detection must stay a map-only stage: the
     per-candidate mod-10 fold and selective replace are row-local
