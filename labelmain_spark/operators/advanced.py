@@ -128,8 +128,12 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-agg shuffle keyed (group, v) — raw rows
     collapse map-side onto histogram cells; the window and threshold
-    scan run over histogram rows only. A group with 10^9 raw events
-    and a 4-dp value space of 10^5 cells costs the window 10^5 rows."""
+    scan run over histogram rows only, and the histogram is bounded
+    by the DISCRETIZED VALUE SPACE (≤ range·10^4 cells per group),
+    not the corpus — MEASURED: the events tiers carry the identical
+    21,606 cells at 1M and 5M rows (PERF.md events table, note ³), so
+    a group with 10^9 raw events costs the window exactly what 10^6
+    did."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())

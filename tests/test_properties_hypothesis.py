@@ -205,3 +205,100 @@ def test_decontaminate_spans_matches_python_reference(spark, sf_dir):
         "fixture exercises no contamination — the test is vacuous"
     )
     spark.catalog.clearCache()
+
+
+def _luhn_ref(digits: str) -> bool:
+    """Textbook Luhn mod-10 reference (independent of both engines)."""
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    nums=st.lists(
+        st.text(alphabet="0123456789", min_size=16, max_size=16),
+        min_size=1,
+        max_size=8,
+    ),
+    sep=st.sampled_from(["", " ", "-"]),
+)
+def test_pii_luhn_expression_matches_reference(spark, nums, sep):
+    """The row-local Luhn fold must agree with the textbook Python
+    reference on ARBITRARY 16-digit strings (both separators), not
+    just the fixture's injected PANs — the mod-10 arithmetic is an
+    algorithm property, so randomized inputs catch index-parity and
+    separator-stripping mistakes a fixed fixture never hits."""
+    from labelmain_spark.functions.pii import CARD_RE
+
+    luhn_ok = (
+        "aggregate(transform(reverse(split(regexp_replace(c, '[^0-9]', ''), '')),"
+        " (d, i) -> CASE WHEN i % 2 = 1"
+        " THEN IF(2*CAST(d AS INT) > 9, 2*CAST(d AS INT) - 9, 2*CAST(d AS INT))"
+        " ELSE CAST(d AS INT) END),"
+        " 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    fmt = [sep.join(n[j : j + 4] for j in range(0, 16, 4)) for n in nums]
+    df = spark.createDataFrame([(f,) for f in fmt], "c string")
+    got = [
+        r.ok
+        for r in df.selectExpr(
+            f"c RLIKE '^{CARD_RE}$' AND {luhn_ok} AS ok"
+        ).collect()
+    ]
+    want = [_luhn_ref(n) for n in nums]
+    assert got == want, list(zip(fmt, got, want))
+    spark.catalog.clearCache()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hosts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "site3", "example", "com", "org", "m0"]),
+            min_size=1,
+            max_size=4,
+        ).map(".".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_blocklist_suffix_chain_matches_reference(spark, hosts):
+    """The suffix-chain + intersect expression must implement EXACTLY
+    registrable-domain suffix semantics (entry blocks itself and every
+    subdomain, never a partial-label match) for arbitrary dotted
+    hosts — checked against a direct Python model."""
+    from labelmain_spark.functions.web import BLOCKLIST
+
+    def ref(h: str):
+        labels = h.split(".")
+        suffixes = {".".join(labels[i:]) for i in range(len(labels))}
+        m = sorted(suffixes & set(BLOCKLIST))
+        return m[0] if m else None
+
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    expr = (
+        "array_min(array_intersect("
+        "transform(sequence(1, size(split(h, '[.]'))), "
+        "i -> array_join(slice(split(h, '[.]'), i, "
+        "size(split(h, '[.]')) - i + 1), '.')), "
+        + "array(" + ", ".join(f"'{b}'" for b in BLOCKLIST) + ")))"
+    )
+    got = [r.m for r in df.selectExpr(f"{expr} AS m").collect()]
+    want = [ref(h) for h in hosts]
+    assert got == want, list(zip(hosts, got, want))
+    spark.catalog.clearCache()
