@@ -59,10 +59,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID: score each language by distinct-token
-    overlap with its marker set; argmax with fixed tie order."""
-    docs = load_table(spark, sf_dir, "documents")
+def _lang_pred_cols() -> tuple[Column, Column]:
+    """(pred, best_score) marker-overlap language-ID columns — shared
+    by lang_id and the tag_and_filter decision layer."""
     dtoks = F.array_distinct(_toks())
     scores = {
         lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(m) for m in ms])))
@@ -73,6 +72,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reverse order so the first-listed language wins ties.
     for lang in reversed(list(scores)):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return pred, best
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each language by distinct-token
+    overlap with its marker set; argmax with fixed tie order."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred, best = _lang_pred_cols()
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -657,6 +664,69 @@ def keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tag_and_filter thresholds (the mixer config, named so reasons read)
+TF_MIN_TOKENS = 12
+TF_MIN_STOPWORD = 0.01
+TF_MIN_CHAR_DIV = 0.05
+
+
+def tag_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Dolma-architecture decision layer — taggers compute per-doc
+    attributes, the mixer applies ORDERED filter rules and records the
+    FIRST failing rule as the reason code (the audit trail every
+    production corpus keeps so every dropped doc is explainable):
+    too_short → low_stopword → low_char_diversity → has_email →
+    unknown_lang, else keep. Attributes ride along so downstream
+    re-mixing can re-decide without re-tagging.
+
+    Scale shape: every tagger here is a row-local expression (token
+    stats, stopword ratio, char diversity via array_distinct over the
+    char split, email regex count, the lang_id marker argmax) and the
+    mixer is one CASE — the WHOLE op is a single narrow codegen map,
+    zero shuffles, zero Python; heavier taggers (model scores,
+    perplexity) join in by doc_id as separate columns when needed,
+    which is exactly how the attribute-file architecture scales."""
+    from labelmain_spark.functions.pii import EMAIL_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_ratio = stable_round(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / n,
+        4,
+    )
+    char_div = stable_round(
+        F.size(F.array_distinct(F.split(F.col("text"), ""))).cast("double")
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), 0))
+    pred, best = _lang_pred_cols()
+    tagged = docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        char_div.alias("char_diversity"),
+        n_emails.cast("int").alias("n_emails"),
+        pred.alias("lang_pred"),
+        best.alias("lang_score"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < TF_MIN_TOKENS, "too_short")
+        .when(F.col("stopword_ratio") < TF_MIN_STOPWORD, "low_stopword")
+        .when(F.col("char_diversity") < TF_MIN_CHAR_DIV, "low_char_diversity")
+        .when(F.col("n_emails") > 0, "has_email")
+        .when(F.col("lang_score") <= 0, "unknown_lang")
+    )
+    return tagged.select(
+        "*",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("kept"),
+    )
+
+
 CHI2_K = 10  # distinctive terms reported per language
 
 
@@ -831,6 +901,16 @@ _PRED_CASE = "CASE " + " ".join(
 ) + " END"
 _SQL_SW = _sql_markers(STOPWORDS)
 
+from labelmain_spark.functions.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+
+_TF_REASON = (
+    f"CASE WHEN n_tokens < {TF_MIN_TOKENS} THEN 'too_short' "
+    f"WHEN stopword_ratio < {TF_MIN_STOPWORD!r} THEN 'low_stopword' "
+    f"WHEN char_diversity < {TF_MIN_CHAR_DIV!r} THEN 'low_char_diversity' "
+    "WHEN n_emails > 0 THEN 'has_email' "
+    "WHEN lang_score <= 0 THEN 'unknown_lang' END"
+)
+
 C4_LINE_W = 12  # tokens per synthetic "line" (fixture text has no newlines)
 
 
@@ -917,6 +997,7 @@ QUERIES = {
     "quality_bigram_nll": quality_bigram_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
+    "tag_and_filter": tag_and_filter,
     "chi2_keywords": chi2_keywords,
     "perplexity_buckets": perplexity_buckets,
     "doc_fingerprint": doc_fingerprint,
@@ -979,6 +1060,36 @@ ORACLE = {
                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
                     AS INTEGER) AS n_subword_tokens
         FROM documents
+    """,
+    # identical taggers, identical ordered CASE mixer
+    "tag_and_filter": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   {sql_stable_round(
+                       "CAST(len(list_filter(string_split(text, ' '), "
+                       f"t -> list_contains({_SQL_SW}, t))) AS DOUBLE)"
+                       " / len(string_split(text, ' '))", 4
+                   )} AS stopword_ratio,
+                   {sql_stable_round(
+                       "CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE)"
+                       " / GREATEST(length(text), 1)", 4
+                   )} AS char_diversity,
+                   CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+                       AS n_emails,
+                   {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORE.items())}
+            FROM documents
+        ), a AS (
+            SELECT doc_id, n_tokens, stopword_ratio, char_diversity, n_emails,
+                   {_PRED_CASE} AS lang_pred,
+                   CAST({_BEST} AS INTEGER) AS lang_score
+            FROM t
+        )
+        SELECT doc_id, n_tokens, stopword_ratio, char_diversity, n_emails,
+               lang_pred, lang_score,
+               {_TF_REASON} AS drop_reason,
+               ({_TF_REASON}) IS NULL AS kept
+        FROM a
     """,
     "lang_id": f"""
         SELECT doc_id, lang_actual, {_PRED_CASE} AS lang_pred,

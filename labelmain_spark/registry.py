@@ -319,6 +319,9 @@ PRIORITY = [
     # web extraction composes into the shared integer_pagerank core
     # over string nodes; bit-exact unrolled-CTE oracle.
     "domain_rank",
+    # Dolma-architecture taggers + ordered-rule mixer with reason
+    # codes, one narrow codegen map (full oracle).
+    "tag_and_filter",
 ]
 
 

@@ -166,6 +166,7 @@ REPRESENTATIVE = [
     "group_quantiles",
     "chi2_keywords",
     "domain_rank",
+    "tag_and_filter",
 ]
 
 
