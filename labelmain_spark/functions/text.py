@@ -686,9 +686,17 @@ def tag_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, zero Python; heavier taggers (model scores,
     perplexity) join in by doc_id as separate columns when needed,
     which is exactly how the attribute-file architecture scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tag_docs(docs)
+
+
+def tag_docs(docs: DataFrame) -> DataFrame:
+    """The tagger+mixer expressions over an arbitrary ``(doc_id,
+    text)`` frame — shared verbatim by the batch key and the
+    streaming sink (`streaming.incremental.run_tag_filter_sink`), so
+    stream/batch parity holds by construction."""
     from labelmain_spark.functions.pii import EMAIL_RE
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n = F.size(toks)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])

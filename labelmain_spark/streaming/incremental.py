@@ -284,6 +284,35 @@ def run_corpus_increment_sink(
     q.awaitTermination()
 
 
+def run_tag_filter_sink(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of tag_and_filter: each crawl micro-batch runs
+    the tagger+mixer expressions (functions/text.py::tag_docs — shared
+    VERBATIM with the batch key, so parity holds by construction; the
+    taggers are row-local, no cross-batch state) and lands as parquet
+    with the keep verdict and reason codes attached. Same idempotent
+    epoch-overwrite discipline as the other sinks: foreachBatch is
+    at-least-once, so each epoch rewrites its OWN epoch=<id> directory
+    instead of appending duplicates on task retry."""
+    from labelmain_spark.functions.text import tag_docs
+
+    def tag_batch(batch: DataFrame, epoch_id: int) -> None:
+        tag_docs(batch.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
+
+    q = (
+        docs.writeStream.foreachBatch(tag_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_decontaminate_sink(
     docs: DataFrame,
     bench: DataFrame,

@@ -398,3 +398,24 @@ def test_stream_c4_line_filter_matches_batch(spark, sf_dir):
         for r in c4_line_filter(spark, sf_dir).collect()
     }
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_tag_filter_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming tagging+filtering == the batch key on the same docs:
+    tag_docs is row-local (no cross-batch state), shared verbatim by
+    both paths, so accumulated foreachBatch output must reproduce
+    tag_and_filter row-for-row including reason codes."""
+    from labelmain_spark.functions.text import tag_and_filter
+
+    stream = inc.stream_documents(spark, sf_dir).select("doc_id", "text")
+    out_path = str(tmp_path / "tagged")
+    inc.run_tag_filter_sink(stream, out_path, str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.drop_reason, r.kept, r.n_tokens)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.drop_reason, r.kept, r.n_tokens)
+        for r in tag_and_filter(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
