@@ -54,7 +54,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
+    # usage: driver_sim.py [sf_dir] [key1,key2,...]
+    # the optional key filter runs the identical per-key check over a
+    # subset — single-key verification without the full-registry sweep
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     import __spark_entry__ as e
 
     # VANILLA session on purpose — the round driver builds its own plain
@@ -84,6 +88,12 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     results, failures = {}, []
+    if only is not None:
+        unknown = only - qs.keys()
+        if unknown:
+            print(f"unknown keys: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     for key in sorted(qs):
         t0 = time.time()
         sdf = qs[key](spark, sf_dir).toPandas()
