@@ -62,6 +62,46 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source contamination REPORT — the table a data lead
+    actually reads before a release ("which ingest sources leak the
+    eval suite, and how badly"): for every train source, the doc
+    count, how many docs contain ≥1 benchmark shingle, the total
+    leaked-shingle volume, and the contaminated-doc rate. The per-doc
+    keys (contamination_check / decontaminate_spans) are the
+    treatment; this is the triage view that decides which source gets
+    it.
+
+    Scale shape: the shared persisted shingle explode (carrying
+    source) splits eval/train by the hash predicate; membership is
+    one join against the DISTINCT eval shingle set — bounded by the
+    BENCHMARK, not the corpus (the decontamination-family argument,
+    AQE picks broadcast when it fits); both rollups ((source, doc)
+    then (source)) are algebraic partial aggs. One corpus pass."""
+    e = _exploded_shingles(spark, sf_dir, "source")
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+    ev_sh = e.filter(is_eval).select("s").distinct().withColumn("hit", F.lit(1))
+    tr = e.filter(~is_eval)
+    per_doc = (
+        tr.join(ev_sh, "s", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_hits") > 0).cast("long")).cast("long").alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("total_overlap"),
+        stable_round(
+            F.sum((F.col("n_hits") > 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_contaminated"),
+    )
+
+
 DECON_N = 8  # benchmark n-gram length; power of two → clean doubling
 
 
@@ -179,9 +219,38 @@ _RATIO_SQL = sql_stable_round(
 QUERIES = {
     "contamination_check": contamination_check,
     "decontaminate_spans": decontaminate_spans,
+    "contamination_matrix": contamination_matrix,
 }
 
 ORACLE = {
+    "contamination_matrix": f"""
+        WITH sh AS (
+            SELECT doc_id, source, {_sql_shingles()} AS shingles FROM documents
+        ), e AS (
+            SELECT doc_id, source, unnest(shingles) AS s FROM sh
+        ), ev AS (
+            SELECT DISTINCT s FROM e
+            WHERE {_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP}
+        ), tr AS (
+            SELECT * FROM e
+            WHERE NOT ({_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP})
+        ), pd AS (
+            SELECT source, doc_id, COUNT(*) AS n_sh,
+                   SUM(CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END)
+                       AS n_hits
+            FROM tr GROUP BY source, doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               CAST(SUM(n_hits) AS BIGINT) AS total_overlap,
+               {sql_stable_round(
+                   "CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+                   " / COUNT(*)", 4
+               )} AS pct_contaminated
+        FROM pd GROUP BY source
+    """,
     "contamination_check": f"""
         WITH sh AS (
             SELECT doc_id, {_sql_shingles()} AS shingles FROM documents

@@ -153,12 +153,69 @@ _SQL_CHECKS = [
 ]
 
 
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card rollup — the published per-slice statistics table
+    every released corpus ships (Dolma's summary tables, HF dataset
+    cards): doc/token/char totals and mean doc length for every
+    (language × source) slice, each margin, and the corpus total, in
+    ONE pass via CUBE. ``level`` is the grouping_id so consumers can
+    select a margin without string-matching the 'ALL' labels.
+
+    Scale shape: CUBE(lang, source) expands each input row into the 4
+    grouping combinations BEFORE the partial aggregation — the
+    exchange still carries only (4 × slices × partitions) partial
+    rows, all aggregates algebraic, so the report costs one corpus
+    scan and a bounded shuffle regardless of corpus size. Token
+    counts come from the token-array size expression (row-local);
+    the mean divides the two exact sums at the end (stable-rounded,
+    engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    agg = (
+        docs.select("lang", "source", n_toks.alias("t"), "n_chars")
+        .cube("lang", "source")
+        .agg(
+            F.grouping_id("lang", "source").cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    return agg.select(
+        F.coalesce("lang", F.lit("ALL")).alias("lang"),
+        F.coalesce("source", F.lit("ALL")).alias("source"),
+        "level",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        stable_round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("avg_doc_tokens"),
+    )
+
+
 QUERIES = {
     "profile_stats": profile_stats,
     "validate_constraints": validate_constraints,
+    "dataset_card": dataset_card,
 }
 
 ORACLE = {
+    # identical CUBE; DuckDB's GROUPING() bit order matches Spark's
+    # grouping_id for the same column order
+    "dataset_card": f"""
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(source, 'ALL') AS source,
+               CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER) AS level,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               {sql_stable_round(
+                   "CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)", 4
+               )} AS avg_doc_tokens
+        FROM documents
+        GROUP BY CUBE (lang, source)
+    """,
     "profile_stats": "\nUNION ALL\n".join(_sql_profile_col(c) for c in PROFILE_COLS),
     "validate_constraints": "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS constraint,

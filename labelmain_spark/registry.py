@@ -322,6 +322,12 @@ PRIORITY = [
     # Dolma-architecture taggers + ordered-rule mixer with reason
     # codes, one narrow codegen map (full oracle).
     "tag_and_filter",
+    # data-card rollup: per-(lang x source) slice stats + margins +
+    # total in ONE CUBE pass (full oracle).
+    "dataset_card",
+    # per-source contamination triage report (which ingest sources
+    # leak the eval suite — full oracle).
+    "contamination_matrix",
 ]
 
 

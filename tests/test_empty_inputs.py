@@ -167,6 +167,8 @@ REPRESENTATIVE = [
     "chi2_keywords",
     "domain_rank",
     "tag_and_filter",
+    "dataset_card",
+    "contamination_matrix",
 ]
 
 
