@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labelmain_spark.operators.parity import stable_round
 from labelmain_spark.sources.readers import load_table
 
 # GPT-2-style pre-tokenizer, simplified to ASCII classes (the fixture
@@ -182,6 +183,53 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
         .cast("long")
         .alias("n_ws_tokens"),
+    )
+
+
+FERTILITY_HI = 1.5  # BPE/word ratio above which a slice tokenizes poorly
+
+
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation report: per-language FERTILITY (BPE tokens
+    per whitespace word) under the corpus-fitted merges — the number
+    that decides whether a tokenizer serves a language fairly (high
+    fertility = more tokens per word = less effective context and
+    higher training cost for that slice; the standard multilingual-
+    tokenizer audit). Output per lang: docs, exact token totals, mean
+    fertility, and the share of docs above FERTILITY_HI.
+
+    Scale shape: the Arrow BPE counter is the bpe_token_count narrow
+    map (broadcast ranks, per-batch word cache, zero shuffles); the
+    per-lang rollup is one algebraic partial agg. Exactness: fertility
+    is the ratio of two exact long sums per lang, divided once at the
+    end (stable-rounded); the per-doc flag compares exact longs
+    (n_bpe > 1.5·n_ws as 2·n_bpe > 3·n_ws — integer arithmetic, no
+    float threshold). Rows-only: BPE segmentation has no SQL twin;
+    the counter itself is pinned by bpe_token_count's round-trip and
+    null-parity properties."""
+    merges = _fitted_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        _count_udf(merges)(F.col("text")).alias("n_bpe"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe"),
+        F.sum("n_ws").cast("long").alias("total_ws"),
+        stable_round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4
+        ).alias("fertility"),
+        stable_round(
+            F.sum((2 * F.col("n_bpe") > 3 * F.col("n_ws")).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_high_fertility"),
     )
 
 
@@ -328,6 +376,7 @@ QUERIES = {
     "bpe_train": bpe_train,
     "bpe_token_count": bpe_token_count,
     "pack_sequences_bpe": pack_sequences_bpe,
+    "bpe_fertility": bpe_fertility,
 }
 
 ORACLE: dict[str, str] = {}  # rows-only by design: DuckDB has no BPE

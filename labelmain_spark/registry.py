@@ -328,6 +328,10 @@ PRIORITY = [
     # per-source contamination triage report (which ingest sources
     # leak the eval suite — full oracle).
     "contamination_matrix",
+    # per-language tokenizer fertility audit under the fitted BPE
+    # (rows-only: no SQL twin for BPE segmentation; exact long sums,
+    # integer-arithmetic threshold flag).
+    "bpe_fertility",
 ]
 
 

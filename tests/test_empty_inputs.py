@@ -169,6 +169,7 @@ REPRESENTATIVE = [
     "tag_and_filter",
     "dataset_card",
     "contamination_matrix",
+    "bpe_fertility",
 ]
 
 

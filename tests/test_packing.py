@@ -288,3 +288,46 @@ def test_pack_bins_harmonic_invariants(spark, sf_dir):
             assert total * (k + 1) > BIN_BUDGET * k, (k, total)
     assert saw_full, "fixture produced no full bins — bound untested"
     spark.catalog.clearCache()
+
+
+def test_bpe_fertility_matches_driver_reference(spark, sf_dir):
+    """The per-lang fertility report must equal a driver-side Python
+    recomputation over the same fitted merges — exact long totals and
+    the integer-arithmetic high-fertility flag, no float drift."""
+    import math
+
+    from labelmain_spark.functions.bpe import (
+        _MERGE_MEMO,
+        _fitted_merges,
+        bpe_fertility,
+        bpe_segment,
+        pretokenize,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    got = {
+        r.lang: (r.n_docs, r.total_bpe, r.total_ws, r.fertility, r.pct_high_fertility)
+        for r in bpe_fertility(spark, sf_dir).collect()
+    }
+    ranks = {p: i for i, p in enumerate(_fitted_merges(spark, sf_dir))}
+    rows = load_table(spark, sf_dir, "documents").select("lang", "text").collect()
+    agg: dict[str, list[int]] = {}
+    for r in rows:
+        nb = sum(len(bpe_segment(w, ranks)) for w in pretokenize(r.text))
+        nw = len(r.text.split(" "))
+        a = agg.setdefault(r.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += nb
+        a[2] += nw
+        a[3] += 1 if 2 * nb > 3 * nw else 0
+    want = {
+        lang: (
+            n,
+            tb,
+            tw,
+            math.floor(tb / tw * 1e4 + 0.5) / 1e4,
+            math.floor(hi / n * 1e4 + 0.5) / 1e4,
+        )
+        for lang, (n, tb, tw, hi) in agg.items()
+    }
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want)}
