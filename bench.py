@@ -103,10 +103,15 @@ HEADLINE = [
     "gap_fill",
     # late-r7: the NLL/LM-quality family's first bench representative
     # (its hardest member — the bigram table is the scale-interesting
-    # shuffle; 2.3x DuckDB at x20 falling to 1.1-1.7x at x100). The
-    # other late keys are map-only or variants of represented
+    # shuffle; 2.3x DuckDB at x20 falling to 1.1-1.7x at x100), plus
+    # the two NEW-family report keys the x20/x100 tiers measured
+    # beating DuckDB outright (tag_and_filter 0.32x, the decision
+    # layer; contamination_matrix 0.07x, the release-triage report).
+    # The other late keys are map-only or variants of represented
     # families.
     "quality_bigram_nll",
+    "tag_and_filter",
+    "contamination_matrix",
 ]
 
 
