@@ -70,20 +70,27 @@ _MODULES = [
 # in-window components, ordered most-valuable-first in case the driver
 # checks more than 50.
 PRIORITY = [
-    # The r7 rotation pays the driver-evidence debt the r6 verdict
-    # prioritized: TEN first-ever-verified keys enter the window
-    # (quality_unigram_nll, curriculum_order, corpus_delta,
-    # corpus_shuffle, region_revenue, market_share, user_components,
-    # time_rollup, ann_multiprobe_topk, corpus_incremental); the ten
-    # rows they displace each carry an inline justification below,
-    # r4-r6 style — every rotated-out key stays registered and green
-    # in the local 132-key mirror.
+    # The r8 rotation pays down the driver-evidence debt the r7
+    # verdict ranked #1: TEN first-ever-verified full-oracle keys from
+    # the late-r7 continuation block enter the window (bm25_topk,
+    # pagerank, tag_and_filter, quality_bigram_nll, gap_fill,
+    # sample_weighted, dedup_url, group_quantiles, chi2_keywords,
+    # pack_bins_harmonic — the verdict's exact list), and
+    # ann_multiprobe_topk keeps its slot WITH a real SQL oracle now
+    # (fitted plane literals inlined, r7 verdict item 2) so the slot
+    # is never again burned on `no_oracle`. The ten rows displaced
+    # each carry an inline justification below, r4-r7 style — every
+    # rotated-out key stays registered and green in the local
+    # full-registry mirror at both SFs.
     #
     # scans / order-limit (S1-S5, O1-O3) — order_limit (O1/O2) moved
-    # out late-r5: Spark compiles orderBy+limit into the same
-    # TakeOrderedAndProject physical shape topk pins, and ordered
-    # pagination also runs inside cursor_page locally.
-    "scan_project", "point_lookup", "topk",
+    # out late-r5 (TakeOrderedAndProject pinned by topk; ordered
+    # pagination in cursor_page). point_lookup (S2/P11) moved out r8
+    # after SEVEN straight green rows (r1-r7): scan_project
+    # (in-window) pins the same parquet scan with pushed predicates,
+    # and the bucket-pruned layout variant keeps its dedicated pytest
+    # (tests/test_layout.py).
+    "scan_project", "topk",
     # filters (P8-P10, T3) — filter_contains (P9) out r4 (single LIKE
     # predicate, pushdown shape pinned in-window); filter_null (P10)
     # out r5 (filter_nonempty pins the same null/empty
@@ -92,68 +99,85 @@ PRIORITY = [
     # aggregates (A2-A8, map/array families) — group_count (A6) out r4
     # (count_sum is a strict superset); wallet_map (S4/A2) out r5
     # (collect_nested pins grouped list-collect). count_distinct (A7)
-    # moved out r7: domain_stats (in-window) plans the IDENTICAL
-    # two-phase distinct expand (partial per (domain, doc_id), final
-    # per domain) on a corpus-scale exploded input — strictly harder
-    # than the 5-key dim distinct — and approx_distinct stays the
-    # sketch twin locally.
-    "count_sum", "collect_nested", "rollup_agg",
+    # out r7 (domain_stats plans the identical two-phase distinct
+    # expand at corpus scale). count_sum (A5) moved out r8 after seven
+    # straight green rows: rollup_agg (in-window) is its strict
+    # grouping superset (same partial+final sum/count machinery plus
+    # grouping sets), and group_quantiles (rotating in) adds a NEW
+    # single-pass exact-aggregation row on the harder histogram path.
+    "collect_nested", "rollup_agg",
     # projections / scalar families (P1-P7, §2.8) — string_concat out
     # r4; reshape_3col (P7) out r5 (parse_html_reports pins the
     # identical positional reshape); regex_max_page (P2/A1) and
-    # string_norm (P6) out r6 (extraction + grouped-max and the
-    # lower/trim/substring chain both run verbatim inside in-window
-    # keys).
-    "regex_extract",
-    "json_extract", "parse_html_reports",
-    # joins (J1, J3, J4) — join_asof (J4) out r5 (join_range pins the
-    # time-conditioned family; attribution_join is the stream-capable
-    # superset, in-window); join_anti (J3) out r6 (boilerplate_strip
-    # plans the identical LEFT ANTI against a corpus-scale postings
-    # table, in-window).
+    # string_norm (P6) out r6. regex_extract (P1/P3) moved out r8
+    # after seven green rows: pii_scrub (in-window) runs the harder
+    # corpus-scale regexp machinery (multi-pattern regexp_replace) and
+    # parse_html_reports embeds the extract-all shape; P1 stays green
+    # in the mirror. json_extract moved out r8 after seven green rows:
+    # a zero-shuffle scalar JSON-path map whose narrow-codegen-map
+    # plan class now carries a harder in-window row via tag_and_filter
+    # (rotating in: the same one-projection map over corpus text with
+    # a full rule DAG inside it).
+    "parse_html_reports",
+    # joins (J1, J3, J4) — join_asof (J4) out r5; join_anti (J3) out
+    # r6 (boilerplate_strip plans the identical LEFT ANTI at corpus
+    # scale, in-window).
     "join_inner",
     # windows + event-time (W1-W3, T6, date family) — window_lag (W2)
-    # out r5 (window_running pins the per-key sort/shuffle with a
-    # harder frame); window_rank (W1) out late-r6 (tfidf_topk plans
-    # the identical partitioned row_number). window_tumbling (T6) moved
-    # out r7: time_rollup (promoted below, never driver-verified) is
-    # the strictly harder member of the same date-truncation grouping
-    # family (three chained date_trunc grains + mergeable re-agg vs one
-    # date_bin groupBy), and T6's event-time/watermark semantics keep
-    # their dedicated streaming pytest twin — the batch date-bin shape
-    # now carries a driver row through the harder key.
-    "window_running",
+    # out r5; window_rank (W1) out late-r6; window_tumbling (T6) out
+    # r7 (time_rollup is the harder date-truncation member, in-window;
+    # streaming pytest retained). window_running (W3) moved out r8
+    # after seven green rows: gap_fill (rotating in) plans the
+    # IDENTICAL partitioned ordered running window with a strictly
+    # harder frame — last(ignorenulls) LOCF over unbounded preceding —
+    # plus the hourly-spine join the plain running sum lacks.
     # set ops (§2.7, all three semantics in one key)
     "set_ops",
     # merge sinks + TTL dedup (S6-S8, J2, T2) — merge_addtoset (S7/A4)
-    # moved out r7 after six straight green rounds: merge_upsert
-    # (in-window) pins the full-outer + coalesce merge machinery that
-    # is the whole physical plan — the two keys differ only in the
-    # JVM array_union/array_distinct combine expression — and set
-    # semantics keep their own in-window row via set_ops; the freed
-    # row buys a never-verified TPC-H head below.
+    # out r7 (merge_upsert pins the full-outer + coalesce machinery;
+    # set semantics in-window via set_ops).
     "merge_upsert", "dedup_ttl",
     # label store (flagship) — label_stats out late-r5 (algebraic
     # rollup over label_consolidate's output).
     "label_consolidate",
-    # TPC-H analytics heads + sessionization graph — promoted r7: the
-    # r6 verdict named region_revenue and market_share "the most
-    # glaring evidence gap for headline queries" (bench-measured every
-    # round, never driver-verified); time_rollup is the hypertable
-    # continuous-aggregate pattern and user_components the hash-min
-    # connected-components closure — none of the four ever had a
-    # driver row.
-    "region_revenue", "market_share", "time_rollup", "user_components",
+    # TPC-H analytics heads + sessionization graph — region_revenue /
+    # market_share / time_rollup / user_components promoted r7 (the r6
+    # verdict's "most glaring evidence gap"), all four green in
+    # CORRECTNESS_r07. region_revenue and market_share moved out r8
+    # after that first green row (the mix_temperature precedent):
+    # both stay bench-headlined every round, their broadcast-dim
+    # join+agg class keeps in-window rows via join_inner and
+    # label_consolidate, and the two freed slots buy never-verified
+    # continuation-block keys. time_rollup and user_components stay —
+    # each pins a physical shape (chained date_trunc re-agg; hash-min
+    # fixpoint) nothing else in-window carries.
+    "time_rollup", "user_components",
     # text analysis + quality + PII (§2.11) — text_quality out r6
-    # (ratio expressions subsumed by c4_line_filter's rule set).
-    # quality_unigram_nll promoted r7 (headed the r6 verdict's
-    # rotation list; the CCNet scoring core that perplexity_buckets
-    # and curriculum_order build on, never driver-verified).
-    "text_tokens", "lang_id", "doc_winnow",
-    "tfidf_topk", "pii_scrub", "c4_line_filter", "perplexity_buckets",
+    # (subsumed by c4_line_filter's rule set). text_tokens moved out
+    # r8 after six green rows (r2-r7): whitespace/BPE-regex token
+    # counting runs VERBATIM inside quality_unigram_nll (in-window)
+    # and quality_bigram_nll (rotating in) — the shape keeps two
+    # driver rows through harder keys. tfidf_topk moved out r8 after
+    # five green rows: chi2_keywords (rotating in) plans the identical
+    # per-group rank-limit pushdown (top-K per lang) over the same
+    # corpus-scale term table PLUS the χ² contingency aggregation, and
+    # bm25_topk (rotating in) is the postings-family superset (df
+    # pruning + broadcast stats + multi-query scoring).
+    "lang_id", "doc_winnow",
+    "pii_scrub", "c4_line_filter", "perplexity_buckets",
     "quality_unigram_nll",
-    # web corpus stats (§2.11, C4-style)
-    "domain_stats", "url_canonical",
+    # never-driver-verified continuation-block text keys, promoted r8
+    # (verdict item 1 list): the Jelinek-Mercer bigram LM tier, the χ²
+    # corpus-report op, the Dolma tag-and-filter decision layer, and
+    # multi-query BM25 retrieval — all full oracles.
+    "quality_bigram_nll", "chi2_keywords", "tag_and_filter", "bm25_topk",
+    # web corpus stats (§2.11, C4-style) + canonical-URL dedup
+    # (promoted r8, never driver-verified) and the domain link-graph
+    # integer PageRank core (promoted r8: bit-exact unrolled-CTE
+    # oracle; DuckDB's oracle measured spilling 80 GB at ×50 while
+    # Spark stays flat — the scale-inversion poster child deserves a
+    # driver row).
+    "domain_stats", "url_canonical", "dedup_url", "pagerank",
     # dedup family + decontamination (§2.11) — r6 rotations:
     # duplicate_spans → remove_duplicate_spans (strict superset),
     # shard_pack → pack_sequences (token-granular superset).
@@ -176,6 +200,11 @@ PRIORITY = [
     "dedup_minhash", "decontaminate_spans",
     "dedup_paragraph", "dedup_clusters", "remove_duplicate_spans",
     "boilerplate_strip", "dedup_incremental_near",
+    # exact per-group quantiles promoted r8 (never driver-verified;
+    # the discretized-histogram machinery's full-oracle row — no group
+    # ever materializes, integer predicates, measured 21,606-cell
+    # bound).
+    "group_quantiles",
     # snapshot lifecycle (new r6/r7): corpus_delta (CDC classify,
     # promoted r7 — r6 newcomer, never driver-verified) and
     # corpus_incremental (new r7 — the five-stage snapshot-to-snapshot
@@ -187,8 +216,15 @@ PRIORITY = [
     # pack_sequences) and the incremental composition is the
     # production daily-crawl shape the r6 verdict asked to verify.
     "corpus_delta", "corpus_incremental",
-    "pack_sequences",
+    # pack_bins_harmonic promoted r8 (never driver-verified): the
+    # Harmonic-K whole-document bin-packing full oracle alongside the
+    # token-granular pack_sequences.
+    "pack_sequences", "pack_bins_harmonic",
     "funnel_match", "attribution_join",
+    # gap_fill promoted r8 (never driver-verified): hourly-spine LOCF
+    # — inherits window_running's driver coverage with a strictly
+    # harder frame (see the W1-W3 rotation note above).
+    "gap_fill",
     # embeddings / similarity (§2.11) — similarity_topk out late-r5
     # (knn_join is its strict superset); embedding_neardup out r6
     # (both halves pinned in-window). ann_multiprobe_topk promoted r7
@@ -196,25 +232,23 @@ PRIORITY = [
     # production path (recall ≥0.9 at the production operating point)
     # and it never had a driver row — rows-only by nature (random
     # hyperplane constants have no SQL twin), recall-property-tested.
+    # ann_multiprobe_topk keeps its r7 slot — now as a FULL ORACLE
+    # (r8: fitted plane literals inlined semantic_dedup-style,
+    # functions/vectors.py::_sql_ann_multiprobe), so this row is a
+    # real hash check instead of r7's burned `no_oracle`.
     "knn_join", "semantic_dedup", "dsir_weights", "ann_multiprobe_topk",
-    # sampling / dataset assembly — sample_stratified out r6.
-    # corpus_shuffle and curriculum_order promoted r7 (r6 newcomers,
-    # never driver-verified: the deterministic-permutation and
-    # curriculum exclusive-prefix-count plans, full oracles).
-    # mix_temperature moved out r7 after its first green driver row
-    # (r6): its exact basis-point copy-count + explode is the sampling
-    # family's last non-window member, every primitive it composes
-    # (hash-keyspace predicates, per-group exact counts, explode)
-    # runs in-window inside corpus_incremental / pipeline keys, and
-    # the freed row buys the never-verified curriculum_order.
-    # validate_constraints moved out r7 after its first green driver
-    # row (r6): the N-constraints-in-one-aggregation-pass plan is the
-    # single-scan agg class count_sum/rollup_agg pin; stays in the
-    # local mirror and its pytest.
-    # chunk_documents moved out r7 after its first green driver row
-    # (r6): zero-shuffle explode+slice expression work, the plan class
-    # c4_line_filter (in-window) pins; stays in the local mirror.
-    "corpus_shuffle", "curriculum_order",
+    # sampling / dataset assembly — sample_stratified out r6;
+    # mix_temperature, validate_constraints, chunk_documents out r7
+    # after their first green rows (r6), shapes pinned by in-window
+    # keys. corpus_shuffle moved out r8 after its first green row
+    # (r7), same precedent: the deterministic permutation is a pure
+    # hash-key sort, and curriculum_order (in-window) keeps the
+    # harder exclusive-prefix-count positioning row of the same
+    # family. sample_weighted promoted r8 (never driver-verified):
+    # Efraimidis–Spirakis weighted sampling without replacement, the
+    # sampling family's only key whose TakeOrdered-on-transformed-keys
+    # plan had no driver row.
+    "sample_weighted", "curriculum_order",
     # multimodal + UDF surface (§2.10) — udaf_grouped out r5,
     # multimodal_meta out r6, udf_scalar out late-r6 (semantic_dedup's
     # assignment stage IS an in-window scalar pandas_udf); GROUPED_AGG
@@ -224,8 +258,12 @@ PRIORITY = [
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
-    # r7 rotated-out keys lead the overflow so they'd be the first
+    # r8 rotated-out keys lead the overflow so they'd be the first
     # checked if the driver window ever widens.
+    "point_lookup", "regex_extract", "json_extract", "count_sum",
+    "window_running", "region_revenue", "market_share", "text_tokens",
+    "tfidf_topk", "corpus_shuffle",
+    # r7 rotated-out keys next.
     "dedup_exact", "contamination_check", "ngram_jaccard",
     "corpus_pipeline", "window_tumbling", "count_distinct",
     "merge_addtoset", "mix_temperature", "validate_constraints",
@@ -258,30 +296,14 @@ PRIORITY = [
     "order_limit", "similarity_topk", "label_stats",
     "bpe_token_count", "pack_sequences_bpe",
     "semantic_dedup_ivf",
-    # r7 late additions (never yet driver-verified — r8 rotation
-    # candidates): multi-query BM25 retrieval; Efraimidis–Spirakis
-    # weighted sampling without replacement; hourly-spine LOCF gap
-    # fill (all full oracles).
-    "bm25_topk", "sample_weighted", "gap_fill",
-    # fixed-iteration integer PageRank (bit-exact unrolled oracle).
-    "pagerank",
     # distributed BPE merge learning (rows-only: iterative argmax has
     # no fixed SQL form; exact-equality-vs-reference property test).
     "bpe_train",
-    # Harmonic-K whole-document bin packing (full oracle).
-    "pack_bins_harmonic",
-    # ---- late-late-r7 continuation block (never yet driver-verified
-    # — prime r8 rotation candidates; all full-oracle unless noted) --
-    # λ-interpolated bigram LM quality score (Jelinek-Mercer; the
-    # fidelity step above quality_unigram_nll toward CCNet's KenLM —
-    # full oracle, exact micro-unit transition sums).
-    "quality_bigram_nll",
+    # ---- remaining late-r7 continuation block (all full-oracle
+    # unless noted; ten of its members entered the window r8) ----
     # UT1/C4-style domain-blocklist document filter (suffix-rule
     # matching as one narrow JVM map, zero shuffles — full oracle).
     "blocklist_filter",
-    # CCNet-style canonical-URL dedup: keep the best capture per page
-    # (min-struct survivor, map-side-collapsing — full oracle).
-    "dedup_url",
     # Unicode NFC normalization: Arrow-batched unicodedata UDF vs
     # DuckDB's ICU nfc_normalize as an independent implementation
     # (full oracle — two unrelated NFC engines must agree).
@@ -307,21 +329,10 @@ PRIORITY = [
     # features (no vocabulary object — corpus-size-independent),
     # sparse treeAggregate LR (rows-only; held-out accuracy property).
     "quality_fasttext_score",
-    # exact per-group quantiles via the discretized-histogram
-    # machinery (no group ever materializes; integer predicates —
-    # full oracle; approx_quantiles' exact complement).
-    "group_quantiles",
-    # per-language distinctive terms by chi-squared over the exact
-    # term×lang contingency table, top-K per lang via rank-limit
-    # pushdown (the corpus-report op — full oracle).
-    "chi2_keywords",
     # domain-level link-graph PageRank (CommonCrawl host-rank shape):
     # web extraction composes into the shared integer_pagerank core
     # over string nodes; bit-exact unrolled-CTE oracle.
     "domain_rank",
-    # Dolma-architecture taggers + ordered-rule mixer with reason
-    # codes, one narrow codegen map (full oracle).
-    "tag_and_filter",
     # data-card rollup: per-(lang x source) slice stats + margins +
     # total in ONE CUBE pass (full oracle).
     "dataset_card",
