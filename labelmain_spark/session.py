@@ -45,6 +45,20 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing (r8): with the 4 MB default openCostInBytes,
+        # a single mid-size file (the ×20-×100 fixtures: 12-57 MB) is
+        # capped at totalBytes/4MB splits — 15 tasks on a 32-core box,
+        # idling half of it through every CPU-dense narrow map. 1 MB
+        # lets bytesPerCore drive the split count in the mid-size
+        # regime while leaving both extremes unchanged: sub-MB bench
+        # fixtures still scan as one task, and multi-TB corpora split
+        # on maxPartitionBytes long before open-cost matters.
+        # (Prerequisite, found the same round: splits only parallelize
+        # MULTI-ROW-GROUP parquet — the scale fixtures were one giant
+        # row group, silently serializing every scan through ONE task
+        # in both engines; scripts/*_scale* now write 16k-row groups.
+        # See PERF.md r8.)
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
         # Fixture events.ts is parquet TIMESTAMP(NANOS), which the Spark
         # reader rejects; read as long and convert in the loader (the
         # same ns→µs truncation DuckDB applies).

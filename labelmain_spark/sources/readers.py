@@ -98,6 +98,40 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+REBALANCE_MIN_BYTES = 32 << 20
+
+
+def rebalance_dense_scan(df: DataFrame, min_bytes: int = REBALANCE_MIN_BYTES) -> DataFrame:
+    """Repartition a CPU-dense narrow-map input to the core count when
+    the file scan UNDER-SPLITS the box (r8, generalizing knn_join's
+    measured fix): Spark sizes scan partitions by BYTES, so a dense
+    per-row transform over a single mid-size file runs on a fraction
+    of the cores while the rest idle — the dominant stage of every
+    flat map-constant key on the r7 weak list (bm25_topk 18→5.8 s at
+    ×100 from this alone, measured on the old single-row-group
+    fixture whose scan was ONE indivisible task; with realistic
+    multi-row-group files the gate usually never fires because the
+    scan splits natively — this helper remains the guard for
+    unsplittable inputs: single-row-group uploads, gzip JSON, small
+    dense side-tables).
+
+    Both gate arms keep the shuffle off the paths where it would only
+    add cost: (a) plan-stats bytes below ``min_bytes`` = the work is
+    sub-second and the extra stage is pure dispatch floor (the sf0.1
+    bench keys); (b) scan splits already ≥ parallelism = a real
+    multi-TB corpus, which never pays the shuffle. The stats probe is
+    driver-side only (optimizer statistics, no job)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM-backed plan oddity: skip, never fail the key
+        return df
+    if size >= min_bytes and df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view so operators can use spark.sql."""
     for n in names or TABLES:

@@ -100,7 +100,7 @@ def gen_fixture(scale: int) -> str:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, out)
+    pq.write_table(tbl, out, row_group_size=16384)
     return out_dir
 
 

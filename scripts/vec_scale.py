@@ -47,7 +47,7 @@ def make_corpus(n: int, path: str) -> None:
             "label": pa.array([i % 5 for i in range(n)], pa.int32()),
         }
     )
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=16384)
 
 
 def centroids(k: int) -> list[list[float]]:
