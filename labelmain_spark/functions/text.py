@@ -662,6 +662,116 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIGRAM_LAMBDA = 0.7  # JM weight on the trigram MLE (λ₂ stays BIGRAM_LAMBDA)
+
+
+def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursively interpolated TRIGRAM LM quality score (r7 verdict
+    item 5) — the next fidelity rung toward CCNet's 5-gram KenLM
+    above :func:`quality_bigram_nll`: per-document mean negative log
+    probability of each trigram transition under Jelinek-Mercer
+    recursive interpolation (Chen & Goodman 1996, eq. 5):
+
+        p(w₃|w₁w₂) = λ₃·c(w₁w₂w₃)/c(w₁w₂)
+                   + (1−λ₃)·[λ₂·c(w₂w₃)/c(w₂) + (1−λ₂)·c(w₃)/N]
+
+    The trigram term catches what the bigram rung can't: locally
+    plausible word pairs chained into implausible triples (template
+    splices, shuffled clauses). Context counts c(w₁w₂) come from the
+    FULL corpus bigram table (the standard estimator; the end-of-doc
+    deficiency — a doc's last bigram never opens a trigram — is the
+    usual benign normalization slack, deterministic in both engines).
+    Docs with <3 tokens have no trigram and are absent, exactly as
+    the bigram key omits single-token docs.
+
+    Scale shape — the bigram key's architecture EXTENDED one order,
+    which is precisely what it was built to show: n-gram formation
+    stays inside the token-array expression (three slices +
+    arrays_zip, pure JVM — no self-join, no window); raw postings
+    pre-aggregate per (doc, w₁, w₂, w₃) map-side; the UNIGRAM table
+    broadcasts (vocab-bounded); the BIGRAM and TRIGRAM tables
+    deliberately do NOT (distinct n-grams grow toward |V|ⁿ at 100 TB)
+    — both ride shuffle joins on their n-gram keys, where per-doc
+    pre-aggregation has already collapsed the Zipf-hot repeats and
+    AQE skew-join splits the rest. Per-transition NLL is rounded to
+    6 dp and carried as exact integer micro-units × multiplicity (the
+    family discipline), so the per-doc sum is an order-free long sum.
+    Measured ×20/×100: see PERF.md r8 scale row."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    cu = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_u"))
+    )
+    tot = cu.agg(F.sum("cnt_u").alias("total"))
+    n = F.size("toks")
+    tris = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 2).alias("w1"),
+                F.slice("toks", 2, n - 2).alias("w2"),
+                F.slice("toks", 3, n - 2).alias("w3"),
+            )
+        ).alias("tg"),
+    ).select(
+        "doc_id",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    # per-doc pre-agg first (map-side combinable) — the corpus trigram
+    # table derives from the reduced frame, the bigram-key diamond
+    # note applies verbatim (recompute beats persisting string tuples)
+    dtg = tris.groupBy("doc_id", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("m"))
+    ct = dtg.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("cnt_t"))
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("prev"),
+                F.slice("toks", 2, n - 1).alias("cur"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    cb = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
+    ctx = cb.select(
+        F.col("prev").alias("w1"), F.col("cur").alias("w2"),
+        F.col("cnt_b").alias("cnt_ctx"),
+    )
+    b23 = cb.select(
+        F.col("prev").alias("w2"), F.col("cur").alias("w3"),
+        F.col("cnt_b").alias("cnt_b23"),
+    )
+    cu_w2 = cu.select(F.col("term").alias("w2"), F.col("cnt_u").alias("cnt_w2"))
+    cu_w3 = cu.select(F.col("term").alias("w3"), F.col("cnt_u").alias("cnt_w3"))
+    p = F.lit(TRIGRAM_LAMBDA) * (
+        F.col("cnt_t").cast("double") / F.col("cnt_ctx")
+    ) + F.lit(1.0 - TRIGRAM_LAMBDA) * (
+        F.lit(BIGRAM_LAMBDA) * (F.col("cnt_b23").cast("double") / F.col("cnt_w2"))
+        + F.lit(1.0 - BIGRAM_LAMBDA)
+        * (F.col("cnt_w3").cast("double") / F.col("total"))
+    )
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dtg.join(ct, ["w1", "w2", "w3"])
+        .join(ctx, ["w1", "w2"])
+        .join(b23, ["w2", "w3"])
+        .join(F.broadcast(cu_w2), "w2")
+        .join(F.broadcast(cu_w3), "w3")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_trigrams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("trigram_nll"),
+    )
+
+
 # Tag taxonomy for phrase-dictionary tagging: tag → marker phrases
 # (multi-word, so matching is substring-level, not token-set overlap
 # like lang_id). Deterministic dict order fixes the column build.
@@ -1076,6 +1186,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "quality_unigram_nll": quality_unigram_nll,
     "quality_bigram_nll": quality_bigram_nll,
+    "quality_trigram_nll": quality_trigram_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
     "tag_and_filter": tag_and_filter,
@@ -1307,6 +1418,75 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS bigram_nll
+        FROM p GROUP BY doc_id
+    """,
+    # the bigram oracle extended one order: same recursive JM
+    # expression token-for-token, context counts from the full bigram
+    # table, micro-unit rounding before the order-free weighted sum.
+    # The count CTEs are AS MATERIALIZED and the corpus total rides a
+    # 1-row CROSS JOIN: with every relation inlined, DuckDB's
+    # optimizer merged this 6-way join into ONE hash join whose build
+    # side was a CROSS_PRODUCT chain of all the count tables (~10^18
+    # rows — measured hang at sf0.001; the 3-join bigram twin
+    # tolerates inlining). Materialization gives each side a real
+    # cardinality and the plan returns to five hash joins, 0.2 s.
+    "quality_trigram_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), cu AS MATERIALIZED (
+            SELECT term, COUNT(*) AS cnt_u FROM (
+                SELECT unnest(toks) AS term FROM t
+            ) GROUP BY term
+        ), bg AS (
+            SELECT u.prev AS prev, u.cur AS cur FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM bg GROUP BY prev, cur
+        ), tg AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 2, 0)),
+                           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                  'w3': toks[i + 3]}}
+                       )) AS u
+                FROM t
+            )
+        ), dtg AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS m
+            FROM tg GROUP BY doc_id, w1, w2, w3
+        ), ct AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(SUM(m) AS BIGINT) AS cnt_t
+            FROM dtg GROUP BY w1, w2, w3
+        ), tot AS MATERIALIZED (
+            SELECT CAST(SUM(cnt_u) AS BIGINT) AS total FROM cu
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln({TRIGRAM_LAMBDA!r} * (CAST(ct.cnt_t AS DOUBLE) / ctx.cnt_b)"
+                       f" + {1.0 - TRIGRAM_LAMBDA!r} * ({BIGRAM_LAMBDA!r}"
+                       " * (CAST(b23.cnt_b AS DOUBLE) / pu.cnt_u)"
+                       f" + {1.0 - BIGRAM_LAMBDA!r} * (CAST(cc.cnt_u AS DOUBLE)"
+                       " / tot.total)))", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dtg d
+            JOIN ct ON ct.w1 = d.w1 AND ct.w2 = d.w2 AND ct.w3 = d.w3
+            JOIN cb ctx ON ctx.prev = d.w1 AND ctx.cur = d.w2
+            JOIN cb b23 ON b23.prev = d.w2 AND b23.cur = d.w3
+            JOIN cu pu ON pu.term = d.w2
+            JOIN cu cc ON cc.term = d.w3
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_trigrams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS trigram_nll
         FROM p GROUP BY doc_id
     """,
     # identical χ² expression over exact longs (cast to double before

@@ -258,8 +258,14 @@ PRIORITY = [
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
-    # r8 rotated-out keys lead the overflow so they'd be the first
-    # checked if the driver window ever widens.
+    # r8's new key leads the overflow (prime r9 rotation candidate):
+    # recursively-interpolated TRIGRAM JM LM quality (r7 verdict item
+    # 5 — the fidelity rung above quality_bigram_nll toward CCNet's
+    # 5-gram KenLM; full oracle, exact micro-unit transition sums,
+    # broadcast-unigram/shuffled-bigram+trigram split).
+    "quality_trigram_nll",
+    # r8 rotated-out keys next so they'd be the first checked if the
+    # driver window ever widens.
     "point_lookup", "regex_extract", "json_extract", "count_sum",
     "window_running", "region_revenue", "market_share", "text_tokens",
     "tfidf_topk", "corpus_shuffle",

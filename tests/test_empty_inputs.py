@@ -170,6 +170,8 @@ REPRESENTATIVE = [
     "dataset_card",
     "contamination_matrix",
     "bpe_fertility",
+    # round-8 additions
+    "quality_trigram_nll",
 ]
 
 
