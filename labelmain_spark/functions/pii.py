@@ -138,8 +138,19 @@ def pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsplittable scan (9.8 → 4.0 s measured on the old fixture), and
     the fixtures now write 16k-row groups like any real corpus, which
     parallelizes the scan natively in BOTH engines. Final ×100:
-    **1.1 s vs DuckDB 3.4 s = 0.33×** — the key inverts."""
+    **1.1 s vs DuckDB 3.4 s = 0.33×** — the key inverts.
+
+    The scrubber body lives in :func:`luhn_docs` — shared VERBATIM
+    with the streaming ingest twin
+    (streaming/incremental.py::run_pii_luhn_sink): row-local, no
+    cross-batch state, so stream parity holds by construction."""
     docs = rebalance_dense_scan(load_table(spark, sf_dir, "documents"))
+    return luhn_docs(docs)
+
+
+def luhn_docs(docs: DataFrame) -> DataFrame:
+    """The Luhn card scrubber over (doc_id, text) — see
+    :func:`pii_luhn` for semantics and scale argument."""
     luhn_ok = (
         "aggregate(transform(reverse(split(regexp_replace(c, '[^0-9]', ''), '')),"
         " (d, i) -> CASE WHEN i % 2 = 1"

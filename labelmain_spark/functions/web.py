@@ -119,8 +119,20 @@ def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exploded suffix chain against the broadcast blocklist
     table — same bounded-small-side class as the dedup family's
     benchmark shingles, and the per-doc verdict re-aggregates
-    map-side. Either way the corpus never shuffles to be classified."""
+    map-side. Either way the corpus never shuffles to be classified.
+
+    The classifier body lives in :func:`blocklist_docs` — shared
+    VERBATIM with the streaming ingest twin
+    (streaming/incremental.py::run_blocklist_sink), the r7 verdict's
+    tag_and_filter discipline: row-local, no cross-batch state, so
+    stream parity holds by construction."""
     docs = load_table(spark, sf_dir, "documents")
+    return blocklist_docs(docs)
+
+
+def blocklist_docs(docs: DataFrame) -> DataFrame:
+    """The blocklist classifier over (doc_id, text) — see
+    :func:`blocklist_filter` for semantics and scale argument."""
     hosts = F.transform(
         F.regexp_extract_all(_augmented(), F.lit(URL_RE), 0),
         lambda u: F.regexp_extract(u, DOMAIN_RE, 1),

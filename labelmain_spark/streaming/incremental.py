@@ -313,6 +313,64 @@ def run_tag_filter_sink(
     q.awaitTermination()
 
 
+def run_blocklist_sink(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of blocklist_filter (r7 verdict item 6): the
+    domain-blocklist gate is the FIRST filter a daily-crawl pipeline
+    runs at ingest, so each crawl micro-batch classifies through
+    functions/web.py::blocklist_docs — shared VERBATIM with the batch
+    key; the suffix-rule map is row-local, no cross-batch state, so
+    parity holds by construction — and lands as parquet with the
+    verdict and matched entry attached. Same idempotent
+    epoch-overwrite discipline as the other sinks (foreachBatch is
+    at-least-once; each epoch rewrites its OWN directory)."""
+    from labelmain_spark.functions.web import blocklist_docs
+
+    def block_batch(batch: DataFrame, epoch_id: int) -> None:
+        blocklist_docs(batch.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
+
+    q = (
+        docs.writeStream.foreachBatch(block_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_pii_luhn_sink(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of pii_luhn (r7 verdict item 6): the
+    Luhn-validated card scrub is the other ingest-time gate a crawl
+    pipeline runs daily; each micro-batch runs
+    functions/pii.py::luhn_docs — shared VERBATIM with the batch key,
+    row-local array expressions, no cross-batch state — and lands the
+    redacted text + counts as parquet under the idempotent
+    epoch-overwrite discipline."""
+    from labelmain_spark.functions.pii import luhn_docs
+
+    def luhn_batch(batch: DataFrame, epoch_id: int) -> None:
+        luhn_docs(batch.select("doc_id", "text")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
+
+    q = (
+        docs.writeStream.foreachBatch(luhn_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_decontaminate_sink(
     docs: DataFrame,
     bench: DataFrame,

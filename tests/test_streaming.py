@@ -400,6 +400,50 @@ def test_stream_c4_line_filter_matches_batch(spark, sf_dir):
     assert got == want and got, (len(got), len(want))
 
 
+def test_stream_blocklist_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming blocklist gate == the batch key on the same docs:
+    blocklist_docs is row-local (no cross-batch state), shared
+    verbatim by both paths, so accumulated foreachBatch output must
+    reproduce blocklist_filter row-for-row including the matched
+    entry."""
+    from labelmain_spark.functions.web import blocklist_filter
+
+    stream = inc.stream_documents(spark, sf_dir).select("doc_id", "text")
+    out_path = str(tmp_path / "blocked")
+    inc.run_blocklist_sink(stream, out_path, str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.n_hosts, r.blocked_domain, r.kept)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_hosts, r.blocked_domain, r.kept)
+        for r in blocklist_filter(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+
+
+def test_stream_pii_luhn_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Luhn card scrub == the batch key on the same docs:
+    luhn_docs is row-local, shared verbatim, so accumulated
+    foreachBatch output must reproduce pii_luhn row-for-row including
+    the redacted text (the false-positive invalid-check-digit case
+    rides along unredacted in both paths)."""
+    from labelmain_spark.functions.pii import pii_luhn
+
+    stream = inc.stream_documents(spark, sf_dir).select("doc_id", "text")
+    out_path = str(tmp_path / "luhn")
+    inc.run_pii_luhn_sink(stream, out_path, str(tmp_path / "ckpt"))
+    got = {
+        (r.doc_id, r.n_candidates, r.n_valid_cards, r.has_card, r.redacted)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        (r.doc_id, r.n_candidates, r.n_valid_cards, r.has_card, r.redacted)
+        for r in pii_luhn(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+
+
 def test_stream_tag_filter_matches_batch(spark, sf_dir, tmp_path):
     """Streaming tagging+filtering == the batch key on the same docs:
     tag_docs is row-local (no cross-batch state), shared verbatim by
