@@ -1243,6 +1243,142 @@ def _sql_semantic_dedup() -> str:
     """
 
 
+CLUSTER_TOPICS_K = 10  # distinctive terms reported per cluster
+
+
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-profiling report (new r8) — the companion every
+    embedding-clustered curation run needs (SemDeDup / DataComp-style
+    audits): WHAT is in each cluster, in words. Each document's
+    embedding is assigned to its nearest frozen centroid (the
+    semantic_dedup assignment, shared machinery and shared exactness
+    proof), then each cluster is described by its χ²-most-distinctive
+    terms (the chi2_keywords statistic with cluster id as the slice
+    key) plus its document count. Output: (cluster, n_docs, rk, term,
+    a, chi2) — the table a curator reads before deciding which
+    clusters to drop, downsample, or upweight.
+
+    Composition, not new machinery: the Arrow-matmul centroid
+    assignment (bit-exact to the JVM fold, `_centroid_assign_udf`'s
+    proof) joins documents on the shared id, and the χ² contingency
+    plan is one (cluster, term) partial-agg shuffle with broadcast
+    marginals and rank-limit-pushdown top-K — both shapes carry
+    in-window driver rows via semantic_dedup and chi2_keywords. At
+    100 TB the id join is the only corpus×corpus edge and it is
+    layout-co-partitioned (both sides keyed by the document id);
+    everything downstream is vocab- or k-bounded."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    assign = _centroid_assign_udf(_SEM_CENTROIDS)
+    assigned = e.select(
+        "vec_id", assign(F.col("v"), F.col("vn")).alias("s")
+    ).select("vec_id", F.col("s.cluster").alias("cluster"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jd = docs.join(assigned, docs.doc_id == assigned.vec_id).select(
+        "cluster", "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    nd = jd.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    ct = (
+        jd.select("cluster", F.explode("toks").alias("term"))
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    termtot = ct.groupBy("term").agg(F.sum("a").alias("term_total"))
+    cltot = ct.groupBy("cluster").agg(F.sum("a").alias("cl_total"))
+    tot = ct.agg(F.sum("a").alias("nn"))
+    j = (
+        ct.join(F.broadcast(termtot), "term")
+        .join(F.broadcast(cltot), "cluster")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("term_total") - F.col("a")).cast("double")
+    c = (F.col("cl_total") - F.col("a")).cast("double")
+    d = (F.col("nn") - F.col("term_total") - F.col("cl_total") + F.col("a")).cast(
+        "double"
+    )
+    chi2 = stable_round(
+        F.col("nn").cast("double")
+        * F.pow(a * d - b * c, F.lit(2.0))
+        / ((a + b) * (c + d) * (a + c) * (b + d)),
+        4,
+    )
+    ranked = j.select("cluster", "term", "a", chi2.alias("chi2")).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.col("chi2").desc(), F.col("term").asc())
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= CLUSTER_TOPICS_K)
+        .join(F.broadcast(nd), "cluster")
+        .select(
+            "cluster", "n_docs", F.col("rk").cast("int").alias("rk"),
+            "term", "a", "chi2",
+        )
+    )
+
+
+def _sql_cluster_topics() -> str:
+    """DuckDB twin: the semantic_dedup assignment CTE (inlined frozen
+    centroid literals, list_position argmax) feeding the chi2_keywords
+    contingency SQL with cluster as the slice key."""
+    sims = "[" + ", ".join(_sql_sem_cos(c) for c in _SEM_CENTROIDS) + "]"
+    chi2 = sql_stable_round(
+        "CAST(nn AS DOUBLE)"
+        " * power(CAST(ct.a AS DOUBLE) * CAST(nn - term_total - cl_total + ct.a AS DOUBLE)"
+        "         - CAST(term_total - ct.a AS DOUBLE) * CAST(cl_total - ct.a AS DOUBLE), 2.0)"
+        " / ((CAST(ct.a AS DOUBLE) + CAST(term_total - ct.a AS DOUBLE))"
+        "    * (CAST(cl_total - ct.a AS DOUBLE) + CAST(nn - term_total - cl_total + ct.a AS DOUBLE))"
+        "    * (CAST(ct.a AS DOUBLE) + CAST(cl_total - ct.a AS DOUBLE))"
+        "    * (CAST(term_total - ct.a AS DOUBLE) + CAST(nn - term_total - cl_total + ct.a AS DOUBLE)))",
+        4,
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), en AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e
+        ), s AS (
+            SELECT vec_id, {sims} AS cl_sims FROM en
+        ), asg AS (
+            SELECT vec_id,
+                   CAST(list_position(cl_sims, list_max(cl_sims)) - 1 AS INTEGER) AS cluster
+            FROM s
+        ), jd AS (
+            SELECT asg.cluster, d.doc_id, string_split(d.text, ' ') AS toks
+            FROM documents d JOIN asg ON d.doc_id = asg.vec_id
+        ), nd AS (
+            SELECT cluster, COUNT(*) AS n_docs FROM jd GROUP BY cluster
+        ), ct AS (
+            SELECT cluster, term, CAST(COUNT(*) AS BIGINT) AS a FROM (
+                SELECT cluster, unnest(toks) AS term FROM jd
+            ) GROUP BY cluster, term
+        ), tt AS (
+            SELECT term, SUM(a) AS term_total FROM ct GROUP BY term
+        ), lt AS (
+            SELECT cluster, SUM(a) AS cl_total FROM ct GROUP BY cluster
+        ), n AS (SELECT SUM(a) AS nn FROM ct),
+        x AS (
+            SELECT ct.cluster, ct.term, ct.a, {chi2} AS chi2
+            FROM ct JOIN tt USING (term) JOIN lt USING (cluster) CROSS JOIN n
+        )
+        SELECT r.cluster, nd.n_docs, CAST(rk AS INTEGER) AS rk, term, a, chi2
+        FROM (
+            SELECT cluster, term, a, chi2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cluster ORDER BY chi2 DESC, term ASC
+                   ) AS rk
+            FROM x
+        ) r JOIN nd USING (cluster) WHERE rk <= {CLUSTER_TOPICS_K}
+    """
+
+
 KNN_K = 5
 KNN_Q_MOD = 100  # vec_id % 100 == 0 → the query set
 KNN_SALT = 8
@@ -1418,11 +1554,13 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
     "knn_join": knn_join,
+    "cluster_topics": cluster_topics,
 }
 
 ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),
+    "cluster_topics": _sql_cluster_topics(),
     "knn_join": _SQL_KNN_JOIN,
     "similarity_topk": f"""
         WITH e AS (

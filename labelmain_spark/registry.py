@@ -264,6 +264,11 @@ PRIORITY = [
     # 5-gram KenLM; full oracle, exact micro-unit transition sums,
     # broadcast-unigram/shuffled-bigram+trigram split).
     "quality_trigram_nll",
+    # cluster-profiling report (new r8): frozen-centroid assignment
+    # (semantic_dedup machinery) + χ²-distinctive terms per cluster
+    # (chi2_keywords statistic) — the curation-audit table; full
+    # oracle via inlined centroid literals.
+    "cluster_topics",
     # r8 rotated-out keys next so they'd be the first checked if the
     # driver window ever widens.
     "point_lookup", "regex_extract", "json_extract", "count_sum",

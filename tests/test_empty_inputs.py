@@ -172,6 +172,7 @@ REPRESENTATIVE = [
     "bpe_fertility",
     # round-8 additions
     "quality_trigram_nll",
+    "cluster_topics",
 ]
 
 
