@@ -322,6 +322,44 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of `ann_lsh_topk` (r8 — the multiprobe oracle
+    precedent applied to the didactic baseline; its old 'impractical
+    to inline' justification stopped being true the moment
+    `_sql_ann_multiprobe` inlined plane literals): per-table 4-bit
+    sign signatures over the 32 inlined hyperplanes, candidate = the
+    row's signature equals the query's in ANY table, exact
+    rounded-cosine top-k rerank."""
+    tables = [
+        ["[" + ", ".join(_sql_double(w) for w in row) + "]" for row in planes]
+        for planes in _ANN_LSH_PLANES
+    ]
+
+    def sig(src: str, t: list[str]) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({src}, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(t)
+        ) + ")"
+
+    collide = " OR ".join(f"{sig('v', t)} = {sig('qv', t)}" for t in tables)
+    cos = sql_stable_round(
+        "(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))",
+        4,
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id, {cos} AS cos_sim
+        FROM e CROSS JOIN q
+        WHERE vec_id <> {QUERY_VEC_ID} AND ({collide})
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """
+
+
 ANN_MP_BITS = 6
 ANN_MP_PROBES = 8
 
@@ -1546,7 +1584,7 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "embedding_centroid": embedding_centroid,
     "embedding_neardup": embedding_neardup,
-    "ann_lsh_topk": ann_lsh_topk,  # rows-only: LSH plane constants are impractical to inline in SQL
+    "ann_lsh_topk": ann_lsh_topk,  # full oracle since r8: all 32 table planes inlined (multiprobe precedent)
     "ann_multiprobe_topk": ann_multiprobe_topk,  # full oracle since r8: fitted planes inlined as SQL literals
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
@@ -1560,6 +1598,7 @@ QUERIES = {
 ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),
+    "ann_lsh_topk": _sql_ann_lsh(),
     "cluster_topics": _sql_cluster_topics(),
     "knn_join": _SQL_KNN_JOIN,
     "similarity_topk": f"""
