@@ -209,13 +209,142 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_FLAG_NUM = 50  # |doc-count delta| · 50 > prev ⇔ >2% slice drift
+
+
+def card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot DATA-CARD DRIFT report (new r8) — the
+    release-engineering table a corpus version bump ships next to its
+    dataset card: for every (lang × source) slice, doc/token totals in
+    the previous and current snapshots, the deltas, and a drift status
+    (`new` / `dropped` / `flagged` when the doc count moved more than
+    2% / `stable`). Catches the silent failure class dataset releases
+    actually hit — a source's crawler died, a language's filter
+    threshold drifted — before training does. Snapshot convention
+    shared verbatim with `corpus_delta` (overlapping 90% hash
+    snapshots, 5% revised texts), so all four statuses occur on real
+    fixture rows in both engines.
+
+    Scale shape: two single-pass grouped aggregations over
+    slice-bounded keys (the dataset_card argument — partials collapse
+    map-side, the exchange carries slices × partitions) and one
+    slice-bounded full-outer merge; the corpus text never moves.
+    Determinism: deltas are exact longs; the 2% flag is INTEGER
+    arithmetic (|Δ|·50 > n_prev — no float threshold compare); the
+    reported pct is stable-rounded for display only."""
+    from labelmain_spark.functions.dedup import DELTA_BP, DELTA_MUT_BP
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
+    in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
+    revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
+    cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
+        F.col("text")
+    )
+    prev = (
+        docs.filter(in_prev)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_prev"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tok_prev"),
+        )
+    )
+    cur = (
+        docs.filter(in_cur)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_cur"),
+            F.sum(F.size(F.split(cur_text, " ")).cast("long")).alias("tok_cur"),
+        )
+    )
+    j = prev.join(cur, ["lang", "source"], "full_outer")
+    np_ = F.coalesce(F.col("n_docs_prev"), F.lit(0)).cast("long")
+    nc = F.coalesce(F.col("n_docs_cur"), F.lit(0)).cast("long")
+    tp = F.coalesce(F.col("tok_prev"), F.lit(0)).cast("long")
+    tc = F.coalesce(F.col("tok_cur"), F.lit(0)).cast("long")
+    dd = (nc - np_).alias("doc_delta")
+    status = (
+        F.when(np_ == 0, "new")
+        .when(nc == 0, "dropped")
+        .when(F.abs(nc - np_) * F.lit(DRIFT_FLAG_NUM) > np_, "flagged")
+        .otherwise("stable")
+    )
+    pct = F.when(
+        np_ > 0, stable_round((nc - np_).cast("double") / np_, 4)
+    )
+    return j.select(
+        "lang",
+        "source",
+        np_.alias("n_docs_prev"),
+        nc.alias("n_docs_cur"),
+        dd,
+        tp.alias("tok_prev"),
+        tc.alias("tok_cur"),
+        (tc - tp).alias("tok_delta"),
+        pct.alias("doc_pct"),
+        status.alias("status"),
+    )
+
+
+def _sql_card_drift() -> str:
+    from labelmain_spark.functions.dedup import (
+        DELTA_BP,
+        DELTA_MUT_BP,
+        _sampling_hash_bp,
+    )
+
+    pct = sql_stable_round(
+        "CAST(COALESCE(c.n_docs_cur, 0) - COALESCE(p.n_docs_prev, 0) AS DOUBLE)"
+        " / COALESCE(p.n_docs_prev, 0)",
+        4,
+    )
+    return f"""
+        WITH prev AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs_prev,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_prev
+            FROM documents
+            WHERE {_sampling_hash_bp("doc_id", "duck", "snapA:")} < {DELTA_BP}
+            GROUP BY lang, source
+        ), cur AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs_cur,
+                   CAST(SUM(len(string_split(
+                       CASE WHEN {_sampling_hash_bp("doc_id", "duck", "mut:")} < {DELTA_MUT_BP}
+                            THEN text || ' rev2' ELSE text END, ' '))) AS BIGINT) AS tok_cur
+            FROM documents
+            WHERE {_sampling_hash_bp("doc_id", "duck", "snapB:")} < {DELTA_BP}
+            GROUP BY lang, source
+        )
+        SELECT COALESCE(p.lang, c.lang) AS lang,
+               COALESCE(p.source, c.source) AS source,
+               COALESCE(p.n_docs_prev, 0) AS n_docs_prev,
+               COALESCE(c.n_docs_cur, 0) AS n_docs_cur,
+               COALESCE(c.n_docs_cur, 0) - COALESCE(p.n_docs_prev, 0) AS doc_delta,
+               COALESCE(p.tok_prev, 0) AS tok_prev,
+               COALESCE(c.tok_cur, 0) AS tok_cur,
+               COALESCE(c.tok_cur, 0) - COALESCE(p.tok_prev, 0) AS tok_delta,
+               CASE WHEN COALESCE(p.n_docs_prev, 0) > 0 THEN {pct} END AS doc_pct,
+               CASE WHEN COALESCE(p.n_docs_prev, 0) = 0 THEN 'new'
+                    WHEN COALESCE(c.n_docs_cur, 0) = 0 THEN 'dropped'
+                    WHEN abs(COALESCE(c.n_docs_cur, 0) - COALESCE(p.n_docs_prev, 0))
+                         * {DRIFT_FLAG_NUM} > COALESCE(p.n_docs_prev, 0) THEN 'flagged'
+                    ELSE 'stable' END AS status
+        FROM prev p FULL OUTER JOIN cur c
+          ON p.lang = c.lang AND p.source = c.source
+    """
+
+
 QUERIES = {
     "profile_stats": profile_stats,
     "validate_constraints": validate_constraints,
     "dataset_card": dataset_card,
+    "card_drift": card_drift,
 }
 
 ORACLE = {
+    "card_drift": _sql_card_drift(),
     # identical CUBE; DuckDB's GROUPING() bit order matches Spark's
     # grouping_id for the same column order
     "dataset_card": f"""

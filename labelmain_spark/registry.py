@@ -269,6 +269,11 @@ PRIORITY = [
     # (chi2_keywords statistic) — the curation-audit table; full
     # oracle via inlined centroid literals.
     "cluster_topics",
+    # snapshot-to-snapshot data-card drift report (new r8): per-slice
+    # doc/token deltas + integer-exact 2% drift flags between the
+    # corpus_delta snapshot pair — the release version-diff table;
+    # full oracle.
+    "card_drift",
     # r8 rotated-out keys next so they'd be the first checked if the
     # driver window ever widens.
     "point_lookup", "regex_extract", "json_extract", "count_sum",

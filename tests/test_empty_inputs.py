@@ -173,6 +173,7 @@ REPRESENTATIVE = [
     # round-8 additions
     "quality_trigram_nll",
     "cluster_topics",
+    "card_drift",
 ]
 
 
