@@ -662,6 +662,81 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_D = 0.75  # Kneser-Ney absolute discount (the Chen & Goodman default)
+
+
+def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM quality score — the smoothing
+    family CCNet's KenLM actually uses (Chen & Goodman 1996 name it
+    the consistently best-performing method; `quality_bigram_nll` is
+    the Jelinek-Mercer rung, this is the KN rung of the same ladder):
+
+        p_KN(w|u) = (max(c(uw) − D, 0) + D · N₁₊(u·) · p_cont(w)) / c(u·)
+        p_cont(w) = N₁₊(·w) / N₁₊(··)
+
+    The continuation probability is KN's insight: a word's backoff
+    mass is how many CONTEXTS it completes, not how often it occurs —
+    "Francisco" is frequent but follows almost only "San", so KN
+    backs off to it far less than MLE would. Every term is an exact
+    integer count over the corpus bigram table: c(uw) the bigram
+    count, c(u·) the context total, N₁₊(u·) the distinct-successor
+    count, N₁₊(·w) the distinct-predecessor count, N₁₊(··) the
+    distinct bigram types. Docs with <2 tokens have no transition and
+    are absent (the family contract).
+
+    Scale shape — STRICTLY LIGHTER than the JM bigram key: transitions
+    form inside the token-array expression; per-doc (doc, prev, cur)
+    pre-agg collapses map-side; the corpus bigram table derives from
+    the reduced frame; and because all four KN statistics are keyed by
+    a SINGLE token (context totals / successor counts by prev,
+    continuation counts by cur, one scalar type count) they are
+    vocab-bounded BROADCASTS — the only corpus-scale shuffle join left
+    is dtg ⋈ cb on the bigram key. Determinism: per-transition NLL in
+    exact integer micro-units × multiplicity, the family discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("prev"),
+                F.slice("toks", 2, n - 1).alias("cur"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    dbg = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("m"))
+    cb = dbg.groupBy("prev", "cur").agg(F.sum("m").alias("cnt_b"))
+    ctx = cb.groupBy("prev").agg(
+        F.sum("cnt_b").alias("ctx_tot"),
+        F.count(F.lit(1)).alias("n_follow"),
+    )
+    cont = cb.groupBy("cur").agg(F.count(F.lit(1)).alias("n_precede"))
+    types = cb.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (
+        F.greatest(F.col("cnt_b").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D)
+        * F.col("n_follow").cast("double")
+        * (F.col("n_precede").cast("double") / F.col("n_types"))
+    ) / F.col("ctx_tot")
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dbg.join(cb, ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "cur")
+        .crossJoin(F.broadcast(types))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_bigrams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("kn_nll"),
+    )
+
+
 TRIGRAM_LAMBDA = 0.7  # JM weight on the trigram MLE (λ₂ stays BIGRAM_LAMBDA)
 
 
@@ -1187,6 +1262,7 @@ QUERIES = {
     "quality_unigram_nll": quality_unigram_nll,
     "quality_bigram_nll": quality_bigram_nll,
     "quality_trigram_nll": quality_trigram_nll,
+    "quality_kn_nll": quality_kn_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
     "tag_and_filter": tag_and_filter,
@@ -1418,6 +1494,58 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS bigram_nll
+        FROM p GROUP BY doc_id
+    """,
+    # interpolated Kneser-Ney twin: every statistic an exact count
+    # over the bigram table, expression mirrored token-for-token;
+    # MATERIALIZED count CTEs per the trigram-twin lesson (inlined
+    # same-source CTEs push DuckDB's optimizer into cross-product
+    # build sides).
+    "quality_kn_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, u.prev AS prev, u.cur AS cur FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), dbg AS MATERIALIZED (
+            SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS m
+            FROM bg GROUP BY doc_id, prev, cur
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(SUM(m) AS BIGINT) AS cnt_b
+            FROM dbg GROUP BY prev, cur
+        ), ctx AS MATERIALIZED (
+            SELECT prev, CAST(SUM(cnt_b) AS BIGINT) AS ctx_tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow
+            FROM cb GROUP BY prev
+        ), cont AS MATERIALIZED (
+            SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_precede
+            FROM cb GROUP BY cur
+        ), types AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cb
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln((greatest(CAST(cb.cnt_b AS DOUBLE) - {KN_D!r}, 0.0)"
+                       f" + {KN_D!r} * CAST(ctx.n_follow AS DOUBLE)"
+                       " * (CAST(cont.n_precede AS DOUBLE) / types.n_types))"
+                       " / ctx.ctx_tot)", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dbg d
+            JOIN cb ON cb.prev = d.prev AND cb.cur = d.cur
+            JOIN ctx ON ctx.prev = d.prev
+            JOIN cont ON cont.cur = d.cur
+            CROSS JOIN types
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_bigrams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS kn_nll
         FROM p GROUP BY doc_id
     """,
     # the bigram oracle extended one order: same recursive JM

@@ -274,6 +274,11 @@ PRIORITY = [
     # corpus_delta snapshot pair — the release version-diff table;
     # full oracle.
     "card_drift",
+    # interpolated Kneser-Ney bigram LM quality (new r8): the
+    # smoothing family KenLM actually uses — continuation-count
+    # backoff, every statistic an exact count over the bigram table;
+    # full oracle; 0.46× DuckDB at ×20 → 0.15× at ×100.
+    "quality_kn_nll",
     # r8 rotated-out keys next so they'd be the first checked if the
     # driver window ever widens.
     "point_lookup", "regex_extract", "json_extract", "count_sum",

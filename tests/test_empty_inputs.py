@@ -174,6 +174,7 @@ REPRESENTATIVE = [
     "quality_trigram_nll",
     "cluster_topics",
     "card_drift",
+    "quality_kn_nll",
 ]
 
 
