@@ -302,11 +302,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # readers.rebalance_dense_scan with a size gate so sub-second
     # fixtures skip the extra stage).
     docs = rebalance_dense_scan(docs)
-    base = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[_tf(t).cast("long").alias(f"tf_{i}") for i, t in enumerate(qvocab)],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import track_persist
+
+    # tracked for release_caches: the RESULT plan reads this cache, so
+    # unpersisting before return would re-tokenize the corpus in the
+    # caller's action (r8 advice item — library sessions must not leak
+    # one entry per invocation)
+    base = track_persist(
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            *[_tf(t).cast("long").alias(f"tf_{i}") for i, t in enumerate(qvocab)],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     srow = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -785,9 +793,9 @@ def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.arrays_zip(
-                F.slice("toks", 1, n - 2).alias("w1"),
-                F.slice("toks", 2, n - 2).alias("w2"),
-                F.slice("toks", 3, n - 2).alias("w3"),
+                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("w1"),
+                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("w2"),
+                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
             )
         ).alias("tg"),
     ).select(

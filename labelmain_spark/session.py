@@ -82,6 +82,23 @@ def build_session(
     return spark
 
 
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """Register an operator-persisted DataFrame for release via
+    :func:`release_caches`. Operators whose RESULT plan still reads the
+    persisted frame (e.g. ``bm25_topk``'s tokenized tf projection)
+    cannot unpersist before returning — the caller's action would
+    recompute the projection and lose the single-tokenization plan —
+    so they register here instead; each ``release_caches`` call (and
+    only it) drops the entry. Long-lived library sessions that never
+    call ``release_caches`` would otherwise accumulate one cache entry
+    per distinct invocation (r8 advice item)."""
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
 def release_caches(spark: SparkSession) -> None:
     """Drop every persisted intermediate (shared explodes, cumsum level
     caches). Several operators persist diamond-shaped intermediates
@@ -93,6 +110,12 @@ def release_caches(spark: SparkSession) -> None:
     iterating many registry keys must call this between keys — bench.py
     and the test fixtures do; the correctness driver's per-key runs are
     short-lived."""
+    for df in _TRACKED_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session of the tracked frame may already be stopped
+    _TRACKED_PERSISTS.clear()
     spark.catalog.clearCache()
 
 

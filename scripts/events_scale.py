@@ -92,7 +92,7 @@ def gen_fixture(scale: int) -> str:
         "ts",
         base.column("ts").cast(pa.timestamp("us")),
     )
-    pq.write_table(pa.concat_tables([base.select(tbl.column_names, row_group_size=16384), tbl], row_group_size=16384), out, row_group_size=16384)
+    pq.write_table(pa.concat_tables([base.select(tbl.column_names), tbl]), out, row_group_size=16384)
     return out_dir
 
 

@@ -198,3 +198,49 @@ def test_query_survives_empty_tables(spark, empty_dir, key):
     assert df.count() >= 0
     assert df.schema.fieldNames()
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def tiny_docs_dir(tmp_path_factory):
+    """A documents table whose rows are all DEGENERATE: empty text
+    (split('', ' ') yields [''] — size 1, not 0), a 1-token doc, and a
+    2-token doc. The r8 advice item: F.slice('toks', 1, n-2) throws
+    INVALID_PARAMETER_VALUE.LENGTH when n-2 < 0, so the trigram rung
+    crashed on any <=2-token doc while its DuckDB oracle (guarded with
+    greatest(..., 0)) did not — an engine divergence on valid input
+    that no fixture happened to contain."""
+    d = tmp_path_factory.mktemp("tiny_sf")
+    for name, cols in _SCHEMAS.items():
+        if name == "documents":
+            continue
+        tbl = pa.table({c: pa.array([], t) for c, t in cols.items()})
+        pq.write_table(tbl, str(d / f"{name}.parquet"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["", "one", "two tokens", "a b c d"], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([0, 3, 10, 7], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "quality_unigram_nll",
+        "quality_bigram_nll",
+        "quality_kn_nll",
+        "quality_trigram_nll",
+    ],
+)
+def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
+    df = _QUERIES[key](spark, tiny_docs_dir)
+    rows = df.collect()
+    # docs with fewer tokens than the model order have no transition
+    # and are simply absent; the 4-token doc always scores
+    assert {r["doc_id"] for r in rows} >= {4}
+    spark.catalog.clearCache()
