@@ -19,7 +19,11 @@ from labelmain_spark.operators.parity import (
     sql_stable_round,
     stable_round,
 )
-from labelmain_spark.sources.readers import load_table, rebalance_dense_scan
+from labelmain_spark.sources.readers import (
+    broadcast_if_bounded,
+    load_table,
+    rebalance_dense_scan,
+)
 
 # Deterministic per-language marker sets for the n-gram/stopword
 # language-ID heuristic. Ordered dict: ties break on first-listed lang.
@@ -993,8 +997,12 @@ def chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes this slice different".
 
     Scale shape: the contingency table is ONE partial-agg shuffle
-    keyed (lang, term) — raw postings collapse map-side; term and
-    language marginals are vocab-/language-bounded broadcasts; χ² is
+    keyed (lang, term) — raw postings collapse map-side; the PER-TERM
+    marginal's cardinality is the corpus distinct vocabulary
+    (billions of rows on a web corpus), so its broadcast hint is
+    SIZE-GATED (``broadcast_if_bounded``, r9) with a co-partitioned
+    shuffle-join fallback on `term`; the language marginal and the
+    1-row total stay broadcast (genuinely bounded); χ² is
     a row-local double expression over exact longs (products cast to
     double BEFORE squaring — (ad−bc)² overflows int64 at ~10^9-token
     marginals, the kind of bug only a 100 TB corpus exposes); the
@@ -1013,8 +1021,13 @@ def chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     termtot = ct.groupBy("term").agg(F.sum("a").alias("term_total"))
     langtot = ct.groupBy("lang").agg(F.sum("a").alias("lang_total"))
     tot = ct.agg(F.sum("a").alias("nn"))
+    # termtot has one row per DISTINCT CORPUS TERM — size-gated hint
+    # (r9): broadcast on fixtures, plain shuffle join at web-scale
+    # vocabulary, where both sides co-partition on `term`. langtot and
+    # the 1-row total stay unconditionally broadcast (language set and
+    # a global count are genuinely bounded).
     j = (
-        ct.join(F.broadcast(termtot), "term")
+        ct.join(broadcast_if_bounded(termtot), "term")
         .join(F.broadcast(langtot), "lang")
         .crossJoin(F.broadcast(tot))
     )

@@ -39,7 +39,7 @@ from labelmain_spark.operators.parity import (
     sql_stable_round,
     stable_round,
 )
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -1299,8 +1299,10 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition, not new machinery: the Arrow-matmul centroid
     assignment (bit-exact to the JVM fold, `_centroid_assign_udf`'s
     proof) joins documents on the shared id, and the χ² contingency
-    plan is one (cluster, term) partial-agg shuffle with broadcast
-    marginals and rank-limit-pushdown top-K — both shapes carry
+    plan is one (cluster, term) partial-agg shuffle with a SIZE-GATED
+    per-term marginal join (``broadcast_if_bounded`` — broadcast on
+    fixtures, co-partitioned shuffle at web-scale vocabulary) and
+    rank-limit-pushdown top-K — both shapes carry
     in-window driver rows via semantic_dedup and chi2_keywords. At
     100 TB the id join is the only corpus×corpus edge and it is
     layout-co-partitioned (both sides keyed by the document id);
@@ -1329,8 +1331,12 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     termtot = ct.groupBy("term").agg(F.sum("a").alias("term_total"))
     cltot = ct.groupBy("cluster").agg(F.sum("a").alias("cl_total"))
     tot = ct.agg(F.sum("a").alias("nn"))
+    # per-term marginal = corpus vocabulary cardinality — size-gated
+    # hint (r9, the chi2_keywords gate shared verbatim): broadcast on
+    # fixtures, co-partitioned shuffle join on `term` at web scale.
+    # cltot (k centroids) and the 1-row total stay broadcast.
     j = (
-        ct.join(F.broadcast(termtot), "term")
+        ct.join(broadcast_if_bounded(termtot), "term")
         .join(F.broadcast(cltot), "cluster")
         .crossJoin(F.broadcast(tot))
     )
