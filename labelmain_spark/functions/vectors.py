@@ -908,6 +908,238 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQF_SCALE = 0.125  # 1/sqrt(dim): codewords at the unit-normalized subvector magnitude
+
+
+def _pq_frozen_books() -> list[list[list[float]]]:
+    """PQ_M × PQ_KS × dsub codewords, seeded and FROZEN AT IMPORT and
+    inlined as literals into BOTH engines (the `_sem_centroids`
+    pattern, extended to PQ per the r8 verdict item 3): the production
+    fitted-codebook key (`ann_pq_topk`) stays rows-only because a
+    driver-side k-means fit has no SQL twin, but nothing about the PQ
+    DECISION PROCEDURE — normalize, per-subspace argmin encode, ADC
+    lookup-table scoring, exact re-rank — depends on where the
+    codebooks came from. Frozen seeded codewords (scaled to the
+    unit-normalized subvector magnitude so ADC scores live in the
+    data's range) make the entire procedure oracle-checkable."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dsub = 64 // PQ_M
+    return [
+        [[float(x) for x in c] for c in rng.standard_normal((PQ_KS, dsub)) * PQF_SCALE]
+        for _ in range(PQ_M)
+    ]
+
+
+_PQ_FROZEN_BOOKS = _pq_frozen_books()
+
+
+def _pq_frozen_encode_udf():
+    """Arrow-batched frozen-codebook encoder with the banded-exactness
+    discipline of `_banded_round_matrix`: distances are computed as a
+    numpy matmul (`c2 − 2·sub@books`, the fitted encoder's form), and a
+    row's subspace is re-derived with exact sequential Python folds —
+    the oracle's evaluation order, including the first-occurrence tie
+    rule — whenever the two smallest distances sit within 1e-9 of each
+    other. Matmul-vs-fold drift on these O(0.1)-magnitude doubles is
+    ≲1e-13, so off-band argmins provably agree with the fold argmin
+    and in-band rows ARE the fold's answer: every emitted code equals
+    the oracle's `list_position(d, list_min(d))` bit-for-bit."""
+    import numpy as np
+
+    books_py = _PQ_FROZEN_BOOKS
+    books = np.array(books_py, dtype=np.float64)  # (M, k, dsub)
+    c2_py = [[_py_seq_dot(c, c) for c in books_py[m]] for m in range(PQ_M)]
+    c2 = np.array(c2_py)
+    M, k, dsub = books.shape
+
+    def _rederive(vrow, m: int) -> int:
+        vn2 = 0.0
+        for x in vrow:
+            vn2 = vn2 + x * x
+        vn = math.sqrt(vn2)
+        vn = vn if vn != 0.0 else 1.0
+        sub = [x / vn for x in vrow[m * dsub : (m + 1) * dsub]]
+        d = [
+            c2_py[m][j] - 2.0 * _py_seq_dot(sub, books_py[m][j]) for j in range(k)
+        ]
+        return min(range(k), key=lambda j: (d[j], j))
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        nv = mat / norms
+        codes = np.empty((len(mat), M), dtype=np.int64)
+        for m in range(M):
+            sub = nv[:, m * dsub : (m + 1) * dsub]
+            d = c2[m][None, :] - 2.0 * (sub @ books[m].T)
+            codes[:, m] = d.argmin(1)
+            part = np.partition(d, 1, axis=1)
+            for i in np.nonzero(part[:, 1] - part[:, 0] < 1e-9)[0]:
+                codes[int(i), m] = _rederive(mat[int(i)], m)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def ann_pq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_pq_topk`'s oracle-checkable twin: the IDENTICAL
+    encode→ADC→re-rank plan with the codebooks frozen at import
+    (`_pq_frozen_books`) instead of fitted.
+
+    Exactness argument (the `_sql_ann_multiprobe` discipline, term by
+    term — every float on both sides is produced by the same
+    sequential left-fold over the same doubles, per the module parity
+    note Python `sum`/JVM `F.aggregate`/DuckDB `list_dot_product`):
+    - normalization: ``x / norm`` elementwise with the zero-vector
+      guard (norm 0 → 1) — one IEEE division per element both sides.
+    - encode: per-subspace distance to codeword i is
+      ``c2_i − 2·dot(sub, c_i)`` (the ‖s‖²-dropped form the fitted
+      encoder uses); c2_i is a Python sequential self-dot inlined as a
+      literal in BOTH engines. The Spark side encodes via the banded
+      Arrow UDF (`_pq_frozen_encode_udf` — numpy matmul, near-tie
+      rows re-derived with exact folds), whose emitted code provably
+      equals the oracle's ``list_position(d, list_min(d))`` first-min
+      index.
+    - ADC: the (M × k) lookup table is the query's per-subspace dots
+      with each codeword — computed ONCE driver-side as Python floats
+      and inlined as array literals on the Spark side; the oracle
+      recomputes the same values in SQL from its own query row (same
+      fold). Score = left-to-right chain over the M looked-up entries.
+    - cutoff and re-rank: top-`PQ_RERANK` by (adc DESC, vec_id) on
+      bit-identical doubles, then the family's rounded exact cosine.
+
+    Scale shape = `ann_pq_topk`'s verbatim: narrow encode map (the
+    codes column is what a 100 TB store persists), zero-shuffle ADC
+    scan, TakeOrdered candidate pool, broadcast-semi-join re-rank.
+    (A first cut unrolled all M·k codeword distances as JVM fold
+    expressions — bit-exact by construction but Catalyst paid ~90 s
+    analyzing the 128-HOF tree at sf0.01; the banded Arrow encode
+    below is the measured replacement, same proof class as
+    `_banded_round_matrix`.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None or q_row[0] is None:
+        return e.select("vec_id", F.lit(0.0).alias("cos_sim")).filter(F.lit(False))
+    qv = list(q_row[0])
+    dim = len(qv)
+    if dim != PQ_M * (64 // PQ_M):
+        raise ValueError(f"frozen PQ codebooks assume dim 64, got {dim}")
+    dsub = dim // PQ_M
+    qn2 = 0.0
+    for x in qv:
+        qn2 = qn2 + x * x
+    qnorm = math.sqrt(qn2)
+    qnorm = qnorm if qnorm != 0.0 else 1.0
+    qn = [x / qnorm for x in qv]
+    lut = [
+        [_py_seq_dot(qn[m * dsub : (m + 1) * dsub], c) for c in _PQ_FROZEN_BOOKS[m]]
+        for m in range(PQ_M)
+    ]
+
+    enc = _pq_frozen_encode_udf()
+    adc = None
+    for m in range(PQ_M):
+        # exact left-to-right chain over M looked-up doubles — the
+        # same floats the oracle's lut{m}[code{m}] chain adds
+        term = F.element_at(
+            F.lit(lut[m]), (F.element_at("codes", m + 1) + F.lit(1)).cast("int")
+        )
+        adc = term if adc is None else adc + term
+    cands = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("codes", enc("v"))
+        .select("vec_id", adc.alias("adc_ip"))
+        .orderBy(F.col("adc_ip").desc(), F.col("vec_id").asc())
+        .limit(PQ_RERANK)
+        .select("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return (
+        e.join(F.broadcast(cands), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", stable_round(cosine(F.col("v"), F.col("q")), 4).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _sql_ann_pq_frozen() -> str:
+    """DuckDB twin of `ann_pq_frozen_topk` with the frozen codebooks
+    inlined as list literals — the PQ/ADC extension of
+    `_sql_ann_multiprobe`'s inlined-literal technique the r8 verdict
+    asked for. The LUT is recomputed in SQL from the oracle's own
+    query row (same sequential fold as the driver's Python floats);
+    codeword self-dots are the SAME Python-computed literals both
+    engines consume."""
+    dsub = 64 // PQ_M
+    books = _PQ_FROZEN_BOOKS
+    c2 = [[_py_seq_dot(c, c) for c in books[m]] for m in range(PQ_M)]
+    code_exprs, lut_exprs, adc_terms = [], [], []
+    for m in range(PQ_M):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        d_list = "[" + ",\n                   ".join(
+            f"({_sql_double(c2[m][i])} - 2e0 * list_dot_product(nv[{lo}:{hi}], "
+            + "["
+            + ", ".join(_sql_double(w) for w in books[m][i])
+            + "]))"
+            for i in range(len(books[m]))
+        ) + "]"
+        code_exprs.append(f"list_position({d_list}, list_min({d_list})) AS code{m}")
+        lut_list = "[" + ", ".join(
+            f"list_dot_product(qn[{lo}:{hi}], ["
+            + ", ".join(_sql_double(w) for w in books[m][i])
+            + "])"
+            for i in range(len(books[m]))
+        ) + "]"
+        lut_exprs.append(f"{lut_list} AS lut{m}")
+        adc_terms.append(f"lut{m}[code{m}]")
+    adc = "\n                 + ".join(adc_terms)
+    cos = sql_stable_round(
+        "(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))",
+        4,
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT v AS qv,
+                   list_transform(v, x -> x / (
+                       CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN 1e0
+                            ELSE sqrt(list_dot_product(v, v)) END)) AS qn
+            FROM e WHERE vec_id = {QUERY_VEC_ID}
+        ), lut AS (
+            SELECT qv, {", ".join(lut_exprs)} FROM q
+        ), coded AS (
+            SELECT vec_id, {", ".join(code_exprs)}
+            FROM (
+                SELECT vec_id,
+                       list_transform(v, x -> x / (
+                           CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN 1e0
+                                ELSE sqrt(list_dot_product(v, v)) END)) AS nv
+                FROM e WHERE vec_id <> {QUERY_VEC_ID}
+            )
+        ), cands AS (
+            SELECT vec_id,
+                   ({adc}) AS adc_ip
+            FROM coded CROSS JOIN lut
+            ORDER BY adc_ip DESC, vec_id ASC LIMIT {PQ_RERANK}
+        )
+        SELECT e.vec_id, {cos} AS cos_sim
+        FROM e JOIN cands USING (vec_id) CROSS JOIN q
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """
+
+
 def _ann_ivf_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
     """IVF-ADC over an arbitrary (vec_id, v) corpus: IVF prunes WHICH
     vectors are scanned (probed cells), PQ shrinks WHAT is read per
@@ -1594,6 +1826,7 @@ QUERIES = {
     "ann_multiprobe_topk": ann_multiprobe_topk,  # full oracle since r8: fitted planes inlined as SQL literals
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
+    "ann_pq_frozen_topk": ann_pq_frozen_topk,  # full oracle (r9): frozen codebooks inlined as SQL literals
     "ann_ivf_pq_topk": ann_ivf_pq_topk,  # rows-only: the composed IVF-ADC production shape; recall-tested
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
@@ -1604,6 +1837,7 @@ QUERIES = {
 ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),
+    "ann_pq_frozen_topk": _sql_ann_pq_frozen(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "cluster_topics": _sql_cluster_topics(),
     "knn_join": _SQL_KNN_JOIN,
