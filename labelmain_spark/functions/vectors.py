@@ -1658,6 +1658,7 @@ def _sql_cluster_topics() -> str:
 KNN_K = 5
 KNN_Q_MOD = 100  # vec_id % 100 == 0 → the query set
 KNN_SALT = 8
+KNN_Q_CAP = 100_000  # hard bound on the collected query set (~50 MB at 64-dim doubles)
 
 
 def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,11 +1672,18 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_id, vec_id, cos, rank).
 
     Scale shape (r6 re-plan — the r5 verdict's matmul transfer): the
-    query set is collected ONCE at plan build (bounded — it is the
-    small side by construction; a large Q goes through ann_ivf's cell
-    routing instead; same eager-bounded-action class as
-    quality_model_score's quantiles) and rides to every executor in
-    the ``mapInPandas`` closure. Scoring is a narrow Arrow map over
+    query set is collected ONCE at plan build and rides to every
+    executor in the ``mapInPandas`` closure. That collect is now a
+    HARD CONTRACT, enforced (r9, closing the r8 verdict's last
+    driver-side bottleneck): at most ``KNN_Q_CAP`` query vectors
+    (~50 MB of doubles — driver- and task-closure-bounded), checked
+    with a ``limit(cap+1)`` probe so the overflow case never pulls
+    the full set either. Above the cap the correct plan is a
+    DIFFERENT operator, and the error says so: route queries through
+    the IVF cell store (`write_ivf_store`/`probe_ivf_store`) or run
+    bounded external query blocks — a chunked-union variant here
+    would NOT fix memory (every block's matrix still lives in the
+    one plan's closures) and would re-scan the corpus per block. Scoring is a narrow Arrow map over
     the corpus: each batch computes ALL |batch| × |Q| cosines as one
     numpy matmul — r5's per-pair interpreted `zip_with`+`aggregate`
     fold was the same flat constant the semantic_dedup assignment
@@ -1705,8 +1713,17 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = (
         e.filter(F.col("vec_id") % KNN_Q_MOD == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .limit(KNN_Q_CAP + 1)
         .collect()
     )
+    if len(qrows) > KNN_Q_CAP:
+        raise ValueError(
+            f"knn_join query set exceeds KNN_Q_CAP={KNN_Q_CAP}: the "
+            "brute-force batch k-NN join collects the query side to "
+            "the driver by contract. Route large query sets through "
+            "the IVF cell store (write_ivf_store/probe_ivf_store) or "
+            "submit bounded external query blocks."
+        )
     out_schema = "q_id long, vec_id long, cos double"
     c = e.filter(F.col("vec_id") % KNN_Q_MOD != 0)
     if not qrows:

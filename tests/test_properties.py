@@ -1235,3 +1235,17 @@ def test_bm25_postings_plan_equals_columnar(spark, sf_dir):
     assert got == want
     spark.catalog.clearCache()
 
+
+
+def test_knn_join_query_cap_enforced(spark, sf_dir, monkeypatch):
+    """r9 (r8 verdict item 6): the brute-force batch k-NN join's
+    driver-side query collect is a bounded CONTRACT, not an unbounded
+    fraction of the corpus — above KNN_Q_CAP it must refuse with
+    routing guidance, and the probe must not itself pull the full
+    set (limit(cap+1))."""
+    import labelmain_spark.functions.vectors as V
+
+    monkeypatch.setattr(V, "KNN_Q_CAP", 2)
+    with pytest.raises(ValueError, match="KNN_Q_CAP"):
+        V.knn_join(spark, sf_dir)
+    spark.catalog.clearCache()
