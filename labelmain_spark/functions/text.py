@@ -859,6 +859,138 @@ def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FOURGRAM_LAMBDA = 0.65  # JM weight on the 4-gram MLE (λ₃/λ₂ stay TRIGRAM/BIGRAM_LAMBDA)
+
+
+def quality_4gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursively interpolated 4-GRAM LM quality score (r9, r8
+    verdict item 7 — the rung that makes the ladder's "extends
+    unchanged" claim MEASURED): per-document mean NLL of each 4-gram
+    transition under Jelinek-Mercer recursive interpolation (Chen &
+    Goodman 1996, eq. 5, one order up from `quality_trigram_nll`):
+
+        p(w₄|w₁w₂w₃) = λ₄·c(w₁w₂w₃w₄)/c(w₁w₂w₃) + (1−λ₄)·p₃(w₄|w₂w₃)
+
+    with p₃/p₂ exactly the trigram key's recursion. CCNet's
+    production scorer is a 5-gram KenLM; this is the 4th of its five
+    rungs, built by the ladder's template: one more slice in the
+    n-gram zip, one more corpus table, one more shuffle join on the
+    n-gram key.
+
+    Scale shape — the trigram docstring's argument, verbatim one
+    order up: n-gram formation stays inside the token-array
+    expression (four slices + arrays_zip, pure JVM); raw postings
+    pre-aggregate per (doc, w₁..w₄) map-side; the UNIGRAM table
+    broadcasts (vocab-bounded); bigram/trigram/4-gram tables ride
+    shuffle joins on their n-gram keys (distinct n-grams grow toward
+    |V|ⁿ at 100 TB — never broadcast), per-doc pre-aggregation
+    collapsing the Zipf-hot repeats and AQE splitting the rest.
+    Per-transition NLL → exact integer micro-units × multiplicity
+    (the family discipline); docs with <4 tokens have no 4-gram and
+    are absent. Slice lengths carry the greatest(n-3, 0) guard (the
+    r8 advice crash class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    cu = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_u"))
+    )
+    tot = cu.agg(F.sum("cnt_u").alias("total"))
+    n = F.size("toks")
+    quads = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(n - 3, F.lit(0))).alias("w1"),
+                F.slice("toks", 2, F.greatest(n - 3, F.lit(0))).alias("w2"),
+                F.slice("toks", 3, F.greatest(n - 3, F.lit(0))).alias("w3"),
+                F.slice("toks", 4, F.greatest(n - 3, F.lit(0))).alias("w4"),
+            )
+        ).alias("qg"),
+    ).select(
+        "doc_id",
+        F.col("qg.w1").alias("w1"),
+        F.col("qg.w2").alias("w2"),
+        F.col("qg.w3").alias("w3"),
+        F.col("qg.w4").alias("w4"),
+    )
+    dqg = quads.groupBy("doc_id", "w1", "w2", "w3", "w4").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c4 = dqg.groupBy("w1", "w2", "w3", "w4").agg(F.sum("m").alias("cnt_q"))
+    tris = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("a"),
+                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("b"),
+                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("c"),
+            )
+        ).alias("tg")
+    ).select(
+        F.col("tg.a").alias("a"), F.col("tg.b").alias("b"), F.col("tg.c").alias("c")
+    )
+    ct3 = tris.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("cnt_t"))
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("prev"),
+                F.slice("toks", 2, n - 1).alias("cur"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    cb = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
+    ctx3 = ct3.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c").alias("w3"),
+        F.col("cnt_t").alias("cnt_ctx3"),
+    )
+    t234 = ct3.select(
+        F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c").alias("w4"),
+        F.col("cnt_t").alias("cnt_t234"),
+    )
+    b23 = cb.select(
+        F.col("prev").alias("w2"), F.col("cur").alias("w3"),
+        F.col("cnt_b").alias("cnt_b23"),
+    )
+    b34 = cb.select(
+        F.col("prev").alias("w3"), F.col("cur").alias("w4"),
+        F.col("cnt_b").alias("cnt_b34"),
+    )
+    cu_w3 = cu.select(F.col("term").alias("w3"), F.col("cnt_u").alias("cnt_w3"))
+    cu_w4 = cu.select(F.col("term").alias("w4"), F.col("cnt_u").alias("cnt_w4"))
+    p = F.lit(FOURGRAM_LAMBDA) * (
+        F.col("cnt_q").cast("double") / F.col("cnt_ctx3")
+    ) + F.lit(1.0 - FOURGRAM_LAMBDA) * (
+        F.lit(TRIGRAM_LAMBDA) * (F.col("cnt_t234").cast("double") / F.col("cnt_b23"))
+        + F.lit(1.0 - TRIGRAM_LAMBDA)
+        * (
+            F.lit(BIGRAM_LAMBDA) * (F.col("cnt_b34").cast("double") / F.col("cnt_w3"))
+            + F.lit(1.0 - BIGRAM_LAMBDA)
+            * (F.col("cnt_w4").cast("double") / F.col("total"))
+        )
+    )
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dqg.join(c4, ["w1", "w2", "w3", "w4"])
+        .join(ctx3, ["w1", "w2", "w3"])
+        .join(t234, ["w2", "w3", "w4"])
+        .join(b23, ["w2", "w3"])
+        .join(b34, ["w3", "w4"])
+        .join(F.broadcast(cu_w3), "w3")
+        .join(F.broadcast(cu_w4), "w4")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_4grams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("fourgram_nll"),
+    )
+
+
 # Tag taxonomy for phrase-dictionary tagging: tag → marker phrases
 # (multi-word, so matching is substring-level, not token-set overlap
 # like lang_id). Deterministic dict order fixes the column build.
@@ -1283,6 +1415,7 @@ QUERIES = {
     "quality_unigram_nll": quality_unigram_nll,
     "quality_bigram_nll": quality_bigram_nll,
     "quality_trigram_nll": quality_trigram_nll,
+    "quality_4gram_nll": quality_4gram_nll,
     "quality_kn_nll": quality_kn_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
@@ -1636,6 +1769,81 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS trigram_nll
+        FROM p GROUP BY doc_id
+    """,
+    "quality_4gram_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), cu AS MATERIALIZED (
+            SELECT term, COUNT(*) AS cnt_u FROM (
+                SELECT unnest(toks) AS term FROM t
+            ) GROUP BY term
+        ), bg AS (
+            SELECT u.prev AS prev, u.cur AS cur FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM bg GROUP BY prev, cur
+        ), tg AS (
+            SELECT u.a AS a, u.b AS b, u.c AS c FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 2, 0)),
+                           i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                  'c': toks[i + 3]}}
+                       )) AS u
+                FROM t
+            )
+        ), ct3 AS MATERIALIZED (
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt_t
+            FROM tg GROUP BY a, b, c
+        ), qg AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, u.w4 AS w4 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 3, 0)),
+                           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                  'w3': toks[i + 3], 'w4': toks[i + 4]}}
+                       )) AS u
+                FROM t
+            )
+        ), dqg AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS m
+            FROM qg GROUP BY doc_id, w1, w2, w3, w4
+        ), c4 AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, CAST(SUM(m) AS BIGINT) AS cnt_q
+            FROM dqg GROUP BY w1, w2, w3, w4
+        ), tot AS MATERIALIZED (
+            SELECT CAST(SUM(cnt_u) AS BIGINT) AS total FROM cu
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln({FOURGRAM_LAMBDA!r} * (CAST(c4.cnt_q AS DOUBLE) / ctx3.cnt_t)"
+                       f" + {1.0 - FOURGRAM_LAMBDA!r} * ({TRIGRAM_LAMBDA!r}"
+                       " * (CAST(t234.cnt_t AS DOUBLE) / b23.cnt_b)"
+                       f" + {1.0 - TRIGRAM_LAMBDA!r} * ({BIGRAM_LAMBDA!r}"
+                       " * (CAST(b34.cnt_b AS DOUBLE) / cu3.cnt_u)"
+                       f" + {1.0 - BIGRAM_LAMBDA!r} * (CAST(cu4.cnt_u AS DOUBLE)"
+                       " / tot.total))))", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dqg d
+            JOIN c4 ON c4.w1 = d.w1 AND c4.w2 = d.w2 AND c4.w3 = d.w3 AND c4.w4 = d.w4
+            JOIN ct3 ctx3 ON ctx3.a = d.w1 AND ctx3.b = d.w2 AND ctx3.c = d.w3
+            JOIN ct3 t234 ON t234.a = d.w2 AND t234.b = d.w3 AND t234.c = d.w4
+            JOIN cb b23 ON b23.prev = d.w2 AND b23.cur = d.w3
+            JOIN cb b34 ON b34.prev = d.w3 AND b34.cur = d.w4
+            JOIN cu cu3 ON cu3.term = d.w3
+            JOIN cu cu4 ON cu4.term = d.w4
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_4grams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS fourgram_nll
         FROM p GROUP BY doc_id
     """,
     # identical χ² expression over exact longs (cast to double before

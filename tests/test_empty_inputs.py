@@ -235,6 +235,7 @@ def tiny_docs_dir(tmp_path_factory):
         "quality_bigram_nll",
         "quality_kn_nll",
         "quality_trigram_nll",
+        "quality_4gram_nll",
     ],
 )
 def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
