@@ -201,22 +201,52 @@ def corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production both digest tables live in the bucketed label-store
     layout (labelstore/layout.py), making the merge co-located —
     zero-shuffle — and no snapshot's TEXT ever moves."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prev, cur = delta_snapshots(docs)
+    j = prev.join(
+        cur.select("doc_id", doc_digest("text").alias("new_digest")),
+        "doc_id",
+        "full_outer",
+    )
+    return delta_classify(j)
+
+
+def doc_digest(col: str) -> Column:
+    """The snapshot-identity digest both delta keys and the streaming
+    twin share: sha256 of the normalized text."""
+    return F.sha2(F.lower(F.trim(F.col(col))), 256)
+
+
+def delta_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The fixture snapshot-pair convention shared VERBATIM by
+    `corpus_delta`, `card_drift` and the streaming release sink
+    (streaming/incremental.py): overlapping 90% hash snapshots of the
+    documents frame, with 5% of the CURRENT snapshot's texts
+    deterministically revised. Returns ``prev`` as a digest-only
+    projection (doc_id, old_digest) and ``cur`` as the current
+    snapshot's doc rows with the revision applied to ``text`` (all
+    other columns carried through)."""
     from labelmain_spark.functions.sampling import _hash_bp_expr
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
     in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
     revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
     prev = docs.filter(in_prev).select(
-        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("old_digest")
+        "doc_id", doc_digest("text").alias("old_digest")
     )
     cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
         F.col("text")
     )
-    cur = docs.filter(in_cur).select(
-        "doc_id", F.sha2(F.lower(F.trim(cur_text)), 256).alias("new_digest")
-    )
-    j = prev.join(cur, "doc_id", "full_outer")
+    cur = docs.filter(in_cur).withColumn("text", cur_text)
+    return prev, cur
+
+
+def delta_classify(j: DataFrame) -> DataFrame:
+    """The CDC classify expression over a (doc_id, old_digest,
+    new_digest) joined frame — shared verbatim between the batch
+    full-outer merge and the streaming twin's per-batch LEFT join +
+    stream-close removed-reconcile (where one digest side is null by
+    construction)."""
     return j.select(
         "doc_id",
         F.when(F.col("old_digest").isNull(), "added")

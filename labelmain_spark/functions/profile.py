@@ -232,34 +232,34 @@ def card_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: deltas are exact longs; the 2% flag is INTEGER
     arithmetic (|Δ|·50 > n_prev — no float threshold compare); the
     reported pct is stable-rounded for display only."""
-    from labelmain_spark.functions.dedup import DELTA_BP, DELTA_MUT_BP
+    from labelmain_spark.functions.dedup import DELTA_BP, delta_snapshots
     from labelmain_spark.functions.sampling import _hash_bp_expr
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
     in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
-    in_cur = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapB:")) < DELTA_BP
-    revised = F.expr(_hash_bp_expr("doc_id", "spark", salt="mut:")) < DELTA_MUT_BP
-    cur_text = F.when(revised, F.concat(F.col("text"), F.lit(" rev2"))).otherwise(
-        F.col("text")
+    _, cur = delta_snapshots(docs)
+    prev = slice_agg(docs.filter(in_prev), "n_docs_prev", "tok_prev")
+    cur = slice_agg(cur, "n_docs_cur", "tok_cur")
+    return drift_report(prev, cur)
+
+
+def slice_agg(docs: DataFrame, n_name: str, tok_name: str) -> DataFrame:
+    """Per-(lang, source) doc/token totals — the partial-aggregable
+    core shared by `card_drift` and the streaming release sink (the
+    sums are order-free longs, so per-micro-batch partials summed at
+    stream close equal the one-pass batch aggregate exactly)."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias(n_name),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(tok_name),
     )
-    prev = (
-        docs.filter(in_prev)
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_prev"),
-            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tok_prev"),
-        )
-    )
-    cur = (
-        docs.filter(in_cur)
-        .groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_cur"),
-            F.sum(F.size(F.split(cur_text, " ")).cast("long")).alias("tok_cur"),
-        )
-    )
+
+
+def drift_report(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """The drift classify/report over the two slice aggregates —
+    shared verbatim between the batch key and the streaming twin's
+    stream-close reconcile."""
     j = prev.join(cur, ["lang", "source"], "full_outer")
     np_ = F.coalesce(F.col("n_docs_prev"), F.lit(0)).cast("long")
     nc = F.coalesce(F.col("n_docs_cur"), F.lit(0)).cast("long")

@@ -409,3 +409,88 @@ def run_decontaminate_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_release_sink(
+    docs: DataFrame,
+    prev_digests: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming twin of the snapshot-delta family (r8 verdict item
+    8 — the release-engineering loop on a stream): each micro-batch
+    of the landing crawl (1) classifies against the PREVIOUS
+    snapshot's digest table through
+    functions/dedup.py::delta_classify — shared VERBATIM with
+    corpus_delta; per-batch the join is stream-static LEFT, so only
+    the cur-side statuses (added/changed/unchanged) can fire — and
+    (2) lands a per-(lang, source) doc/token PARTIAL aggregate
+    through functions/profile.py::slice_agg. ``removed`` rows and
+    the card-drift table are STREAM-CLOSE reconciles
+    (:func:`finalize_release`): a doc that never arrives cannot be
+    classified until the release window closes, and drift is an
+    aggregate over the whole snapshot. Same idempotent
+    epoch-overwrite discipline as every sink here (foreachBatch is
+    at-least-once; each epoch rewrites its OWN directory — partials
+    from a replayed epoch overwrite, never double-count)."""
+    from labelmain_spark.functions.dedup import delta_classify, doc_digest
+    from labelmain_spark.functions.profile import slice_agg
+
+    def release_batch(batch: DataFrame, epoch_id: int) -> None:
+        cur = batch.select(
+            "doc_id", "lang", "source", "text",
+            doc_digest("text").alias("new_digest"),
+        )
+        delta_classify(
+            cur.select("doc_id", "new_digest").join(prev_digests, "doc_id", "left")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, "delta", f"epoch={epoch_id}")
+        )
+        slice_agg(cur, "n_docs_cur", "tok_cur").write.mode("overwrite").parquet(
+            os.path.join(out_path, "parts", f"epoch={epoch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(release_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_release(
+    spark: SparkSession,
+    prev_digests: DataFrame,
+    prev_agg: DataFrame,
+    out_path: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Stream-close reconcile for :func:`run_release_sink`: returns
+    (delta, drift). ``removed`` = the previous snapshot's ids the
+    stream never delivered, classified through the SAME
+    delta_classify expression (new_digest null by construction);
+    drift = functions/profile.py::drift_report over the previous
+    aggregate and the order-free SUM of the landed partials —
+    exactly the batch keys' values, because long sums are
+    associative and the classify expression is row-local."""
+    from labelmain_spark.functions.dedup import delta_classify
+    from labelmain_spark.functions.profile import drift_report
+
+    landed = spark.read.parquet(os.path.join(out_path, "delta")).select(
+        "doc_id", "status", "old_digest", "new_digest"
+    )  # drop the epoch partition column the per-epoch layout adds
+    removed = delta_classify(
+        prev_digests.join(landed.select("doc_id"), "doc_id", "left_anti").withColumn(
+            "new_digest", F.lit(None).cast("string")
+        )
+    )
+    delta = landed.unionByName(removed)
+    cur_agg = (
+        spark.read.parquet(os.path.join(out_path, "parts"))
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs_cur").alias("n_docs_cur"),
+            F.sum("tok_cur").alias("tok_cur"),
+        )
+    )
+    return delta, drift_report(prev_agg, cur_agg)

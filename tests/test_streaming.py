@@ -463,3 +463,63 @@ def test_stream_tag_filter_matches_batch(spark, sf_dir, tmp_path):
         for r in tag_and_filter(spark, sf_dir).collect()
     }
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_release_matches_batch(spark, sf_dir, tmp_path):
+    """The release-engineering loop on a stream (r9, r8 verdict item
+    8): crawl lands in micro-batches → per-batch delta classify +
+    drift partials → stream-close reconcile. The finalized (delta,
+    drift) pair must equal corpus_delta and card_drift row-for-row:
+    delta_classify is row-local and shared verbatim, and the drift
+    partials are order-free long sums, so multi-batch accumulation is
+    exact — 'removed' rows can only exist at close, which is the
+    point of the reconcile."""
+    from labelmain_spark.functions.dedup import (
+        DELTA_BP,
+        corpus_delta,
+        delta_snapshots,
+    )
+    from labelmain_spark.functions.profile import card_drift, slice_agg
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+    from labelmain_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    prev_digests, cur = delta_snapshots(docs)
+    in_prev = F.expr(_hash_bp_expr("doc_id", "spark", salt="snapA:")) < DELTA_BP
+    prev_agg = slice_agg(docs.filter(in_prev), "n_docs_prev", "tok_prev")
+
+    # land the current snapshot as a 3-file landing zone so the sink
+    # genuinely runs multiple micro-batches (maxFilesPerTrigger=1)
+    landing = str(tmp_path / "landing")
+    cur.repartition(3).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out_path = str(tmp_path / "release")
+    inc.run_release_sink(stream, prev_digests, out_path, str(tmp_path / "ckpt"))
+    delta, drift = inc.finalize_release(spark, prev_digests, prev_agg, out_path)
+
+    got_delta = {
+        (r.doc_id, r.status, r.old_digest, r.new_digest) for r in delta.collect()
+    }
+    want_delta = {
+        (r.doc_id, r.status, r.old_digest, r.new_digest)
+        for r in corpus_delta(spark, sf_dir).collect()
+    }
+    assert got_delta == want_delta and got_delta, (
+        len(got_delta), len(want_delta),
+    )
+    assert {s for (_, s, _, _) in got_delta} == {
+        "added", "removed", "changed", "unchanged"
+    }
+
+    got_drift = {tuple(r) for r in drift.collect()}
+    want_drift = {tuple(r) for r in card_drift(spark, sf_dir).collect()}
+    assert got_drift == want_drift and got_drift, (
+        len(got_drift), len(want_drift),
+    )
