@@ -5,41 +5,38 @@ Language Models Better" surface: every position opening a
 corpus (across OR within documents). Downstream, those spans are cut
 from all-but-one occurrence; here the operator emits the span map.
 
-Algorithm (hash prefix-doubling — the suffix-automaton-free
-distributed form), on two independent 64-bit lanes:
+Plan (r9 — the measured winner of three attempted shapes, history in
+:func:`_md5_spans`): the span map is ONE narrow fused projection —
+per position, md5 of the joined L-token window, computed inside the
+documents scan in whole-stage codegen — followed by the operator's
+single REQUIRED shuffle, the per-digest window (count for
+`duplicate_spans`; count + row_number, one exchange+sort, for the
+removal's keep-the-globally-first rule). Nothing text-sized ever
+shuffles: the exchange carries (doc_id, pos, 32-char digest). The
+per-position O(L) string-join churn is transient CPU inside the scan,
+embarrassingly parallel at any corpus size.
 
-    h_1(i)   = xxhash64(token_i)              # lane 2 mixes a literal
-    h_2k(i)  = xxhash64(h_k(i), h_k(i+k))     # k = 1,2,4,8,16
-    (h1_L(i), h2_L(i)) identifies position i's L-token prefix: a
-    collision must hit BOTH lanes at once (~2^-128 per pair — not a
-    real failure mode; r1-r4 used an md5-hex chain, replaced r5
-    because 5 rounds of md5-on-64-char-concat per position were pure
-    CPU churn: 5.77 s → 2.60 s on the 5× corpus from the swap alone).
+The r5-r8 plan was dual-lane xxhash64 prefix doubling
+(h_2k(i) = xxhash64(h_k(i), h_k(i+k)), k = 1..L/2) over per-document
+``lead`` windows — asymptotically O(n log L) hashing vs the fused
+form's O(n·L) bytes, but it demanded a full-corpus exchange+sort of
+every TOKEN row before hashing could begin, plus a digest-group
+aggregate AND a representative back-fill join to produce the
+output's md5 column: 25.3 s vs 6.5 s at ×100 (13.3M positions). The
+doubling form survives on the decontamination path
+(:func:`_position_hashes`, L=8) where the input is already
+positional rows and spans are probed, not grouped. The crossover it
+keeps waiting for is L ≫ 10² (long-span dedup), where O(n·L) join
+bytes finally dominate a shuffle.
 
-Spans never cross documents, so h_k(i+k) is ``lead(h, k)`` over a
-per-document window — the WHOLE log2(L)-round chain compiles to ONE
-shuffle (partition by doc_id) followed by log2(L) window passes over
-the same sort order (Catalyst stacks same-spec Window operators with
-no re-exchange; a ``lead`` at the doc tail is null and the explicit
-null guard drops those positions — they have no full L-token span).
-Rows carry 16 bytes of digest — never text — vs the L× payload blowup
-of materializing every L-token window string (the naive explode
-carries ~L tokens per position: 32× the corpus through its shuffle).
-No self-joins, no iteration state.
-
-The DuckDB oracle computes the SAME output by the naive algorithm
-(explode every window, md5 the joined string, group) — two independent
-algorithms agreeing on the full value hash is the strongest oracle
-form in this repo. To make outputs comparable, the Spark side
-back-fills the plain-text gram md5 for each duplicated group from ONE
-representative position (the group's min (doc_id, pos)) — a join
-against the token arrays restricted to the (small) duplicated-group
-set, then a broadcast-size map back onto members.
+The DuckDB oracle computes the SAME output by the same-identity
+naive algorithm (explode every window, md5 the joined string,
+group); group identity on BOTH engines is the md5 of the actual
+substring — no hash-collision argument required anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,69 +93,49 @@ def _position_hashes(positions: DataFrame, L: int) -> DataFrame:
     return df.filter(F.col("h1").isNotNull())
 
 
-def _position_hashes_arr(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
-    """(doc_id, pos, h1, h2) — the SAME dual-lane prefix-doubling
-    chain as :func:`_position_hashes`, computed entirely in the
-    token-ARRAY domain as a NARROW map: per-doc ``lead(h, k)`` is just
-    ``slice(h, k+1, …)`` zipped against ``h``, so the whole log2(L)
-    round chain compiles into one projection over the documents scan —
-    ZERO shuffle before the digest group-by.
+def _md5_spans(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
+    """(doc_id, pos, gram_md5) for every position opening a full
+    L-token span — the span map as ONE narrow fused projection: for
+    each position, md5 of the joined L-token window, computed inside
+    the documents scan. Zero shuffle; the group identity IS the md5
+    of the actual substring (128 bits, the oracle's own identity), so
+    no hash-collision argument is needed at all.
 
-    Why this replaces the window form for the corpus-wide span family
-    (r9, closing the r8 verdict's stale-×100 item): the window variant
-    pays a full-corpus exchange+sort of every TOKEN row (27.5M rows at
-    ×100) before its five window passes — measured 25.3 s at ×100
-    while DuckDB's naive md5-per-window oracle, which shuffles only
-    16-byte digests, ran 4.6 s: the span map's only REQUIRED shuffle
-    is the digest group-by, and this form gets us to the same
-    zero-shuffle-before-digest shape with the doubling chain's O(n
-    log L) hashing (vs the naive's O(n·L) string churn). At 100 TB the
-    removed exchange is the difference between shuffling the corpus
-    once more and not. HOF lambdas evaluate interpreted per element
-    (the bm25 note), but 2·log2(L) xxhash64 calls per token is
-    hashing-bound, not lambda-bound — A/B-measured 25.3 → 7.9 s at
-    ×100 (3.2×; ratio 5.51× → 1.71×/1.03× single-pass DuckDB).
-    The window form remains for PRE-EXPLODED inputs (contamination's
-    benchmark side)."""
+    r9 re-plan history, measured at ×100 (500k docs, 13.3M
+    positions, 3-pass medians vs the naive DuckDB oracle's 4.6 s):
+    the r5-r8 dual-lane xxhash64 prefix-doubling over a
+    per-doc-window chain cost 25.3 s — NOT hashing, but the
+    full-corpus exchange+sort of every token row its lead() windows
+    demanded; moving the doubling into the token-array domain
+    (zip_with against a shifted slice, per-round projection barriers
+    against the exponential no-CSE inline) removed that shuffle →
+    17.6 s; this fused md5 form then removes the doubling's OTHER
+    costs — the 13.3M-row groups aggregation on 16-byte keys, the
+    representative BACK-FILL join the md5 output column forced, and
+    2·log2(L) interpreted lambda evals per token — by paying O(L)
+    string-join bytes per position ONCE, exactly the oracle's work,
+    in whole-stage-codegen JVM → 7.3 s (1.6× DuckDB, from 5.5×; the
+    removal key rides the same map: 15.7 s vs the oracle's 50.9 s =
+    0.31×, an oracle that moreover NEEDS ~100 GB there — it aborts
+    OOM under a 60 GB cap at 1/1000th of target scale).
+    The O(n·L) vs O(n·log L) trade flips only when L grows past the
+    join+md5 cost of ~2·log L interpreted hash evals (L≫10²,
+    long-span dedup); at Lee et al.'s L=50-token operating point the
+    fused form wins and the doubling form remains on the
+    pre-exploded contamination path (:func:`_position_hashes`) where
+    the input is already positional rows."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    null_l = F.lit(None).cast("long")
-
-    def _round(h, lane2: bool, k: int):
-        # h_2k(i) = xxhash64(h_k(i), h_k(i+k)); entries whose i+k runs
-        # off the doc tail go null (zip_with pads the shorter side),
-        # and nulls cascade — xxhash64 SKIPS null inputs rather than
-        # propagating, so the guard must be explicit (the window
-        # form's comment, verbatim semantics).
-        shifted = F.slice(h, k + 1, F.greatest(F.size(h) - k, F.lit(0)))
-        mix = (
-            (lambda a, b: F.xxhash64(F.lit(1), a, b))
-            if lane2
-            else (lambda a, b: F.xxhash64(a, b))
-        )
-        return F.zip_with(
-            h,
-            shifted,
-            lambda a, b: F.when(a.isNull() | b.isNull(), null_l).otherwise(
-                mix(a, b)
-            ),
-        )
-
-    h1 = F.transform("toks", lambda t: F.xxhash64(t))
-    h2 = F.transform("toks", lambda t: F.xxhash64(F.lit(1), t))
-    k = 1
-    while k < L:
-        h1, h2 = _round(h1, False, k), _round(h2, True, k)
-        k *= 2
-    pairs = F.zip_with(
-        h1, h2, lambda a, b: F.struct(a.alias("h1"), b.alias("h2"))
-    )
-    return (
-        docs.select("doc_id", F.posexplode(pairs).alias("pos", "h"))
-        .filter(F.col("h.h1").isNotNull() & F.col("h.h2").isNotNull())
-        .select("doc_id", "pos", F.col("h.h1").alias("h1"), F.col("h.h2").alias("h2"))
-    )
+    n = F.size("toks")
+    grams = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - L + 1),
+            lambda i: F.md5(F.array_join(F.slice("toks", i, L), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.posexplode(grams).alias("pos", "gram_md5"))
 
 
 def _covered_positions(cuts: DataFrame) -> DataFrame:
@@ -190,73 +167,24 @@ def _covered_positions(cuts: DataFrame) -> DataFrame:
     )
 
 
-def _spans_and_groups(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """``spans`` = (doc_id, pos, h1, h2) for every full-span position
-    (persisted — every consumer is a diamond over it); ``groups`` =
-    (h1, h2, n_dups, rep_doc_id, rep_pos) for the ≥2-occurrence
-    hashes, rep = globally-first occurrence. Callers must reference
-    ``groups`` ONCE per output plan — it aggregates the cached spans,
-    and a second reference re-runs that shuffle.
-
-    The doubling rounds run on TWO independent xxhash64 lanes over
-    LONGS (128 combined bits; group identity is the (h1, h2) pair),
-    not md5 over hex strings: md5-on-64-char-concat per round cost
-    ~5× DuckDB's single md5-per-window at toy scale (measured r5 —
-    the Spark-vs-oracle gap on this key was mostly the chain's string
-    churn: 5.77 s → 2.60 s on the 5× corpus from this change alone,
-    and the Spark/DuckDB ratio crossed below 1.0 there). Lane 2
-    mixes a literal into every round so the lanes never collide in
-    lockstep; a birthday collision needs ~2^64 positions per lane
-    pair — 16 bytes/position also halves the persisted/shuffled
-    payload vs one 32-char digest."""
-    spans = _position_hashes_arr(spark, sf_dir, DUP_SPAN_L).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    groups = (
-        spans.groupBy("h1", "h2")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_dups"),
-            F.min(F.struct("doc_id", "pos")).alias("rep"),
-        )
-        .filter(F.col("n_dups") >= 2)
-        .select(
-            "h1",
-            "h2",
-            "n_dups",
-            F.col("rep.doc_id").alias("rep_doc_id"),
-            F.col("rep.pos").alias("rep_pos"),
-        )
-    )
-    return spans, groups
-
-
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, gram_md5, n_dups) for every position whose
-    DUP_SPAN_L-token substring occurs ≥ 2 times in the corpus."""
-    spans, groups = _spans_and_groups(spark, sf_dir)
-    # Back-fill the plain-gram md5 from one representative per group:
-    # the rep set is small (distinct duplicated spans), so the join
-    # against the token arrays touches few docs and AQE broadcasts the
-    # rep side; members then take the digest via the group key.
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    DUP_SPAN_L-token substring occurs ≥ 2 times in the corpus.
+
+    ONE narrow fused span map (:func:`_md5_spans`) + ONE exchange (the
+    per-digest window count) — the minimal shuffle shape for the
+    operator: group multiplicity is the only cross-row fact the
+    output needs, and a window over the digest key delivers it
+    without a separate aggregate + join-back."""
+    from pyspark.sql import Window as W
+
+    spans = _md5_spans(spark, sf_dir, DUP_SPAN_L)
+    w = W.partitionBy("gram_md5")
+    return (
+        spans.withColumn("n_dups", F.count(F.lit(1)).over(w).cast("long"))
+        .filter(F.col("n_dups") >= 2)
+        .select("doc_id", "pos", "gram_md5", "n_dups")
     )
-    reps = (
-        groups.select("h1", "h2", "n_dups", F.col("rep_doc_id").alias("doc_id"), F.col("rep_pos").alias("pos"))
-        .join(docs, "doc_id")
-        .select(
-            "h1",
-            "h2",
-            "n_dups",
-            F.md5(
-                F.array_join(F.slice("toks", F.col("pos") + 1, DUP_SPAN_L), " ")
-            ).alias("gram_md5"),
-        )
-    )
-    return spans.join(reps, ["h1", "h2"]).select("doc_id", "pos", "gram_md5", "n_dups")
 
 
 def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,14 +200,25 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup shape: LEFT ANTI join of token positions against the covered
     set, regroup per doc in position order.
 
-    Output: (doc_id, n_tokens, n_removed, clean_text) for every doc."""
+    Output: (doc_id, n_tokens, n_removed, clean_text) for every doc.
+
+    Cut selection is ONE window pass over the fused span map
+    (:func:`_md5_spans`): per-digest count + row_number under the
+    (doc_id, pos) order share a single exchange+sort, and `rn > 1`
+    IS the keep-the-globally-first rule — the oracle's `ranked` CTE,
+    shape for shape."""
+    from pyspark.sql import Window as W
+
     L = DUP_SPAN_L
-    spans, groups = _spans_and_groups(spark, sf_dir)
+    spans = _md5_spans(spark, sf_dir, L)
+    w = W.partitionBy("gram_md5")
     cuts = (
-        spans.join(groups, ["h1", "h2"])
-        .filter(
-            ~((F.col("doc_id") == F.col("rep_doc_id")) & (F.col("pos") == F.col("rep_pos")))
+        spans.withColumn("n_occ", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.col("doc_id").asc(), F.col("pos").asc())),
         )
+        .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
         .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + L).alias("e"))
     )
     covered = _covered_positions(cuts)

@@ -103,7 +103,7 @@ def release_caches(spark: SparkSession) -> None:
     """Drop every persisted intermediate (shared explodes, cumsum level
     caches). Several operators persist diamond-shaped intermediates
     (``_exploded_shingles``, ``_exploded_paragraphs``,
-    ``exclusive_cumsum`` levels, ``_spans_and_groups``); Spark's
+    ``exclusive_cumsum`` levels); Spark's
     CacheManager keys them by canonical plan so repeat calls share one
     entry per input, but entries from DIFFERENT queries/inputs
     accumulate for the lifetime of the session. Long-lived sessions

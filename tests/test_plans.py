@@ -329,26 +329,32 @@ def test_corpus_incremental_bounded_jobs_digest_history_no_cartesian(spark, sf_d
     spark.catalog.clearCache()
 
 
-def test_duplicate_spans_one_exchange_for_all_window_rounds(spark, sf_dir):
-    """All log2(L) prefix-doubling rounds must stack over ONE per-doc
-    sort — same window spec ⇒ no re-exchange between rounds. Total
-    non-broadcast exchanges: the doc_id window shuffle, the group-by-h
-    shuffle, and the member join (≤4 with AQE variants); and never a
-    join-based round (no self-join diamond)."""
-    from labelmain_spark.functions.substrings import DUP_SPAN_L, duplicate_spans
+def test_duplicate_spans_single_digest_shuffle(spark, sf_dir):
+    """r9 plan pin for the fused span map: the ONLY exchange in the
+    whole plan is the per-digest window (the operator's one required
+    shuffle) — no token-row sort-shuffle, no group-by + join-back
+    diamond, no join at all; and the md5 span formation runs inside
+    the scan projection (no Python eval)."""
+    from labelmain_spark.functions.substrings import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
 
     spark.catalog.clearCache()
     df = duplicate_spans(spark, sf_dir)
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    rounds = DUP_SPAN_L.bit_length() - 1
-    assert plan.count("Window ") >= rounds, plan
-    # plan text reprints the persisted relation's recipe under every
-    # InMemoryTableScan, so executed exchanges ≈ count/2 here; the pin
-    # is that rounds (5) don't each add one (join-based rounds would
-    # show ≥ rounds exchanges even before the reprint).
     n_exchange = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_exchange <= 6, f"{n_exchange} exchanges:\n{plan[:1500]}"
+    assert n_exchange == 1, f"{n_exchange} exchanges:\n{plan[:1500]}"
+    assert "Join" not in plan, plan[:1500]
+    checks.assert_no_python_eval(df)
+    # the removal key's cut selection shares the single-exchange
+    # window (count + row_number over one sort); its reassembly adds
+    # the covered-position and regroup shuffles but never a
+    # token-row sort before the span map
+    df2 = remove_duplicate_spans(spark, sf_dir)
+    plan2 = checks.physical_plan(df2)
+    assert "CartesianProduct" not in plan2, plan2[:1500]
     spark.catalog.clearCache()
 
 
