@@ -370,29 +370,22 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("e.ok"))
         .select(F.col("e.query_id").alias("query_id"), "doc_id", F.col("e.bm25").alias("bm25"))
     )
-    # Two-phase salted top-k (the knn_join r5 rank pattern): a window
-    # partitioned by query_id ALONE has |Q| partitions — at ×100 scale
-    # that serialized ~500k scored docs per query through 4 sort tasks
-    # (measured: the key's crossover wall was this window, not the
-    # scoring). Phase 1 takes the per-(query, doc-hash-salt) top-k —
-    # |Q|·SALT parallel partitions — which provably contains the
-    # global top-k (any global top-k row is top-k within its own salt
-    # bucket under the same total order); phase 2 ranks only the
-    # |Q|·SALT·k survivors.
-    salt = F.pmod(F.hash("doc_id"), F.lit(BM25_SALT))
-    w1 = W.partitionBy("query_id", "salt").orderBy(
-        F.col("bm25").desc(), F.col("doc_id").asc()
-    )
-    pruned = (
-        agg.withColumn("salt", salt)
-        .withColumn("srnk", F.row_number().over(w1))
-        .filter(F.col("srnk") <= BM25_TOPK)
-    )
+    # Single rank window, map-side pruned (r9 re-plan of the r5
+    # two-phase salted top-k): Spark 3.5+ rewrites a row_number
+    # window + `rnk <= k` filter into WindowGroupLimit(Partial →
+    # shuffle → Final) — every map task pre-prunes to its local
+    # top-k per query BEFORE the exchange, which is exactly what the
+    # salt buckets hand-built, minus one whole window pass, the salt
+    # column, and one exchange (the same optimizer contract
+    # sample_group plan-pins). The r5 concern (|Q| partitions
+    # serializing ~500k rows/query through a few sort tasks) is
+    # addressed at the map side: the exchange now carries ≤
+    # splits·|Q|·k pre-pruned rows. Measurement at ×200 below.
     w = W.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
     return (
-        pruned.withColumn("rnk", F.row_number().over(w))
+        agg.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= BM25_TOPK)
         .select(
             "query_id", "doc_id", "bm25", F.col("rnk").cast("int").alias("rnk")
@@ -507,7 +500,21 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final double division + round produces the mean. Identical
     arithmetic in the oracle → bit-stable on 1000 executors at native
     long-sum speed (the DECIMAL form measured +63% on this key at the
-    100k-doc crossover point: 4.83 s vs 2.96 s)."""
+    100k-doc crossover point: 4.83 s vs 2.96 s).
+
+    r9 scale attribution (the rung's >2× residual, measured): ×100
+    4.05× → ×200 2.68× DuckDB (5.48 s vs 2.05 s at 1M docs, 5-pass
+    medians) — the ratio falls as work grows, the dispatch/constant
+    class. The obvious re-plan was A/B-REJECTED on the same tier: a
+    per-(doc, term) pre-aggregate that tokenizes ONCE and derives the
+    frequency table from the reduced frame measured 6.62 s vs 5.48 s
+    — its (doc, term)-keyed exchange costs more than the second
+    narrow explode it saves (this plan's shuffles all carry partials:
+    |vocab|×partitions, then ~1 row per doc×partition; the token rows
+    themselves never shuffle). The higher rungs, which DO pay
+    n-gram-keyed exchanges, invert because DuckDB's n-gram join trees
+    go superlinear — the unigram rung has no such join for DuckDB to
+    lose on."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
