@@ -998,6 +998,134 @@ def quality_4gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIVEGRAM_LAMBDA = 0.6  # JM weight on the 5-gram MLE (lower orders keep their λs)
+
+
+def quality_5gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursively interpolated 5-GRAM LM quality score (r9) — the
+    LADDER'S LAST RUNG: CCNet/RedPajama's production perplexity
+    filter is a 5-gram KenLM, and this key reaches that model order
+    with the same template every rung used (Chen & Goodman 1996,
+    eq. 5, recursing through the 4-gram/trigram/bigram/unigram
+    estimates below it). What remains between this and KenLM itself
+    is the smoothing flavor (interpolated Kneser-Ney at every order
+    vs JM here + KN at the bigram tier in `quality_kn_nll`) — the
+    MODEL-ORDER axis is now fully measured, not asserted.
+
+    Scale shape — the 4-gram docstring one order up, nothing else:
+    five slices + arrays_zip (pure JVM n-gram formation), per-doc
+    (w₁..w₅) map-side pre-agg, unigram broadcast, every higher-order
+    table (bigram/trigram/4-gram/5-gram) on shuffle joins keyed by
+    its n-gram — the five-table join tree is exactly what DuckDB's
+    oracle pays superlinearly for (the trigram rung measured 0.11×,
+    the 4-gram rung 0.35× at ×20) while Spark adds one more
+    partial-agg + one more co-keyed join per rung."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    cu = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt_u"))
+    )
+    tot = cu.agg(F.sum("cnt_u").alias("total"))
+    n = F.size("toks")
+
+    def _ngrams(k: int, names: list[str]) -> DataFrame:
+        ln = F.greatest(n - (k - 1), F.lit(0))
+        return base.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
+                )
+            ).alias("g"),
+        ).select(
+            "doc_id", *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
+        )
+
+    cb = (
+        _ngrams(2, ["a", "b"]).groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    ct3 = (
+        _ngrams(3, ["a", "b", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    c4 = (
+        _ngrams(4, ["a", "b", "c", "d"])
+        .groupBy("a", "b", "c", "d")
+        .agg(F.count(F.lit(1)).alias("cnt_q"))
+    )
+    W5 = ["w1", "w2", "w3", "w4", "w5"]
+    dq5 = (
+        _ngrams(5, W5).groupBy("doc_id", *W5).agg(F.count(F.lit(1)).alias("m"))
+    )
+    c5 = dq5.groupBy(*W5).agg(F.sum("m").alias("cnt_5"))
+    ctx4 = c4.select(
+        F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c").alias("w3"),
+        F.col("d").alias("w4"), F.col("cnt_q").alias("cnt_ctx4"),
+    )
+    t2345 = c4.select(
+        F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c").alias("w4"),
+        F.col("d").alias("w5"), F.col("cnt_q").alias("cnt_t2345"),
+    )
+    ctx3 = ct3.select(
+        F.col("a").alias("w2"), F.col("b").alias("w3"), F.col("c").alias("w4"),
+        F.col("cnt_t").alias("cnt_ctx3"),
+    )
+    t345 = ct3.select(
+        F.col("a").alias("w3"), F.col("b").alias("w4"), F.col("c").alias("w5"),
+        F.col("cnt_t").alias("cnt_t345"),
+    )
+    b34 = cb.select(
+        F.col("a").alias("w3"), F.col("b").alias("w4"),
+        F.col("cnt_b").alias("cnt_b34"),
+    )
+    b45 = cb.select(
+        F.col("a").alias("w4"), F.col("b").alias("w5"),
+        F.col("cnt_b").alias("cnt_b45"),
+    )
+    cu_w4 = cu.select(F.col("term").alias("w4"), F.col("cnt_u").alias("cnt_w4"))
+    cu_w5 = cu.select(F.col("term").alias("w5"), F.col("cnt_u").alias("cnt_w5"))
+    p = F.lit(FIVEGRAM_LAMBDA) * (
+        F.col("cnt_5").cast("double") / F.col("cnt_ctx4")
+    ) + F.lit(1.0 - FIVEGRAM_LAMBDA) * (
+        F.lit(FOURGRAM_LAMBDA) * (F.col("cnt_t2345").cast("double") / F.col("cnt_ctx3"))
+        + F.lit(1.0 - FOURGRAM_LAMBDA)
+        * (
+            F.lit(TRIGRAM_LAMBDA) * (F.col("cnt_t345").cast("double") / F.col("cnt_b34"))
+            + F.lit(1.0 - TRIGRAM_LAMBDA)
+            * (
+                F.lit(BIGRAM_LAMBDA) * (F.col("cnt_b45").cast("double") / F.col("cnt_w4"))
+                + F.lit(1.0 - BIGRAM_LAMBDA)
+                * (F.col("cnt_w5").cast("double") / F.col("total"))
+            )
+        )
+    )
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dq5.join(c5, W5)
+        .join(ctx4, ["w1", "w2", "w3", "w4"])
+        .join(t2345, ["w2", "w3", "w4", "w5"])
+        .join(ctx3, ["w2", "w3", "w4"])
+        .join(t345, ["w3", "w4", "w5"])
+        .join(b34, ["w3", "w4"])
+        .join(b45, ["w4", "w5"])
+        .join(F.broadcast(cu_w4), "w4")
+        .join(F.broadcast(cu_w5), "w5")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_5grams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("fivegram_nll"),
+    )
+
+
 # Tag taxonomy for phrase-dictionary tagging: tag → marker phrases
 # (multi-word, so matching is substring-level, not token-set overlap
 # like lang_id). Deterministic dict order fixes the column build.
@@ -1423,6 +1551,7 @@ QUERIES = {
     "quality_bigram_nll": quality_bigram_nll,
     "quality_trigram_nll": quality_trigram_nll,
     "quality_4gram_nll": quality_4gram_nll,
+    "quality_5gram_nll": quality_5gram_nll,
     "quality_kn_nll": quality_kn_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
@@ -1851,6 +1980,99 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS fourgram_nll
+        FROM p GROUP BY doc_id
+    """,
+    "quality_5gram_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), cu AS MATERIALIZED (
+            SELECT term, COUNT(*) AS cnt_u FROM (
+                SELECT unnest(toks) AS term FROM t
+            ) GROUP BY term
+        ), cb AS MATERIALIZED (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM (
+                SELECT u.a AS a, u.b AS b FROM (
+                    SELECT unnest(list_transform(
+                               range(greatest(len(toks) - 1, 0)),
+                               i -> {{'a': toks[i + 1], 'b': toks[i + 2]}}
+                           )) AS u
+                    FROM t
+                )
+            ) GROUP BY a, b
+        ), ct3 AS MATERIALIZED (
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt_t FROM (
+                SELECT u.a AS a, u.b AS b, u.c AS c FROM (
+                    SELECT unnest(list_transform(
+                               range(greatest(len(toks) - 2, 0)),
+                               i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                      'c': toks[i + 3]}}
+                           )) AS u
+                    FROM t
+                )
+            ) GROUP BY a, b, c
+        ), c4 AS MATERIALIZED (
+            SELECT a, b, c, d, CAST(COUNT(*) AS BIGINT) AS cnt_q FROM (
+                SELECT u.a AS a, u.b AS b, u.c AS c, u.d AS d FROM (
+                    SELECT unnest(list_transform(
+                               range(greatest(len(toks) - 3, 0)),
+                               i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                      'c': toks[i + 3], 'd': toks[i + 4]}}
+                           )) AS u
+                    FROM t
+                )
+            ) GROUP BY a, b, c, d
+        ), dq5 AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS m
+            FROM (
+                SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                       u.w4 AS w4, u.w5 AS w5 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(greatest(len(toks) - 4, 0)),
+                               i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                      'w3': toks[i + 3], 'w4': toks[i + 4],
+                                      'w5': toks[i + 5]}}
+                           )) AS u
+                    FROM t
+                )
+            ) GROUP BY doc_id, w1, w2, w3, w4, w5
+        ), c5 AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, w5, CAST(SUM(m) AS BIGINT) AS cnt_5
+            FROM dq5 GROUP BY w1, w2, w3, w4, w5
+        ), tot AS MATERIALIZED (
+            SELECT CAST(SUM(cnt_u) AS BIGINT) AS total FROM cu
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln({FIVEGRAM_LAMBDA!r} * (CAST(c5.cnt_5 AS DOUBLE) / ctx4.cnt_q)"
+                       f" + {1.0 - FIVEGRAM_LAMBDA!r} * ({FOURGRAM_LAMBDA!r}"
+                       " * (CAST(t2345.cnt_q AS DOUBLE) / ctx3.cnt_t)"
+                       f" + {1.0 - FOURGRAM_LAMBDA!r} * ({TRIGRAM_LAMBDA!r}"
+                       " * (CAST(t345.cnt_t AS DOUBLE) / b34.cnt_b)"
+                       f" + {1.0 - TRIGRAM_LAMBDA!r} * ({BIGRAM_LAMBDA!r}"
+                       " * (CAST(b45.cnt_b AS DOUBLE) / cu4.cnt_u)"
+                       f" + {1.0 - BIGRAM_LAMBDA!r} * (CAST(cu5.cnt_u AS DOUBLE)"
+                       " / tot.total)))))", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dq5 d
+            JOIN c5 ON c5.w1 = d.w1 AND c5.w2 = d.w2 AND c5.w3 = d.w3
+                   AND c5.w4 = d.w4 AND c5.w5 = d.w5
+            JOIN c4 ctx4 ON ctx4.a = d.w1 AND ctx4.b = d.w2
+                        AND ctx4.c = d.w3 AND ctx4.d = d.w4
+            JOIN c4 t2345 ON t2345.a = d.w2 AND t2345.b = d.w3
+                         AND t2345.c = d.w4 AND t2345.d = d.w5
+            JOIN ct3 ctx3 ON ctx3.a = d.w2 AND ctx3.b = d.w3 AND ctx3.c = d.w4
+            JOIN ct3 t345 ON t345.a = d.w3 AND t345.b = d.w4 AND t345.c = d.w5
+            JOIN cb b34 ON b34.a = d.w3 AND b34.b = d.w4
+            JOIN cb b45 ON b45.a = d.w4 AND b45.b = d.w5
+            JOIN cu cu4 ON cu4.term = d.w4
+            JOIN cu cu5 ON cu5.term = d.w5
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_5grams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS fivegram_nll
         FROM p GROUP BY doc_id
     """,
     # identical χ² expression over exact longs (cast to double before

@@ -361,6 +361,10 @@ PRIORITY = [
     # measured; full oracle, exact micro-unit sums, the trigram
     # template one order up).
     "quality_4gram_nll",
+    # the ladder's last rung (r9): recursive-JM 5-GRAM — CCNet's
+    # production model order reached; full oracle; DuckDB's 9-way
+    # n-gram join tree pays superlinearly for every added order.
+    "quality_5gram_nll",
     # r9/r8 rotated-out keys next so they'd be the first checked if
     # the driver window ever widens.
     "topk", "filter_nonempty", "collect_nested", "user_components",

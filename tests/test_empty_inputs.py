@@ -217,11 +217,13 @@ def tiny_docs_dir(tmp_path_factory):
         pq.write_table(tbl, str(d / f"{name}.parquet"))
     docs = pa.table(
         {
-            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
-            "text": pa.array(["", "one", "two tokens", "a b c d"], pa.string()),
-            "lang": pa.array(["en"] * 4, pa.string()),
-            "source": pa.array(["s"] * 4, pa.string()),
-            "n_chars": pa.array([0, 3, 10, 7], pa.int64()),
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                ["", "one", "two tokens", "a b c d", "a b c d e"], pa.string()
+            ),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "n_chars": pa.array([0, 3, 10, 7, 9], pa.int64()),
         }
     )
     pq.write_table(docs, str(d / "documents.parquet"))
@@ -236,12 +238,13 @@ def tiny_docs_dir(tmp_path_factory):
         "quality_kn_nll",
         "quality_trigram_nll",
         "quality_4gram_nll",
+        "quality_5gram_nll",
     ],
 )
 def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
     df = _QUERIES[key](spark, tiny_docs_dir)
     rows = df.collect()
     # docs with fewer tokens than the model order have no transition
-    # and are simply absent; the 4-token doc always scores
-    assert {r["doc_id"] for r in rows} >= {4}
+    # and are simply absent; the 5-token doc scores at every rung
+    assert {r["doc_id"] for r in rows} >= {5}
     spark.catalog.clearCache()
