@@ -1031,7 +1031,18 @@ def ann_pq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(qv)
     if dim != PQ_M * (64 // PQ_M):
         raise ValueError(f"frozen PQ codebooks assume dim 64, got {dim}")
-    dsub = dim // PQ_M
+    return _pq_frozen_rank(e, qv)
+
+
+def _pq_frozen_rank(e: DataFrame, qv: list, universe: DataFrame | None = None) -> DataFrame:
+    """The frozen-codebook ADC → exact-rerank tail shared by
+    `ann_pq_frozen_topk` (universe = whole corpus) and
+    `ann_ivf_pq_frozen_topk` (universe = the probed IVF cells).
+    The LUT is Python sequential-fold floats inlined as literals; the
+    ADC sum is an exact left-to-right chain over the looked-up
+    doubles — the same floats the oracle's lut{m}[code{m}] chain
+    adds."""
+    dsub = len(qv) // PQ_M
     qn2 = 0.0
     for x in qv:
         qn2 = qn2 + x * x
@@ -1046,14 +1057,13 @@ def ann_pq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _pq_frozen_encode_udf()
     adc = None
     for m in range(PQ_M):
-        # exact left-to-right chain over M looked-up doubles — the
-        # same floats the oracle's lut{m}[code{m}] chain adds
         term = F.element_at(
             F.lit(lut[m]), (F.element_at("codes", m + 1) + F.lit(1)).cast("int")
         )
         adc = term if adc is None else adc + term
+    base = e if universe is None else universe
     cands = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
         .withColumn("codes", enc("v"))
         .select("vec_id", adc.alias("adc_ip"))
         .orderBy(F.col("adc_ip").desc(), F.col("vec_id").asc())
@@ -1072,14 +1082,19 @@ def ann_pq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_pq_frozen() -> str:
+def _sql_ann_pq_frozen(ivf: bool = False) -> str:
     """DuckDB twin of `ann_pq_frozen_topk` with the frozen codebooks
     inlined as list literals — the PQ/ADC extension of
     `_sql_ann_multiprobe`'s inlined-literal technique the r8 verdict
     asked for. The LUT is recomputed in SQL from the oracle's own
     query row (same sequential fold as the driver's Python floats);
     codeword self-dots are the SAME Python-computed literals both
-    engines consume."""
+    engines consume. With ``ivf`` the ADC scan is additionally
+    restricted to the query's `IVF_NPROBE` probed cells: the
+    semantic_dedup assignment CTE (frozen centroid literals,
+    first-position argmax) plus a probe ranking of the query's own
+    rounded centroid cosines (sim DESC, cell ASC — the driver's
+    (−sim, k) sort) — `ann_ivf_pq_frozen_topk`'s twin."""
     dsub = 64 // PQ_M
     books = _PQ_FROZEN_BOOKS
     c2 = [[_py_seq_dot(c, c) for c in books[m]] for m in range(PQ_M)]
@@ -1108,6 +1123,27 @@ def _sql_ann_pq_frozen() -> str:
         "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))))",
         4,
     )
+    ivf_ctes, scan_src = "", f"e WHERE vec_id <> {QUERY_VEC_ID}"
+    if ivf:
+        sims = "[" + ", ".join(_sql_sem_cos(c) for c in _SEM_CENTROIDS) + "]"
+        qsims = "[" + ", ".join(_sql_sem_cos(c, col="qv") for c in _SEM_CENTROIDS) + "]"
+        ivf_ctes = f""", qs AS (
+            SELECT {qsims} AS qsims FROM q
+        ), probes AS (
+            SELECT CAST(u.k - 1 AS INTEGER) AS cell FROM (
+                SELECT unnest(qsims) AS sim,
+                       generate_subscripts(qsims, 1) AS k
+                FROM qs
+            ) u ORDER BY sim DESC, k ASC LIMIT {IVF_NPROBE}
+        ), asg AS (
+            SELECT vec_id,
+                   CAST(list_position(cl_sims, list_max(cl_sims)) - 1 AS INTEGER) AS cluster
+            FROM (SELECT vec_id, {sims} AS cl_sims FROM e)
+        )"""
+        scan_src = (
+            f"e JOIN asg USING (vec_id) WHERE vec_id <> {QUERY_VEC_ID}"
+            " AND cluster IN (SELECT cell FROM probes)"
+        )
     return f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1117,7 +1153,7 @@ def _sql_ann_pq_frozen() -> str:
                        CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN 1e0
                             ELSE sqrt(list_dot_product(v, v)) END)) AS qn
             FROM e WHERE vec_id = {QUERY_VEC_ID}
-        ), lut AS (
+        ){ivf_ctes}, lut AS (
             SELECT qv, {", ".join(lut_exprs)} FROM q
         ), coded AS (
             SELECT vec_id, {", ".join(code_exprs)}
@@ -1126,7 +1162,7 @@ def _sql_ann_pq_frozen() -> str:
                        list_transform(v, x -> x / (
                            CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN 1e0
                                 ELSE sqrt(list_dot_product(v, v)) END)) AS nv
-                FROM e WHERE vec_id <> {QUERY_VEC_ID}
+                FROM {scan_src}
             )
         ), cands AS (
             SELECT vec_id,
@@ -1138,6 +1174,56 @@ def _sql_ann_pq_frozen() -> str:
         FROM e JOIN cands USING (vec_id) CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
     """
+
+
+def ann_ivf_pq_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivf_pq_topk`'s oracle-checkable twin (r9, extending the
+    r8-verdict inlined-literal technique to the COMPOSED production
+    shape): IVF cell pruning over the FROZEN `_SEM_CENTROIDS`
+    (semantic_dedup's assignment machinery and exactness proof,
+    shared verbatim via `_centroid_assign_udf`) × frozen-codebook
+    ADC (`_pq_frozen_rank`, shared verbatim with
+    `ann_pq_frozen_topk`) × exact rounded-cosine re-rank. Every
+    fitted constant in the fitted key has a frozen analogue here, so
+    the ENTIRE two-axis decision procedure — which cells to probe,
+    which codes each vector gets, how the LUT scores them, who
+    survives the rerank — re-derives in DuckDB.
+
+    Probe selection: the query's rounded (6 dp) cosine to each
+    frozen centroid, computed driver-side with exact sequential
+    folds (the same floats `_sql_sem_cos` produces from its inlined
+    literals), top `IVF_NPROBE` cells by (sim DESC, cell ASC) — the
+    oracle's ORDER BY, tie rule included. At 100 TB the universe
+    filter becomes partition pruning against the cell-partitioned
+    store (`write_ivf_store`), and the ADC scan reads
+    nprobe/k of the corpus as codes only — the family's
+    sublinear-in-rows-AND-bytes member, now hash-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None or q_row[0] is None:
+        return e.select("vec_id", F.lit(0.0).alias("cos_sim")).filter(F.lit(False))
+    qv = list(q_row[0])
+    if len(qv) != PQ_M * (64 // PQ_M):
+        raise ValueError(f"frozen PQ codebooks assume dim 64, got {len(qv)}")
+    qnorm = math.sqrt(_py_seq_dot(qv, qv))
+    sims = [
+        math.floor(
+            (_py_seq_dot(qv, c) / (qnorm * math.sqrt(sum(x * x for x in c))))
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+        for c in _SEM_CENTROIDS
+    ]
+    probes = sorted(range(len(sims)), key=lambda k: (-sims[k], k))[:IVF_NPROBE]
+    en = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    assign = _centroid_assign_udf(_SEM_CENTROIDS)
+    assigned = en.select(
+        "vec_id", "v", assign(F.col("v"), F.col("vn")).alias("s")
+    ).select("vec_id", "v", F.col("s.cluster").alias("cluster"))
+    universe = assigned.filter(F.col("cluster").isin(probes)).select("vec_id", "v")
+    return _pq_frozen_rank(e, qv, universe=universe)
 
 
 def _ann_ivf_pq(spark: SparkSession, e: DataFrame, cache_key=None) -> DataFrame:
@@ -1471,12 +1557,12 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_plan(spark, e, cents)
 
 
-def _sql_sem_cos(c: list[float]) -> str:
+def _sql_sem_cos(c: list[float], col: str = "v") -> str:
     import math
 
     lit = "[" + ", ".join(repr(x) for x in c) + "]"
     return sql_stable_round(
-        f"(list_dot_product(v, {lit}) / (sqrt(list_dot_product(v, v)) * {math.sqrt(sum(x * x for x in c))!r}))",
+        f"(list_dot_product({col}, {lit}) / (sqrt(list_dot_product({col}, {col})) * {math.sqrt(sum(x * x for x in c))!r}))",
         6,
     )
 
@@ -1844,6 +1930,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
     "ann_pq_frozen_topk": ann_pq_frozen_topk,  # full oracle (r9): frozen codebooks inlined as SQL literals
+    "ann_ivf_pq_frozen_topk": ann_ivf_pq_frozen_topk,  # full oracle (r9): the composed IVF-ADC shape, frozen twin
     "ann_ivf_pq_topk": ann_ivf_pq_topk,  # rows-only: the composed IVF-ADC production shape; recall-tested
     "semantic_dedup": semantic_dedup,
     "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
@@ -1855,6 +1942,7 @@ ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),
     "ann_pq_frozen_topk": _sql_ann_pq_frozen(),
+    "ann_ivf_pq_frozen_topk": _sql_ann_pq_frozen(ivf=True),
     "ann_lsh_topk": _sql_ann_lsh(),
     "cluster_topics": _sql_cluster_topics(),
     "knn_join": _SQL_KNN_JOIN,

@@ -365,6 +365,11 @@ PRIORITY = [
     # production model order reached; full oracle; DuckDB's 9-way
     # n-gram join tree pays superlinearly for every added order.
     "quality_5gram_nll",
+    # the composed IVF-ADC production ANN shape as a frozen
+    # hash-checkable twin (r9): frozen-centroid cell pruning ×
+    # frozen-codebook ADC × exact rerank — the whole two-axis
+    # decision procedure re-derives in SQL.
+    "ann_ivf_pq_frozen_topk",
     # r9/r8 rotated-out keys next so they'd be the first checked if
     # the driver window ever widens.
     "topk", "filter_nonempty", "collect_nested", "user_components",
