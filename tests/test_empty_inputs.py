@@ -175,6 +175,11 @@ REPRESENTATIVE = [
     "cluster_topics",
     "card_drift",
     "quality_kn_nll",
+    # round-9 additions
+    "ann_pq_frozen_topk",
+    "ann_ivf_pq_frozen_topk",
+    "quality_4gram_nll",
+    "quality_5gram_nll",
 ]
 
 
