@@ -756,6 +756,113 @@ def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_kn3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY at TRIGRAM order (r9) — the smoothing
+    axis extended one model order, exactly as the JM axis was: KenLM
+    is interpolated KN at EVERY order, and this rung measures that
+    the KN recursion (Chen & Goodman 1996 §3, interpolated form)
+    distributes over the ladder the same way JM's did:
+
+        p₃(w₃|w₁w₂) = (max(c(w₁w₂w₃)−D, 0) + D·N₁₊(w₁w₂·)·p₂(w₃|w₂)) / c(w₁w₂·)
+        p₂(w₃|w₂)   = (max(N₁₊(·w₂w₃)−D, 0) + D·N₁₊mid(w₂·)·p₁(w₃)) / N₁₊(·w₂·)
+        p₁(w₃)      = N₁₊(·w₃) / N₁₊(··)
+
+    The middle order runs on CONTINUATION counts (how many contexts a
+    bigram completes), the KN insight one level up: N₁₊(·w₂w₃) =
+    distinct predecessors of the (w₂,w₃) tail in the trigram type
+    table; its normalizer N₁₊(·w₂·) and backoff-type count
+    N₁₊mid(w₂·) come from the same table grouped by the middle token.
+    Context totals c(w₁w₂·) are Σ_w₃ c(w₁w₂w₃) from the trigram
+    table itself (exact normalization — no end-of-doc slack at all
+    in this key). Every statistic is an exact integer count.
+
+    Scale shape — the KN-bigram argument one order up: the trigram
+    and (w₁,w₂)/(w₂,w₃)-keyed statistics ride shuffle joins on their
+    n-gram keys (they grow toward |V|ⁿ); every SINGLE-token-keyed
+    statistic (middle-token normalizers, continuation counts, the
+    scalar type count) broadcasts. Per-doc pre-agg collapses the
+    Zipf-hot transitions map-side; micro-unit exact sums, the family
+    discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    tris = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("w1"),
+                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("w2"),
+                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
+            )
+        ).alias("tg"),
+    ).select(
+        "doc_id",
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    dtg = tris.groupBy("doc_id", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("m"))
+    ct3 = dtg.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("cnt_t"))
+    # context totals + distinct-successor counts in ONE agg over the
+    # trigram table (types = its rows)
+    ctx3 = ct3.groupBy("w1", "w2").agg(
+        F.sum("cnt_t").alias("ctx3"),
+        F.count(F.lit(1)).alias("n_succ3"),
+    )
+    pred3 = ct3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n_pred3"))
+    mid3 = ct3.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_mid3"),
+        F.count_distinct("w3").alias("n_succ_mid"),
+    )
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("prev"),
+                F.slice("toks", 2, n - 1).alias("cur"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    cbt = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
+    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
+        F.col("cur").alias("w3"), "n_cont2"
+    )
+    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
+    p = (
+        F.greatest(F.col("cnt_t").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D)
+        * F.col("n_succ3").cast("double")
+        * (
+            (
+                F.greatest(
+                    F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0)
+                )
+                + F.lit(KN_D)
+                * F.col("n_succ_mid").cast("double")
+                * (F.col("n_cont2").cast("double") / F.col("n_types2"))
+            )
+            / F.col("n_mid3")
+        )
+    ) / F.col("ctx3")
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dtg.join(ct3, ["w1", "w2", "w3"])
+        .join(ctx3, ["w1", "w2"])
+        .join(pred3, ["w2", "w3"])
+        .join(F.broadcast(mid3), "w2")
+        .join(F.broadcast(cont2), "w3")
+        .crossJoin(F.broadcast(types2))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_trigrams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("kn3_nll"),
+    )
+
+
 TRIGRAM_LAMBDA = 0.7  # JM weight on the trigram MLE (λ₂ stays BIGRAM_LAMBDA)
 
 
@@ -1553,6 +1660,7 @@ QUERIES = {
     "quality_4gram_nll": quality_4gram_nll,
     "quality_5gram_nll": quality_5gram_nll,
     "quality_kn_nll": quality_kn_nll,
+    "quality_kn3_nll": quality_kn3_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
     "tag_and_filter": tag_and_filter,
@@ -1905,6 +2013,76 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS trigram_nll
+        FROM p GROUP BY doc_id
+    """,
+    "quality_kn3_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), tg AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 2, 0)),
+                           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                  'w3': toks[i + 3]}}
+                       )) AS u
+                FROM t
+            )
+        ), dtg AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS m
+            FROM tg GROUP BY doc_id, w1, w2, w3
+        ), ct3 AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(SUM(m) AS BIGINT) AS cnt_t
+            FROM dtg GROUP BY w1, w2, w3
+        ), ctx3 AS MATERIALIZED (
+            SELECT w1, w2, CAST(SUM(cnt_t) AS BIGINT) AS ctx3,
+                   CAST(COUNT(*) AS BIGINT) AS n_succ3
+            FROM ct3 GROUP BY w1, w2
+        ), pred3 AS MATERIALIZED (
+            SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n_pred3
+            FROM ct3 GROUP BY w2, w3
+        ), mid3 AS MATERIALIZED (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_mid3,
+                   CAST(COUNT(DISTINCT w3) AS BIGINT) AS n_succ_mid
+            FROM ct3 GROUP BY w2
+        ), bg AS (
+            SELECT u.prev AS prev, u.cur AS cur FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM bg GROUP BY prev, cur
+        ), cont2 AS MATERIALIZED (
+            SELECT cur AS w3, CAST(COUNT(*) AS BIGINT) AS n_cont2
+            FROM cb GROUP BY cur
+        ), types2 AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types2 FROM cb
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln((greatest(CAST(c.cnt_t AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(x.n_succ3 AS DOUBLE)"
+                       f" * ((greatest(CAST(pr.n_pred3 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(md.n_succ_mid AS DOUBLE)"
+                       " * (CAST(co.n_cont2 AS DOUBLE) / ty.n_types2))"
+                       " / md.n_mid3)) / x.ctx3)", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dtg d
+            JOIN ct3 c ON c.w1 = d.w1 AND c.w2 = d.w2 AND c.w3 = d.w3
+            JOIN ctx3 x ON x.w1 = d.w1 AND x.w2 = d.w2
+            JOIN pred3 pr ON pr.w2 = d.w2 AND pr.w3 = d.w3
+            JOIN mid3 md ON md.w2 = d.w2
+            JOIN cont2 co ON co.w3 = d.w3
+            CROSS JOIN types2 ty
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_trigrams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS kn3_nll
         FROM p GROUP BY doc_id
     """,
     "quality_4gram_nll": f"""

@@ -365,6 +365,10 @@ PRIORITY = [
     # production model order reached; full oracle; DuckDB's 9-way
     # n-gram join tree pays superlinearly for every added order.
     "quality_5gram_nll",
+    # interpolated Kneser-Ney at TRIGRAM order (r9): the SMOOTHING
+    # axis extended one model order — middle-order continuation
+    # counts, exact integer statistics, full oracle.
+    "quality_kn3_nll",
     # the composed IVF-ADC production ANN shape as a frozen
     # hash-checkable twin (r9): frozen-centroid cell pruning ×
     # frozen-codebook ADC × exact rerank — the whole two-axis

@@ -180,6 +180,7 @@ REPRESENTATIVE = [
     "ann_ivf_pq_frozen_topk",
     "quality_4gram_nll",
     "quality_5gram_nll",
+    "quality_kn3_nll",
 ]
 
 
@@ -244,6 +245,7 @@ def tiny_docs_dir(tmp_path_factory):
         "quality_trigram_nll",
         "quality_4gram_nll",
         "quality_5gram_nll",
+        "quality_kn3_nll",
     ],
 )
 def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
