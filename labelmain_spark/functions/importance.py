@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from labelmain_spark.sources.readers import broadcast_if_bounded
 from labelmain_spark.operators.parity import DEC, sql_stable_round, stable_round
 from labelmain_spark.sources.readers import load_table
 
@@ -141,7 +142,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("llr"),
     )
     per_doc = (
-        docb.join(F.broadcast(llr), "b")
+        docb.join(broadcast_if_bounded(llr), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_grams"),

@@ -174,7 +174,11 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (re-planned r6): one explode (narrow) feeds two partial-agg
     aggregations — per-(doc, term) tf and per-term document frequency.
-    The df table is vocab-bounded (the language, not the corpus, caps
+    The df table's broadcast is SIZE-GATED (r9: a language's type
+    count grows with Heaps' law toward 10^8-10^9 on a web corpus —
+    "vocab-bounded" is not a broadcast guarantee; the gate falls back
+    to a co-partitioned shuffle join on `term`). It remains small
+    relative to the corpus (the language, not the corpus, caps
     distinct terms), so it BROADCASTS onto tf — the corpus-scale tf
     table never re-shuffles on the Zipf-hot term key (previously an
     AQE-skew-split sort-merge; the r6 unigram-NLL crossover measured
@@ -193,7 +197,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = stable_round(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
     )
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(broadcast_if_bounded(dfreq), "term").select(
         "doc_id", "term", "tf", score.alias("tfidf")
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -464,7 +468,7 @@ def bm25_scores_postings(
     )
     micro = F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(broadcast_if_bounded(dfreq), "term")
         .join(F.broadcast(qmap), "term")
         .select("query_id", "doc_id", micro.alias("m"))
     )
@@ -524,7 +528,7 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     micro = F.floor(nll * F.lit(1e6) + F.lit(0.5)).cast("long")
     scored = terms.join(
-        F.broadcast(freq.crossJoin(F.broadcast(tot))), "term"
+        broadcast_if_bounded(freq.crossJoin(F.broadcast(tot))), "term"
     ).select("doc_id", micro.alias("m"))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
@@ -620,7 +624,9 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (doc, prev, cur) first (map-side combinable), the corpus
     bigram table derives from that reduced frame, and the per-doc
     re-aggregation combines map-side again. The UNIGRAM table stays
-    broadcast (vocab-bounded, the quality_unigram_nll argument) but
+    broadcast under the r9 size gate (the quality_unigram_nll
+    argument, now with the shuffle-join fallback at web-scale type
+    counts) but
     the BIGRAM table deliberately does NOT — distinct bigrams grow
     ~O(corpus^0.7) toward |V|² and blow the executor at 100 TB — so
     the dbg↔cb join is a shuffle join on the (prev, cur) key, where
@@ -666,8 +672,8 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
     scored = (
         dbg.join(cb, ["prev", "cur"])
-        .join(F.broadcast(cu_prev), "prev")
-        .join(F.broadcast(cu_cur), "cur")
+        .join(broadcast_if_bounded(cu_prev), "prev")
+        .join(broadcast_if_bounded(cu_cur), "cur")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "m", micro.alias("micro"))
     )
@@ -709,7 +715,9 @@ def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduced frame; and because all four KN statistics are keyed by
     a SINGLE token (context totals / successor counts by prev,
     continuation counts by cur, one scalar type count) they are
-    vocab-bounded BROADCASTS — the only corpus-scale shuffle join left
+    single-token-keyed SIZE-GATED broadcasts (r9: broadcast on any
+    measured tier, co-partitioned shuffle join past the 64 MB
+    estimate) — the only corpus-scale shuffle join left
     is dtg ⋈ cb on the bigram key. Determinism: per-transition NLL in
     exact integer micro-units × multiplicity, the family discipline."""
     docs = load_table(spark, sf_dir, "documents")
@@ -741,8 +749,8 @@ def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
     scored = (
         dbg.join(cb, ["prev", "cur"])
-        .join(F.broadcast(ctx), "prev")
-        .join(F.broadcast(cont), "cur")
+        .join(broadcast_if_bounded(ctx), "prev")
+        .join(broadcast_if_bounded(cont), "cur")
         .crossJoin(F.broadcast(types))
         .select("doc_id", "m", micro.alias("micro"))
     )
@@ -848,8 +856,8 @@ def quality_kn3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtg.join(ct3, ["w1", "w2", "w3"])
         .join(ctx3, ["w1", "w2"])
         .join(pred3, ["w2", "w3"])
-        .join(F.broadcast(mid3), "w2")
-        .join(F.broadcast(cont2), "w3")
+        .join(broadcast_if_bounded(mid3), "w2")
+        .join(broadcast_if_bounded(cont2), "w3")
         .crossJoin(F.broadcast(types2))
         .select("doc_id", "m", micro.alias("micro"))
     )
@@ -890,7 +898,7 @@ def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays inside the token-array expression (three slices +
     arrays_zip, pure JVM — no self-join, no window); raw postings
     pre-aggregate per (doc, w₁, w₂, w₃) map-side; the UNIGRAM table
-    broadcasts (vocab-bounded); the BIGRAM and TRIGRAM tables
+    broadcasts under the r9 size gate; the BIGRAM and TRIGRAM tables
     deliberately do NOT (distinct n-grams grow toward |V|ⁿ at 100 TB)
     — both ride shuffle joins on their n-gram keys, where per-doc
     pre-aggregation has already collapsed the Zipf-hot repeats and
@@ -958,8 +966,8 @@ def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtg.join(ct, ["w1", "w2", "w3"])
         .join(ctx, ["w1", "w2"])
         .join(b23, ["w2", "w3"])
-        .join(F.broadcast(cu_w2), "w2")
-        .join(F.broadcast(cu_w3), "w3")
+        .join(broadcast_if_bounded(cu_w2), "w2")
+        .join(broadcast_if_bounded(cu_w3), "w3")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "m", micro.alias("micro"))
     )
@@ -995,7 +1003,7 @@ def quality_4gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     order up: n-gram formation stays inside the token-array
     expression (four slices + arrays_zip, pure JVM); raw postings
     pre-aggregate per (doc, w₁..w₄) map-side; the UNIGRAM table
-    broadcasts (vocab-bounded); bigram/trigram/4-gram tables ride
+    broadcasts under the r9 size gate; bigram/trigram/4-gram tables ride
     shuffle joins on their n-gram keys (distinct n-grams grow toward
     |V|ⁿ at 100 TB — never broadcast), per-doc pre-aggregation
     collapsing the Zipf-hot repeats and AQE splitting the rest.
@@ -1090,8 +1098,8 @@ def quality_4gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t234, ["w2", "w3", "w4"])
         .join(b23, ["w2", "w3"])
         .join(b34, ["w3", "w4"])
-        .join(F.broadcast(cu_w3), "w3")
-        .join(F.broadcast(cu_w4), "w4")
+        .join(broadcast_if_bounded(cu_w3), "w3")
+        .join(broadcast_if_bounded(cu_w4), "w4")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "m", micro.alias("micro"))
     )
@@ -1218,8 +1226,8 @@ def quality_5gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t345, ["w3", "w4", "w5"])
         .join(b34, ["w3", "w4"])
         .join(b45, ["w4", "w5"])
-        .join(F.broadcast(cu_w4), "w4")
-        .join(F.broadcast(cu_w5), "w5")
+        .join(broadcast_if_bounded(cu_w4), "w4")
+        .join(broadcast_if_bounded(cu_w5), "w5")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "m", micro.alias("micro"))
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from labelmain_spark.functions.sampling import _hash_bp_expr
 from labelmain_spark.operators.parity import davg, sql_davg, sql_stable_round, stable_round
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 MIN_QUALITY = 0.2
 SAMPLE_BP = 5000  # keep 50% of surviving keyspace
@@ -180,7 +180,7 @@ def score_against_model(
         "doc_id", "n_tokens", "n_removed", "clean_fp", F.explode("toks").alias("term")
     )
     bscored = (
-        bterms.join(F.broadcast(freq), "term", "left")
+        bterms.join(broadcast_if_bounded(freq), "term", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
@@ -248,7 +248,7 @@ def corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: history enters the plan as three PRE-FITTABLE bounded
     artifacts — the digest set (32 B/doc, bucketed-layout co-located
-    probe), the unigram frequency table (vocab-bounded, broadcast)
+    probe), the unigram frequency table (size-gated broadcast, r9)
     and the 1-row tercile thresholds — plus the benchmark n-gram set
     (benchmark-bounded). The fixture fits all of them in-plan from
     the prev snapshot so the DuckDB oracle can re-derive everything,
@@ -308,7 +308,7 @@ def corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = hterms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     tot = freq.agg(F.sum("cnt").alias("total"))
     hscored = (
-        hterms.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "term")
+        hterms.join(broadcast_if_bounded(freq.crossJoin(F.broadcast(tot))), "term")
         .select("doc_id", _nll_micro(F.col("cnt")).alias("m"))
         .groupBy("doc_id")
         .agg(

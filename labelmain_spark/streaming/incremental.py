@@ -126,8 +126,12 @@ def enriched_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     bucketed table co-located with the stream's partitioning; the join
     re-plans per micro-batch, so a refreshed dim is picked up on the
     next trigger — the same freshness contract the reference gets from
-    re-reading Mongo every cycle."""
-    joined = events.join(F.broadcast(dim), "user_id", "left")
+    re-reading Mongo every cycle. The broadcast hint is SIZE-GATED
+    (r9): a caller-supplied user dimension is corpus-scale at 100 TB,
+    and the gate's shuffle fallback co-partitions on user_id."""
+    from labelmain_spark.sources.readers import broadcast_if_bounded
+
+    joined = events.join(broadcast_if_bounded(dim), "user_id", "left")
     return (
         joined.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("segment"))
