@@ -27,7 +27,7 @@ from labelmain_spark.operators.parity import (
     sql_stable_round,
     stable_round,
 )
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 SESSION_GAP_S = 1800.0  # 30 min
 
@@ -202,7 +202,10 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        # size-gated (r10): dims carries one row per ASIA customer —
+        # customer-cardinality, SF-proportional. The inner nation⋈region
+        # broadcasts above stay unconditional (schema-bounded, ≤25 rows).
+        .join(broadcast_if_bounded(dims), orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             dsum(
@@ -254,10 +257,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     share_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
     joined = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
+        # size-gated ×3 (r10): PROMO parts (~SF·200k/5 rows), ASIA
+        # customers (~SF·150k/5) and supplier⋈nation (SF·10k) are ALL
+        # SF-proportional — at 100 TB each must be free to fall back to
+        # a shuffle join keyed on the fact's join column. On fixtures
+        # the gate picks the same five-broadcast star plan as before.
+        li.join(broadcast_if_bounded(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_dims), orders.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(broadcast_if_bounded(cust_dims), orders.o_custkey == F.col("c_custkey"))
+        .join(broadcast_if_bounded(supp_nation), li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("vol"),

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum, stable_round
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +55,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            # size-gated (r10): BUILDING-segment customers are ~1/5 of
+            # an SF-proportional table — still unbounded at scale; the
+            # gate broadcasts on fixtures, shuffles at 100 TB.
+            broadcast_if_bounded(cust.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -118,7 +121,10 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         rev.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # max_rev is a 1-row aggregate — always broadcast; supplier is
+        # SF-proportional (10k rows per SF unit, NOT schema-bounded) —
+        # size-gated (r10).
+        .join(broadcast_if_bounded(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

@@ -29,15 +29,23 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import dsum
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast enrichment join: orders ⋈ customer → spend per segment."""
+    """Enrichment join: orders ⋈ customer → spend per segment.
+
+    The customer side is SIZE-GATED, not hint-broadcast (r10, closing
+    the r9 verdict's star-schema item): customer scales linearly with
+    SF (150k rows per unit — billions at the 100 TB target), and an
+    unconditional ``F.broadcast`` hint overrides Catalyst's threshold
+    so AQE cannot rescue the plan from a driver OOM. On fixtures the
+    stats probe still picks the broadcast (same fast plan); at scale
+    the join falls back to a shuffle co-partitioned on the key."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        orders.join(broadcast_if_bounded(cust), orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -13,6 +13,8 @@ key); the reader API is identical.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -30,8 +32,14 @@ TABLES = [
     "embeddings",
 ]
 
-# Small dimensions that should be broadcast in joins at any scale.
-SMALL_DIMS = {"region", "nation", "supplier"}
+# Schema-bounded dimensions: cardinality fixed by the data model (5
+# regions, 25 nations), NOT by scale factor — the only tables safe to
+# broadcast unconditionally. customer/supplier/part all scale linearly
+# with SF (150k/10k/200k rows per SF unit) and must ride
+# ``broadcast_if_bounded`` instead (r10, closing the r9 verdict's
+# star-schema gating item: the r9 sweep's "schema-bounded dims
+# (region/nation/supplier)" claim wrongly included supplier).
+SMALL_DIMS = {"region", "nation"}
 
 
 def _enable_nanos_as_long(spark: SparkSession) -> None:
@@ -150,12 +158,36 @@ def broadcast_if_bounded(df: DataFrame, max_bytes: int | None = None) -> DataFra
     the probe side by the same column (the contingency table is keyed
     (slice, term), the marginal by term, so the shuffle co-partitions
     on term). Unknown stats => NOT broadcast: at 100 TB the safe
-    default is the shuffle, never the driver."""
+    default is the shuffle, never the driver.
+
+    r10 hardening (advisor items): (a) a failed probe is LOGGED at
+    warning level instead of silently degrading — under Spark Connect
+    the private ``_jdf`` handle does not exist, so every call takes
+    the shuffle fallback; that is the correct conservative plan but it
+    must be visible, not silent. (b) The probe result is memoized on
+    the DataFrame object (``_lm_stats_bytes``): the probe runs full
+    driver-side analysis + optimization of the subtree, and several
+    keys probe the same frame twice while assembling one plan — the
+    memo makes the second probe free. The memo is per-object, not
+    per-logical-plan: call sites construct their frames fresh per
+    plan build, so object identity is exactly the reuse scope."""
     limit = BROADCAST_MAX_BYTES if max_bytes is None else max_bytes
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return df
+    size = getattr(df, "_lm_stats_bytes", None)
+    if size is None:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception as exc:  # Spark Connect (no _jdf) or analysis failure
+            logging.getLogger(__name__).warning(
+                "broadcast_if_bounded: plan-stats probe failed (%s: %s); "
+                "falling back to a shuffle join for this side — expected "
+                "under Spark Connect, where the private _jdf handle is "
+                "unavailable", type(exc).__name__, exc,
+            )
+            return df
+        try:
+            df._lm_stats_bytes = size
+        except Exception:
+            pass  # frozen/slotted DataFrame subclass: probe just re-runs
     if size <= limit:
         return F.broadcast(df)
     return df

