@@ -1249,3 +1249,24 @@ def test_knn_join_query_cap_enforced(spark, sf_dir, monkeypatch):
     with pytest.raises(ValueError, match="KNN_Q_CAP"):
         V.knn_join(spark, sf_dir)
     spark.catalog.clearCache()
+
+
+def test_setops_fixture_discriminates(spark, sf_dir):
+    """r10 (r9 verdict item 3): the set-op sources must PROPERLY
+    partially overlap so the three operators are mutually
+    distinguishable by their results — except nonzero, intersect a
+    strict subset of either input, union strictly larger than both.
+    The old click/view split was degenerate (every user had both):
+    except hashed empty and union ≡ intersect, so a wrong
+    implementation could pass the oracle."""
+    from labelmain_spark.operators import setops
+
+    uni = {r.user_id for r in setops.set_union(spark, sf_dir).collect()}
+    exc = {r.user_id for r in setops.set_except(spark, sf_dir).collect()}
+    ints = {r.user_id for r in setops.set_intersect(spark, sf_dir).collect()}
+    assert exc and ints and uni, "no branch may be empty"
+    assert exc != ints and exc != uni and ints != uni
+    assert ints < uni and exc < uni and ints.isdisjoint(exc)
+    # union strictly larger than A (= except ∪ intersect): B adds keys
+    assert len(uni) > len(exc | ints)
+    spark.catalog.clearCache()
