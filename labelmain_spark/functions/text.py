@@ -211,7 +211,6 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
-BM25_SALT = 32  # phase-1 rank parallelism for the two-phase top-k
 # (query_id, terms) — a fixed multi-term query set over the corpus
 # vocabulary: the retrieval stand-in for "score every doc against the
 # eval/query batch" (data-selection-by-retrieval, contamination

@@ -103,8 +103,10 @@ PRIORITY = [
     # topk (O3) moved out r9 after EIGHT straight green rows (r1-r8):
     # TakeOrderedAndProject stays plan-pinned (tests/test_plans.py)
     # and in-window via every ANN key's top-k tail plus bm25_topk's
-    # two-phase salted rank — the shape carries multiple driver rows
-    # through strictly harder members.
+    # single-window WindowGroupLimit plan (r9 re-plan: the optimizer's
+    # per-partition top-k pushdown carries the grouped-top-k shape;
+    # plan-asserted in tests/test_plans.py) — the shape keeps multiple
+    # driver rows through strictly harder members.
     "scan_project",
     # filters (P8-P10, T3) — filter_contains (P9) out r4 (single LIKE
     # predicate, pushdown shape pinned in-window); filter_null (P10)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -82,7 +83,15 @@ def build_session(
     return spark
 
 
-_TRACKED_PERSISTS: list = []
+# Tracked persists, KEYED BY OWNING SESSION (r10 advisor item): a
+# WeakKeyDictionary{SparkSession: [DataFrame, ...]}. The r9 flat list
+# had two defects — release_caches(spark) unpersisted frames belonging
+# to OTHER live sessions, and a stopped-but-never-released session's
+# entries (plus their persisted RDD handles) stayed reachable forever.
+# Weak keys make the session itself the lifetime: when a session is
+# garbage-collected its tracked list vanishes with it, and releasing
+# one session can never touch another's caches.
+_TRACKED_PERSISTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def track_persist(df):
@@ -91,31 +100,32 @@ def track_persist(df):
     persisted frame (e.g. ``bm25_topk``'s tokenized tf projection)
     cannot unpersist before returning — the caller's action would
     recompute the projection and lose the single-tokenization plan —
-    so they register here instead; each ``release_caches`` call (and
-    only it) drops the entry. Long-lived library sessions that never
-    call ``release_caches`` would otherwise accumulate one cache entry
-    per distinct invocation (r8 advice item)."""
-    _TRACKED_PERSISTS.append(df)
+    so they register here instead; a ``release_caches(owner_session)``
+    call (and only it) drops the entry. Long-lived library sessions
+    that never call ``release_caches`` would otherwise accumulate one
+    cache entry per distinct invocation (r8 advice item); entries are
+    scoped to ``df.sparkSession`` so concurrent sessions cannot
+    release each other's frames (r10 advice item)."""
+    _TRACKED_PERSISTS.setdefault(df.sparkSession, []).append(df)
     return df
 
 
 def release_caches(spark: SparkSession) -> None:
-    """Drop every persisted intermediate (shared explodes, cumsum level
-    caches). Several operators persist diamond-shaped intermediates
-    (``_exploded_shingles``, ``_exploded_paragraphs``,
-    ``exclusive_cumsum`` levels); Spark's
+    """Drop every persisted intermediate OWNED BY ``spark`` (shared
+    explodes, cumsum level caches). Several operators persist
+    diamond-shaped intermediates (``_exploded_shingles``,
+    ``_exploded_paragraphs``, ``exclusive_cumsum`` levels); Spark's
     CacheManager keys them by canonical plan so repeat calls share one
     entry per input, but entries from DIFFERENT queries/inputs
     accumulate for the lifetime of the session. Long-lived sessions
     iterating many registry keys must call this between keys — bench.py
     and the test fixtures do; the correctness driver's per-key runs are
-    short-lived."""
-    for df in _TRACKED_PERSISTS:
+    short-lived. Frames tracked by other live sessions are untouched."""
+    for df in _TRACKED_PERSISTS.pop(spark, []):
         try:
             df.unpersist()
         except Exception:
             pass  # session of the tracked frame may already be stopped
-    _TRACKED_PERSISTS.clear()
     spark.catalog.clearCache()
 
 

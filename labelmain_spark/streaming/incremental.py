@@ -440,6 +440,17 @@ def run_release_sink(
     from labelmain_spark.functions.dedup import delta_classify, doc_digest
     from labelmain_spark.functions.profile import slice_agg
 
+    # r10 (advisor): the epoch-overwrite discipline is idempotent only
+    # WITHIN one run — epoch= directories left by a PREVIOUS release at
+    # the same out_path would be silently summed into delta/drift. A
+    # fresh checkpoint means a fresh release run (stale epochs must
+    # go); an existing checkpoint means a crash-resume of THIS run
+    # (landed epochs are committed work availableNow will not replay —
+    # keep them). Checkpoint existence is exactly that distinction.
+    if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
+        for sub in ("delta", "parts"):
+            shutil.rmtree(os.path.join(out_path, sub), ignore_errors=True)
+
     def release_batch(batch: DataFrame, epoch_id: int) -> None:
         cur = batch.select(
             "doc_id", "lang", "source", "text",
@@ -480,21 +491,36 @@ def finalize_release(
     from labelmain_spark.functions.dedup import delta_classify
     from labelmain_spark.functions.profile import drift_report
 
-    landed = spark.read.parquet(os.path.join(out_path, "delta")).select(
-        "doc_id", "status", "old_digest", "new_digest"
-    )  # drop the epoch partition column the per-epoch layout adds
+    # r10 (advisor): a release window with ZERO landed batches (the
+    # stream source was empty) leaves no delta/parts directories —
+    # reading them unconditionally raised. Semantically an empty
+    # stream is a valid release: every previous doc is `removed` and
+    # the current aggregate is empty, so substitute typed empty frames.
+    delta_dir = os.path.join(out_path, "delta")
+    if os.path.exists(delta_dir):
+        landed = spark.read.parquet(delta_dir).select(
+            "doc_id", "status", "old_digest", "new_digest"
+        )  # drop the epoch partition column the per-epoch layout adds
+    else:
+        landed = spark.createDataFrame(
+            [],
+            "doc_id long, status string, old_digest string, new_digest string",
+        )
     removed = delta_classify(
         prev_digests.join(landed.select("doc_id"), "doc_id", "left_anti").withColumn(
             "new_digest", F.lit(None).cast("string")
         )
     )
     delta = landed.unionByName(removed)
-    cur_agg = (
-        spark.read.parquet(os.path.join(out_path, "parts"))
-        .groupBy("lang", "source")
-        .agg(
-            F.sum("n_docs_cur").alias("n_docs_cur"),
-            F.sum("tok_cur").alias("tok_cur"),
+    parts_dir = os.path.join(out_path, "parts")
+    if os.path.exists(parts_dir):
+        parts = spark.read.parquet(parts_dir)
+    else:
+        parts = spark.createDataFrame(
+            [], "lang string, source string, n_docs_cur long, tok_cur long"
         )
+    cur_agg = parts.groupBy("lang", "source").agg(
+        F.sum("n_docs_cur").alias("n_docs_cur"),
+        F.sum("tok_cur").alias("tok_cur"),
     )
     return delta, drift_report(prev_agg, cur_agg)

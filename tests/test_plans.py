@@ -922,3 +922,24 @@ def test_star_schema_broadcasts_are_size_gated(spark, sf_dir, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.catalog.clearCache()
+
+
+def test_bm25_topk_window_group_limit_pinned(spark, sf_dir):
+    """r10 (advisor): the r9 bm25_topk re-plan dropped the salted
+    two-phase rank and relies ENTIRELY on Catalyst's WindowGroupLimit
+    rewrite (Spark >= 3.5) to keep the single query_id-partitioned
+    window scalable — the map-side Partial limit is what prevents the
+    |Q|-partition serialization the salted plan existed to avoid. Pin
+    the node so a runtime downgrade or an optimizer-flag change fails
+    loudly instead of silently regressing to a per-query full sort."""
+    from labelmain_spark.functions.text import bm25_topk
+
+    df = bm25_topk(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    # map-side (Partial) limit below the exchange, as in sample_group
+    assert "Partial" in plan and plan.rindex("Partial") > plan.index(
+        "Exchange"
+    ), plan[:2000]
+    checks.assert_no_python_eval(df)
+    spark.catalog.clearCache()

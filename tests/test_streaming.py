@@ -523,3 +523,49 @@ def test_stream_release_matches_batch(spark, sf_dir, tmp_path):
     assert got_drift == want_drift and got_drift, (
         len(got_drift), len(want_drift),
     )
+
+
+def test_release_empty_stream_and_stale_epoch_hygiene(spark, sf_dir, tmp_path):
+    """r10 (advisor): (a) a release window whose stream lands ZERO
+    batches must still finalize — every previous doc classifies as
+    `removed` and drift sees an empty current aggregate (no raise on
+    the missing delta/parts directories); (b) epoch= directories left
+    at the same out_path by a PREVIOUS release run must NOT leak into
+    a new run's reconcile — a fresh checkpoint clears them, while a
+    resumed (existing) checkpoint keeps its own committed epochs."""
+    import labelmain_spark.streaming.incremental as inc
+    from labelmain_spark.functions.dedup import delta_snapshots
+    from labelmain_spark.functions.profile import slice_agg
+    from labelmain_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    prev_digests, cur = delta_snapshots(docs)
+    prev_agg = slice_agg(docs.limit(0), "n_docs_prev", "tok_prev")
+    out_path = str(tmp_path / "release")
+
+    # ---- (b) stale epochs from a "previous run" at the same path
+    stale = str(tmp_path / "release/delta/epoch=999")
+    cur.limit(3).selectExpr(
+        "doc_id", "'added' AS status",
+        "CAST(NULL AS STRING) AS old_digest", "'stale' AS new_digest",
+    ).write.parquet(stale)
+
+    # empty landing zone -> availableNow stream with zero batches
+    landing = str(tmp_path / "landing")
+    cur.limit(0).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .parquet(landing)
+    )
+    inc.run_release_sink(stream, prev_digests, out_path, str(tmp_path / "ckpt"))
+
+    delta, drift = inc.finalize_release(spark, prev_digests, prev_agg, out_path)
+    rows = delta.collect()
+    # stale epoch purged: nothing 'added'; empty stream: ALL prev docs removed
+    assert rows and all(r.status == "removed" for r in rows)
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in prev_digests.select("doc_id").collect()
+    }
+    assert drift.count() == 0  # both aggregates empty -> no drift rows
