@@ -1240,6 +1240,259 @@ def quality_5gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_kn4_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY at 4-GRAM order (r10, r9 verdict item
+    4): the KN axis extended the same way the JM axis was, one rung
+    from true KenLM. The recursion (Chen & Goodman 1996 §3,
+    interpolated form) at order 4:
+
+        p₄(w₄|w₁w₂w₃) = (max(c(w₁w₂w₃w₄)−D, 0)
+                          + D·N₁₊(w₁w₂w₃·)·p₃(w₄|w₂w₃)) / c(w₁w₂w₃·)
+        p₃(w₄|w₂w₃)   = (max(N₁₊(·w₂w₃w₄)−D, 0)
+                          + D·N₁₊mid(w₂w₃·)·p₂(w₄|w₃)) / N₁₊(·w₂w₃·)
+        p₂(w₄|w₃)     = (max(N₁₊(·w₃w₄)−D, 0)
+                          + D·N₁₊mid(w₃·)·p₁(w₄)) / N₁₊(·w₃·)
+        p₁(w₄)        = N₁₊(·w₄) / N₁₊(··)
+
+    Only the TOP order runs on raw counts; every middle order runs on
+    continuation counts from the type table one order up (N₁₊(·uw) =
+    distinct first-token extensions of the k-gram (u,w) in the
+    (k+1)-gram type table) — the KN insight applied at every level,
+    which is exactly what KenLM estimates.
+
+    Scale shape — the kn3 argument one order up: the 4-gram and every
+    multi-token-keyed statistic (ctx4, pred4, mid4, pred3) ride
+    shuffle joins on their n-gram keys (they grow toward |V|ⁿ — never
+    broadcast); the single-token-keyed statistics (mid3 by w₃, cont2
+    by w₄) are size-gated broadcasts; the type count is a 1-row
+    broadcast. Per-doc (w₁..w₄) pre-agg collapses Zipf-hot repeats
+    map-side; per-transition NLL in exact integer micro-units ×
+    multiplicity (the family discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+
+    def _ngrams(k: int, names: list[str], with_doc: bool) -> DataFrame:
+        ln = F.greatest(n - (k - 1), F.lit(0))
+        cols = ["doc_id"] if with_doc else []
+        return base.select(
+            *cols,
+            F.explode(
+                F.arrays_zip(
+                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
+                )
+            ).alias("g"),
+        ).select(
+            *cols, *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
+        )
+
+    W4 = ["w1", "w2", "w3", "w4"]
+    dqg = _ngrams(4, W4, True).groupBy("doc_id", *W4).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c4 = dqg.groupBy(*W4).agg(F.sum("m").alias("cnt_q"))
+    ctx4 = c4.groupBy("w1", "w2", "w3").agg(
+        F.sum("cnt_q").alias("ctx4"),
+        F.count(F.lit(1)).alias("n_succ4"),
+    )
+    pred4 = c4.groupBy("w2", "w3", "w4").agg(F.count(F.lit(1)).alias("n_pred4"))
+    mid4 = c4.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("n_mid4"),
+        F.count_distinct("w4").alias("n_succmid4"),
+    )
+    ct3 = (
+        _ngrams(3, ["a", "b", "c"], False)
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    pred3 = ct3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_pred3")).select(
+        F.col("b").alias("w3"), F.col("c").alias("w4"), "n_pred3"
+    )
+    mid3 = ct3.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_mid3"),
+        F.count_distinct("c").alias("n_succ_mid"),
+    ).select(F.col("b").alias("w3"), "n_mid3", "n_succ_mid")
+    cbt = (
+        _ngrams(2, ["prev", "cur"], False)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
+        F.col("cur").alias("w4"), "n_cont2"
+    )
+    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
+    p1 = F.col("n_cont2").cast("double") / F.col("n_types2")
+    p2 = (
+        F.greatest(F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succ_mid").cast("double") * p1
+    ) / F.col("n_mid3")
+    p3 = (
+        F.greatest(F.col("n_pred4").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succmid4").cast("double") * p2
+    ) / F.col("n_mid4")
+    p = (
+        F.greatest(F.col("cnt_q").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succ4").cast("double") * p3
+    ) / F.col("ctx4")
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dqg.join(c4, W4)
+        .join(ctx4, ["w1", "w2", "w3"])
+        .join(pred4, ["w2", "w3", "w4"])
+        .join(mid4, ["w2", "w3"])
+        .join(pred3, ["w3", "w4"])
+        .join(broadcast_if_bounded(mid3), "w3")
+        .join(broadcast_if_bounded(cont2), "w4")
+        .crossJoin(F.broadcast(types2))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_4grams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("kn4_nll"),
+    )
+
+
+def quality_kn5_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY at 5-GRAM order (r10) — TRUE KenLM
+    FIDELITY: CCNet/RedPajama's production perplexity filter is an
+    interpolated-KN 5-gram model, and this rung is that estimator —
+    raw counts at the top order, continuation counts at every middle
+    order, the distinct-predecessor unigram at the bottom (Chen &
+    Goodman 1996 §3; Heafield 2011 builds the same statistics):
+
+        p₅ = (max(c(w₁..w₅)−D,0)  + D·N₁₊(w₁..w₄·)·p₄) / c(w₁..w₄·)
+        p₄ = (max(N₁₊(·w₂..w₅)−D,0) + D·N₁₊mid(w₂w₃w₄·)·p₃) / N₁₊(·w₂w₃w₄·)
+        p₃ = (max(N₁₊(·w₃w₄w₅)−D,0) + D·N₁₊mid(w₃w₄·)·p₂) / N₁₊(·w₃w₄·)
+        p₂ = (max(N₁₊(·w₄w₅)−D,0)   + D·N₁₊mid(w₄·)·p₁)   / N₁₊(·w₄·)
+        p₁ = N₁₊(·w₅) / N₁₊(··)
+
+    What remains between this and KenLM the artifact is engineering,
+    not estimation: order-interleaved trie storage and per-order
+    FITTED discounts (D estimated from the count-of-counts n₁,n₂ per
+    order) vs the fixed Chen & Goodman default here.
+
+    Scale shape — the kn4 argument one order up, nothing else: the
+    5-gram table and every multi-token-keyed statistic ride shuffle
+    joins on their n-gram keys; only the single-token-keyed mid3/cont2
+    broadcast under the size gate; the eight-table join tree is
+    precisely the shape DuckDB's oracle pays superlinearly for (the
+    kn3 rung measured 0.04× at ×100 — DuckDB 14 min vs Spark ~40 s)
+    while Spark adds one partial agg + one co-keyed join per rung."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+
+    def _ngrams(k: int, names: list[str], with_doc: bool) -> DataFrame:
+        ln = F.greatest(n - (k - 1), F.lit(0))
+        cols = ["doc_id"] if with_doc else []
+        return base.select(
+            *cols,
+            F.explode(
+                F.arrays_zip(
+                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
+                )
+            ).alias("g"),
+        ).select(
+            *cols, *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
+        )
+
+    W5 = ["w1", "w2", "w3", "w4", "w5"]
+    dq5 = _ngrams(5, W5, True).groupBy("doc_id", *W5).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c5 = dq5.groupBy(*W5).agg(F.sum("m").alias("cnt_5"))
+    ctx5 = c5.groupBy("w1", "w2", "w3", "w4").agg(
+        F.sum("cnt_5").alias("ctx5"),
+        F.count(F.lit(1)).alias("n_succ5"),
+    )
+    pred5 = c5.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("n_pred5")
+    )
+    mid5 = c5.groupBy("w2", "w3", "w4").agg(
+        F.count(F.lit(1)).alias("n_mid5"),
+        F.count_distinct("w5").alias("n_succmid5"),
+    )
+    c4t = (
+        _ngrams(4, ["a", "b", "c", "d"], False)
+        .groupBy("a", "b", "c", "d")
+        .agg(F.count(F.lit(1)).alias("cnt_q"))
+    )
+    pred4 = c4t.groupBy("b", "c", "d").agg(
+        F.count(F.lit(1)).alias("n_pred4")
+    ).select(
+        F.col("b").alias("w3"), F.col("c").alias("w4"), F.col("d").alias("w5"),
+        "n_pred4",
+    )
+    mid4 = c4t.groupBy("b", "c").agg(
+        F.count(F.lit(1)).alias("n_mid4"),
+        F.count_distinct("d").alias("n_succmid4"),
+    ).select(F.col("b").alias("w3"), F.col("c").alias("w4"), "n_mid4", "n_succmid4")
+    ct3 = (
+        _ngrams(3, ["a", "b", "c"], False)
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    pred3 = ct3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_pred3")).select(
+        F.col("b").alias("w4"), F.col("c").alias("w5"), "n_pred3"
+    )
+    mid3 = ct3.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_mid3"),
+        F.count_distinct("c").alias("n_succ_mid"),
+    ).select(F.col("b").alias("w4"), "n_mid3", "n_succ_mid")
+    cbt = (
+        _ngrams(2, ["prev", "cur"], False)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
+        F.col("cur").alias("w5"), "n_cont2"
+    )
+    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
+    p1 = F.col("n_cont2").cast("double") / F.col("n_types2")
+    p2 = (
+        F.greatest(F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succ_mid").cast("double") * p1
+    ) / F.col("n_mid3")
+    p3 = (
+        F.greatest(F.col("n_pred4").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succmid4").cast("double") * p2
+    ) / F.col("n_mid4")
+    p4 = (
+        F.greatest(F.col("n_pred5").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succmid5").cast("double") * p3
+    ) / F.col("n_mid5")
+    p = (
+        F.greatest(F.col("cnt_5").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succ5").cast("double") * p4
+    ) / F.col("ctx5")
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        dq5.join(c5, W5)
+        .join(ctx5, ["w1", "w2", "w3", "w4"])
+        .join(pred5, ["w2", "w3", "w4", "w5"])
+        .join(mid5, ["w2", "w3", "w4"])
+        .join(pred4, ["w3", "w4", "w5"])
+        .join(mid4, ["w3", "w4"])
+        .join(pred3, ["w4", "w5"])
+        .join(broadcast_if_bounded(mid3), "w4")
+        .join(broadcast_if_bounded(cont2), "w5")
+        .crossJoin(F.broadcast(types2))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias("n_5grams"),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias("kn5_nll"),
+    )
+
+
 # Tag taxonomy for phrase-dictionary tagging: tag → marker phrases
 # (multi-word, so matching is substring-level, not token-set overlap
 # like lang_id). Deterministic dict order fixes the column build.
@@ -1668,6 +1921,8 @@ QUERIES = {
     "quality_5gram_nll": quality_5gram_nll,
     "quality_kn_nll": quality_kn_nll,
     "quality_kn3_nll": quality_kn3_nll,
+    "quality_kn4_nll": quality_kn4_nll,
+    "quality_kn5_nll": quality_kn5_nll,
     "entropy_filter": entropy_filter,
     "keyword_tag": keyword_tag,
     "tag_and_filter": tag_and_filter,
@@ -2090,6 +2345,227 @@ ORACLE = {
                {sql_stable_round(
                    "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
                )} AS kn3_nll
+        FROM p GROUP BY doc_id
+    """,
+    # the kn3 oracle one order up: raw counts at the top, continuation
+    # counts from the 4-gram type table at the middle, the kn3 middle
+    # machinery reused below it. Same MATERIALIZED discipline.
+    "quality_kn4_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), qg AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, u.w4 AS w4 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 3, 0)),
+                           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                  'w3': toks[i + 3], 'w4': toks[i + 4]}}
+                       )) AS u
+                FROM t
+            )
+        ), dqg AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS m
+            FROM qg GROUP BY doc_id, w1, w2, w3, w4
+        ), c4 AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, CAST(SUM(m) AS BIGINT) AS cnt_q
+            FROM dqg GROUP BY w1, w2, w3, w4
+        ), ctx4 AS MATERIALIZED (
+            SELECT w1, w2, w3, CAST(SUM(cnt_q) AS BIGINT) AS ctx4,
+                   CAST(COUNT(*) AS BIGINT) AS n_succ4
+            FROM c4 GROUP BY w1, w2, w3
+        ), pred4 AS MATERIALIZED (
+            SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n_pred4
+            FROM c4 GROUP BY w2, w3, w4
+        ), mid4 AS MATERIALIZED (
+            SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n_mid4,
+                   CAST(COUNT(DISTINCT w4) AS BIGINT) AS n_succmid4
+            FROM c4 GROUP BY w2, w3
+        ), tg AS (
+            SELECT u.a AS a, u.b AS b, u.c AS c FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 2, 0)),
+                           i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                  'c': toks[i + 3]}}
+                       )) AS u
+                FROM t
+            )
+        ), ct3 AS MATERIALIZED (
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt_t
+            FROM tg GROUP BY a, b, c
+        ), pred3 AS MATERIALIZED (
+            SELECT b AS w3, c AS w4, CAST(COUNT(*) AS BIGINT) AS n_pred3
+            FROM ct3 GROUP BY b, c
+        ), mid3 AS MATERIALIZED (
+            SELECT b AS w3, CAST(COUNT(*) AS BIGINT) AS n_mid3,
+                   CAST(COUNT(DISTINCT c) AS BIGINT) AS n_succ_mid
+            FROM ct3 GROUP BY b
+        ), bg AS (
+            SELECT u.prev AS prev, u.cur AS cur FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM bg GROUP BY prev, cur
+        ), cont2 AS MATERIALIZED (
+            SELECT cur AS w4, CAST(COUNT(*) AS BIGINT) AS n_cont2
+            FROM cb GROUP BY cur
+        ), types2 AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types2 FROM cb
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln((greatest(CAST(c.cnt_q AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(x.n_succ4 AS DOUBLE)"
+                       f" * ((greatest(CAST(p4.n_pred4 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(m4.n_succmid4 AS DOUBLE)"
+                       f" * ((greatest(CAST(p3.n_pred3 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(m3.n_succ_mid AS DOUBLE)"
+                       " * (CAST(co.n_cont2 AS DOUBLE) / ty.n_types2))"
+                       " / m3.n_mid3)) / m4.n_mid4)) / x.ctx4)", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dqg d
+            JOIN c4 c ON c.w1 = d.w1 AND c.w2 = d.w2 AND c.w3 = d.w3
+                     AND c.w4 = d.w4
+            JOIN ctx4 x ON x.w1 = d.w1 AND x.w2 = d.w2 AND x.w3 = d.w3
+            JOIN pred4 p4 ON p4.w2 = d.w2 AND p4.w3 = d.w3 AND p4.w4 = d.w4
+            JOIN mid4 m4 ON m4.w2 = d.w2 AND m4.w3 = d.w3
+            JOIN pred3 p3 ON p3.w3 = d.w3 AND p3.w4 = d.w4
+            JOIN mid3 m3 ON m3.w3 = d.w3
+            JOIN cont2 co ON co.w4 = d.w4
+            CROSS JOIN types2 ty
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_4grams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS kn4_nll
+        FROM p GROUP BY doc_id
+    """,
+    # the kn4 oracle one order up — true KenLM shape: the 9-way join
+    # tree over five n-gram statistic tables is the deepest oracle in
+    # the ladder (the catastrophic-inversion family at scale).
+    "quality_kn5_nll": f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g5 AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3, u.w4 AS w4,
+                   u.w5 AS w5 FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(greatest(len(toks) - 4, 0)),
+                           i -> {{'w1': toks[i + 1], 'w2': toks[i + 2],
+                                  'w3': toks[i + 3], 'w4': toks[i + 4],
+                                  'w5': toks[i + 5]}}
+                       )) AS u
+                FROM t
+            )
+        ), dq5 AS MATERIALIZED (
+            SELECT doc_id, w1, w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS m
+            FROM g5 GROUP BY doc_id, w1, w2, w3, w4, w5
+        ), c5 AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, w5, CAST(SUM(m) AS BIGINT) AS cnt_5
+            FROM dq5 GROUP BY w1, w2, w3, w4, w5
+        ), ctx5 AS MATERIALIZED (
+            SELECT w1, w2, w3, w4, CAST(SUM(cnt_5) AS BIGINT) AS ctx5,
+                   CAST(COUNT(*) AS BIGINT) AS n_succ5
+            FROM c5 GROUP BY w1, w2, w3, w4
+        ), pred5 AS MATERIALIZED (
+            SELECT w2, w3, w4, w5, CAST(COUNT(*) AS BIGINT) AS n_pred5
+            FROM c5 GROUP BY w2, w3, w4, w5
+        ), mid5 AS MATERIALIZED (
+            SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS n_mid5,
+                   CAST(COUNT(DISTINCT w5) AS BIGINT) AS n_succmid5
+            FROM c5 GROUP BY w2, w3, w4
+        ), qg AS (
+            SELECT u.a AS a, u.b AS b, u.c AS c, u.d AS d FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 3, 0)),
+                           i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                  'c': toks[i + 3], 'd': toks[i + 4]}}
+                       )) AS u
+                FROM t
+            )
+        ), c4t AS MATERIALIZED (
+            SELECT a, b, c, d, CAST(COUNT(*) AS BIGINT) AS cnt_q
+            FROM qg GROUP BY a, b, c, d
+        ), pred4 AS MATERIALIZED (
+            SELECT b AS w3, c AS w4, d AS w5, CAST(COUNT(*) AS BIGINT) AS n_pred4
+            FROM c4t GROUP BY b, c, d
+        ), mid4 AS MATERIALIZED (
+            SELECT b AS w3, c AS w4, CAST(COUNT(*) AS BIGINT) AS n_mid4,
+                   CAST(COUNT(DISTINCT d) AS BIGINT) AS n_succmid4
+            FROM c4t GROUP BY b, c
+        ), tg AS (
+            SELECT u.a AS a, u.b AS b, u.c AS c FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 2, 0)),
+                           i -> {{'a': toks[i + 1], 'b': toks[i + 2],
+                                  'c': toks[i + 3]}}
+                       )) AS u
+                FROM t
+            )
+        ), ct3 AS MATERIALIZED (
+            SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS cnt_t
+            FROM tg GROUP BY a, b, c
+        ), pred3 AS MATERIALIZED (
+            SELECT b AS w4, c AS w5, CAST(COUNT(*) AS BIGINT) AS n_pred3
+            FROM ct3 GROUP BY b, c
+        ), mid3 AS MATERIALIZED (
+            SELECT b AS w4, CAST(COUNT(*) AS BIGINT) AS n_mid3,
+                   CAST(COUNT(DISTINCT c) AS BIGINT) AS n_succ_mid
+            FROM ct3 GROUP BY b
+        ), bg AS (
+            SELECT u.prev AS prev, u.cur AS cur FROM (
+                SELECT unnest(list_transform(
+                           range(greatest(len(toks) - 1, 0)),
+                           i -> {{'prev': toks[i + 1], 'cur': toks[i + 2]}}
+                       )) AS u
+                FROM t
+            )
+        ), cb AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM bg GROUP BY prev, cur
+        ), cont2 AS MATERIALIZED (
+            SELECT cur AS w5, CAST(COUNT(*) AS BIGINT) AS n_cont2
+            FROM cb GROUP BY cur
+        ), types2 AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types2 FROM cb
+        ), p AS (
+            SELECT d.doc_id, d.m,
+                   CAST(floor({sql_stable_round(
+                       f"-ln((greatest(CAST(c.cnt_5 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(x.n_succ5 AS DOUBLE)"
+                       f" * ((greatest(CAST(p5.n_pred5 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(m5.n_succmid5 AS DOUBLE)"
+                       f" * ((greatest(CAST(p4.n_pred4 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(m4.n_succmid4 AS DOUBLE)"
+                       f" * ((greatest(CAST(p3.n_pred3 AS DOUBLE) - {KN_D!r}, 0e0)"
+                       f" + {KN_D!r} * CAST(m3.n_succ_mid AS DOUBLE)"
+                       " * (CAST(co.n_cont2 AS DOUBLE) / ty.n_types2))"
+                       " / m3.n_mid3)) / m4.n_mid4)) / m5.n_mid5)) / x.ctx5)", 6
+                   )} * 1e6 + 0.5) AS BIGINT) AS micro
+            FROM dq5 d
+            JOIN c5 c ON c.w1 = d.w1 AND c.w2 = d.w2 AND c.w3 = d.w3
+                     AND c.w4 = d.w4 AND c.w5 = d.w5
+            JOIN ctx5 x ON x.w1 = d.w1 AND x.w2 = d.w2 AND x.w3 = d.w3
+                       AND x.w4 = d.w4
+            JOIN pred5 p5 ON p5.w2 = d.w2 AND p5.w3 = d.w3 AND p5.w4 = d.w4
+                         AND p5.w5 = d.w5
+            JOIN mid5 m5 ON m5.w2 = d.w2 AND m5.w3 = d.w3 AND m5.w4 = d.w4
+            JOIN pred4 p4 ON p4.w3 = d.w3 AND p4.w4 = d.w4 AND p4.w5 = d.w5
+            JOIN mid4 m4 ON m4.w3 = d.w3 AND m4.w4 = d.w4
+            JOIN pred3 p3 ON p3.w4 = d.w4 AND p3.w5 = d.w5
+            JOIN mid3 m3 ON m3.w4 = d.w4
+            JOIN cont2 co ON co.w5 = d.w5
+            CROSS JOIN types2 ty
+        )
+        SELECT doc_id, CAST(SUM(m) AS INTEGER) AS n_5grams,
+               {sql_stable_round(
+                   "(CAST(SUM(m * micro) AS DOUBLE) / 1e6) / SUM(m)", 4
+               )} AS kn5_nll
         FROM p GROUP BY doc_id
     """,
     "quality_4gram_nll": f"""

@@ -1557,6 +1557,108 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_plan(spark, e, cents)
 
 
+def semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over a DETERMINISTIC HASH-SEEDED quantizer (r10, r9
+    verdict item 8) — the fitted path's ENTIRE decision procedure made
+    hash-checkable with DATA-DERIVED (non-literal) centroids.
+
+    Why the fitted key itself cannot gain a SQL oracle (the recorded
+    argument item 8 asked for): `semantic_dedup_ivf`'s centroids come
+    from MLlib KMeans — seed-deterministic WITHIN Spark, but its
+    k-means|| initialization draws from Spark's per-partition RNG
+    stream and its Lloyd updates accumulate float means in partition
+    order; no SQL engine can replay either, so equality of fitted
+    centroids across engines is unachievable by construction (and
+    inlining one engine's fit as literals into the other's query is a
+    frozen twin, which `semantic_dedup` already is).
+
+    This key closes the remaining gap: replace the fit with a
+    deterministic seeding rule BOTH engines can compute exactly — the
+    k vectors with the smallest md5(vec_id) (k = max(2, min(64,
+    n//125)), the fitted key's k ∝ N deployment rule) become the
+    centroids, raw (cosine normalizes, so seed vectors need no
+    arithmetic beyond the shared norm fold). Everything downstream —
+    the Arrow matmul assignment with its banded exact re-derive, the
+    cluster-blocked candidate matmul, the exact JVM verify, the
+    keep-the-atypical removal rule — is `semantic_dedup_plan`
+    VERBATIM, i.e. the exact code path the fitted key runs, now under
+    a full value-hash oracle that re-derives the seeds in SQL.
+
+    Scale shape: seed selection is a global top-k by hash (one
+    TakeOrdered, k ≤ 64 rows ≈ 32 KB collected — a bounded driver
+    action like the fit it replaces); the plan's scale argument is
+    semantic_dedup's. Hash seeding is also the honest production
+    fallback when no fit artifact is available — uniform over the id
+    space, scale-invariant, reproducible across reruns."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.count()
+    if n < 2:
+        return semantic_dedup_plan(spark, e, _SEM_CENTROIDS[:2])
+    k = max(2, min(64, n // 125))
+    seeds = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r.v] for r in seeds]
+    return semantic_dedup_plan(spark, e, cents)
+
+
+def _sql_semantic_dedup_seeded() -> str:
+    """SQL twin of :func:`semantic_dedup_seeded`: the seeds CTE
+    re-derives the hash-selected centroids from the data (no
+    literals), then mirrors the frozen oracle's normalize → rounded
+    argmax (first-max = lowest cid) → pair threshold → removal rule.
+    Centroid norms use the same sequential dot fold both engines
+    already agree on for vector norms (the shipped semantic_dedup
+    oracle's assumption, extended to the seed rows)."""
+    pair_cos = sql_stable_round("list_dot_product(x.nv, y.nv)", 4)
+    sim = sql_stable_round(
+        "list_dot_product(en.v, s.c) / (en.vn * s.cn)", 6
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cnt AS (
+            SELECT greatest(2, least(64, COUNT(*) // 125)) AS k FROM e
+        ), seeds AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS c, sqrt(list_dot_product(v, v)) AS cn
+            FROM e
+            QUALIFY row_number() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    ) <= (SELECT k FROM cnt)
+        ), en AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e
+        ), sims AS (
+            SELECT en.vec_id, en.v, en.vn, s.cid, {sim} AS sim
+            FROM en CROSS JOIN seeds s
+        ), a AS (
+            SELECT vec_id,
+                   list_transform(v, x -> x / vn) AS nv,
+                   CAST(cid AS INTEGER) AS cluster,
+                   sim AS c2c
+            FROM sims
+            QUALIFY row_number() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                    ) = 1
+        ), rm AS (
+            SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            WHERE {pair_cos} >= {SEM_THRESHOLD}
+              AND (x.c2c < y.c2c OR (x.c2c = y.c2c AND x.vec_id < y.vec_id))
+        )
+        SELECT a.vec_id, a.cluster,
+               {sql_stable_round('a.c2c', 4)} AS c2c,
+               (rm.vec_id IS NOT NULL) AS removed
+        FROM a LEFT JOIN rm ON a.vec_id = rm.vec_id
+    """
+
+
 def _sql_sem_cos(c: list[float], col: str = "v") -> str:
     import math
 
@@ -1933,13 +2035,15 @@ QUERIES = {
     "ann_ivf_pq_frozen_topk": ann_ivf_pq_frozen_topk,  # full oracle (r9): the composed IVF-ADC shape, frozen twin
     "ann_ivf_pq_topk": ann_ivf_pq_topk,  # rows-only: the composed IVF-ADC production shape; recall-tested
     "semantic_dedup": semantic_dedup,
-    "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: fitted quantizer has no SQL twin; numpy decision-procedure oracle in tests
+    "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: MLlib k-means|| RNG/fold order has no SQL replay (see semantic_dedup_seeded's argument); numpy decision-procedure oracle in tests
+    "semantic_dedup_seeded": semantic_dedup_seeded,  # full oracle (r10): hash-seeded data-derived centroids, the fitted path's plan made hash-checkable
     "knn_join": knn_join,
     "cluster_topics": cluster_topics,
 }
 
 ORACLE = {
     "semantic_dedup": _sql_semantic_dedup(),
+    "semantic_dedup_seeded": _sql_semantic_dedup_seeded(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),
     "ann_pq_frozen_topk": _sql_ann_pq_frozen(),
     "ann_ivf_pq_frozen_topk": _sql_ann_pq_frozen(ivf=True),

@@ -181,6 +181,9 @@ REPRESENTATIVE = [
     "quality_4gram_nll",
     "quality_5gram_nll",
     "quality_kn3_nll",
+    # round-10 additions
+    "quality_kn4_nll",
+    "quality_kn5_nll",
 ]
 
 
@@ -246,6 +249,8 @@ def tiny_docs_dir(tmp_path_factory):
         "quality_4gram_nll",
         "quality_5gram_nll",
         "quality_kn3_nll",
+        "quality_kn4_nll",
+        "quality_kn5_nll",
     ],
 )
 def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
