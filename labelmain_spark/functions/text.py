@@ -22,8 +22,23 @@ from labelmain_spark.operators.parity import (
 from labelmain_spark.sources.readers import (
     broadcast_if_bounded,
     load_table,
+    persist_counted,
     rebalance_dense_scan,
 )
+
+# Exact-cardinality broadcast bound for the unigram frequency table
+# (persist_counted gate): ~50 B/term in the hashed relation → ≤100 MB
+# broadcast at the cap. A web-scale corpus (Heaps' law, 1e8-1e9 terms)
+# exceeds it and takes the co-partitioned shuffle join instead.
+VOCAB_BROADCAST_MAX_TERMS = 2_000_000
+
+# Tier-1 bound: below this, the (term → micro-NLL) table is collected
+# (≤ ~0.5 MB) and inlined as a create_map literal, eliminating the
+# scoring join AND the 100M-row explode entirely. The cap is an
+# analysis-cost bound, measured: create_map's 2n expression nodes
+# analyze in ~0.7 s at 10k entries but ~86 s at 50k (the quadratic
+# no-CSE class recorded at substrings._md5_spans) — 10k stays cheap.
+UNIGRAM_MAPLIT_MAX_TERMS = 10_000
 
 # Deterministic per-language marker sets for the n-gram/stopword
 # language-ID heuristic. Ordered dict: ties break on first-listed lang.
@@ -505,30 +520,96 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-sum speed (the DECIMAL form measured +63% on this key at the
     100k-doc crossover point: 4.83 s vs 2.96 s).
 
-    r9 scale attribution (the rung's >2× residual, measured): ×100
-    4.05× → ×200 2.68× DuckDB (5.48 s vs 2.05 s at 1M docs, 5-pass
-    medians) — the ratio falls as work grows, the dispatch/constant
-    class. The obvious re-plan was A/B-REJECTED on the same tier: a
-    per-(doc, term) pre-aggregate that tokenizes ONCE and derives the
-    frequency table from the reduced frame measured 6.62 s vs 5.48 s
-    — its (doc, term)-keyed exchange costs more than the second
-    narrow explode it saves (this plan's shuffles all carry partials:
-    |vocab|×partitions, then ~1 row per doc×partition; the token rows
-    themselves never shuffle). The higher rungs, which DO pay
-    n-gram-keyed exchanges, invert because DuckDB's n-gram join trees
+    r10 re-plan (the rung was the weak list's last survivor; its
+    "falling-ratio" story BROKE at ×400 and the break exposed a plan
+    bug): the r9 ×100 4.05× → ×200 2.68× series looked like constant
+    amortization, but ×400 measured 3.06× — and the executed plans
+    show why. Catalyst estimates the frequency aggregate at the
+    EXPLODE's inflated output bytes (817 MB at ×200, 1.6 GB at ×400,
+    for a table that is actually a few KB), so the plan-stats gate
+    refused the broadcast hint; below the 64 MB threshold crossover
+    Catalyst then broadcast the other side — the 55M-row EXPLODED
+    token frame, whose estimate is the PRE-explode file bytes (fast
+    in one local JVM, an 8 GB-cap driver kill on a cluster) — and
+    above it the scoring join degraded to a full token-row
+    SortMergeJoin (the exact term-keyed postings shuffle this
+    docstring forbids; 19.3 s at ×400). Fix: the frequency table is
+    ``persist_counted`` — one count job over an aggregate the plan
+    needs anyway — and the physical strategy is TIERED on the EXACT
+    term cardinality:
+
+    - n ≤ UNIGRAM_MAPLIT_MAX_TERMS: collect the (term → micro-NLL)
+      table (≤ 10k rows, ~0.5 MB — the KNN_Q_CAP bounded-collect
+      discipline) and score each doc in ONE projection over its token
+      array via a create_map literal — no join, no explode
+      materialization, no exchange anywhere in the scoring plan.
+      Measured at ×400 (110M tokens, warm 5-pass medians): 11.3 s →
+      **3.8-5.4 s across runs vs DuckDB's standalone 4.4 s ≈
+      0.9-1.2×** — the key inverts at the top tier (×200: 3.6 s vs
+      2.05 s = 1.77×, under the bar). The interpreted element_at
+      lambda beats the codegen'd explode+broadcast-probe 3× because
+      110M rows never materialize (the join plan was verified
+      codegen-clean first: one *(4) span over scan→explode→BHJ→
+      partial-agg — the gap was structural, not interpretation).
+    - n ≤ VOCAB_BROADCAST_MAX_TERMS: explicit broadcast hint on the
+      micro table; explode+probe+map-side partial agg (the only
+      corpus-wide exchange carries ~1 row per doc×partition).
+    - else (Heaps'-law web corpus, 1e8-1e9 terms): co-partitioned
+      shuffle join — AQE-skew-splittable, never a driver broadcast.
+
+    All three tiers consume the SAME Spark-computed micro values, so
+    cross-tier parity is by construction (pinned in
+    tests/test_quality_model.py). (The r9 per-(doc, term) pre-agg
+    A/B rejection — 6.62 s vs 5.48 s at ×200 — compared two plans
+    that BOTH carried the mis-planned join; superseded.) The higher
+    rungs, which DO pay n-gram-keyed exchanges on
+    pre-aggregated frames, invert because DuckDB's n-gram join trees
     go superlinear — the unigram rung has no such join for DuckDB to
     lose on."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
-    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    freq, n_terms = persist_counted(
+        terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     tot = freq.agg(F.sum("cnt").alias("total"))
     nll = stable_round(
         F.log(F.col("total").cast("double") / F.col("cnt")), 6
     )
     micro = F.floor(nll * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = terms.join(
-        broadcast_if_bounded(freq.crossJoin(F.broadcast(tot))), "term"
-    ).select("doc_id", micro.alias("m"))
+    # micro depends only on (cnt, total): compute it ONCE PER TERM on
+    # the small side, so the probe side's per-row work is a hash probe
+    # + a long copy, not ln() + two floors.
+    side = freq.crossJoin(F.broadcast(tot)).select("term", micro.alias("m"))
+    if n_terms <= UNIGRAM_MAPLIT_MAX_TERMS:
+        # Tier 1: collect the micro table (bounded ≤ 10k rows; the
+        # values come from the SAME Spark expressions as the join
+        # tiers, so cross-tier parity is by construction) and score
+        # each doc inside ONE projection over the token array —
+        # zero joins, zero exchanges, no 100M-row explode
+        # materialization. The element_at lambda is interpreted
+        # (HOFs don't codegen), yet it beats the codegen'd
+        # explode+broadcast-probe 3×: 11.3 s → 3.8 s at ×400.
+        pairs: list = []
+        for r in side.collect():
+            pairs += [F.lit(r["term"]), F.lit(r["m"])]
+        mp = F.create_map(*pairs)
+        toks = _toks()
+        n_toks = F.size(toks)
+        msum = F.aggregate(
+            F.transform(toks, lambda t: F.element_at(mp, t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return docs.select(
+            "doc_id",
+            n_toks.cast("int").alias("n_tokens"),
+            stable_round(
+                (msum.cast("double") / F.lit(1e6)) / n_toks, 4
+            ).alias("unigram_nll"),
+        )
+    if n_terms <= VOCAB_BROADCAST_MAX_TERMS:
+        side = F.broadcast(side)
+    scored = terms.join(side, "term").select("doc_id", "m")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         stable_round(

@@ -557,17 +557,64 @@ def test_decontaminate_spans_semi_join_no_cartesian(spark, sf_dir):
 
 
 def test_term_stats_broadcast_onto_postings(spark, sf_dir):
-    """The unigram-NLL / TF-IDF family must join its vocab-bounded
-    term-statistics table onto the corpus-scale postings as a
-    BROADCAST — never a sort-merge re-shuffle of token-level rows on
-    the Zipf-hot term key (the r6 crossover measured that shuffle as
-    the family's scale plateau)."""
-    from labelmain_spark.functions.text import quality_unigram_nll, tfidf_topk
+    """tfidf must join its vocab-bounded term-statistics table onto
+    the corpus-scale postings as a BROADCAST — never a sort-merge
+    re-shuffle of token-level rows on the Zipf-hot term key (the r6
+    crossover measured that shuffle as the family's scale plateau).
+    (quality_unigram_nll moved to its own tiered plan test below,
+    r10.)"""
+    from labelmain_spark.functions.text import tfidf_topk
 
-    for fn in (quality_unigram_nll, tfidf_topk):
-        plan = checks.physical_plan(fn(spark, sf_dir))
-        assert "BroadcastHashJoin" in plan, (fn.__name__, plan[:1500])
-        assert "SortMergeJoin" not in plan, (fn.__name__, plan[:1500])
+    plan = checks.physical_plan(tfidf_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    spark.catalog.clearCache()
+
+
+def test_unigram_nll_tiered_plan(spark, sf_dir, monkeypatch):
+    """r10 re-plan of the last weak-list key: the unigram scoring
+    strategy is tiered on the EXACT term cardinality (persist_counted,
+    never plan-time stats — Catalyst estimates an aggregate-over-
+    explode at file-byte inflation and had silently degraded the join
+    to a token-row SortMergeJoin at ×400 / broadcast the EXPLODED side
+    at ×200). Three assertions:
+
+    - tier 1 (fixture vocab ≤ 10k): the scoring plan is ONE projection
+      — no join, no exchange, no explode — with the micro table inlined
+      as a create_map literal;
+    - tier 2 (map-literal cap forced to 0): broadcast hint on the micro
+      table, no SortMergeJoin, rows identical to tier 1;
+    - tier 3 (both caps 0 + Catalyst auto-broadcast off, the web-scale
+      plan): co-partitioned shuffle join, rows identical."""
+    from labelmain_spark.functions import text
+
+    base = text.quality_unigram_nll(spark, sf_dir)
+    plan1 = checks.physical_plan(base)
+    assert "Join" not in plan1, plan1[:1500]
+    assert "Exchange" not in plan1, plan1[:1500]
+    assert "Generate" not in plan1, plan1[:1500]
+    checks.assert_no_python_eval(base)
+    rows1 = sorted(map(str, base.collect()))
+
+    monkeypatch.setattr(text, "UNIGRAM_MAPLIT_MAX_TERMS", 0)
+    t2 = text.quality_unigram_nll(spark, sf_dir)
+    plan2 = checks.physical_plan(t2)
+    assert "BroadcastHashJoin" in plan2, plan2[:1500]
+    assert "SortMergeJoin" not in plan2, plan2[:1500]
+    assert sorted(map(str, t2.collect())) == rows1
+
+    monkeypatch.setattr(text, "VOCAB_BROADCAST_MAX_TERMS", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t3 = text.quality_unigram_nll(spark, sf_dir)
+        plan3 = checks.physical_plan(t3)
+        assert (
+            "SortMergeJoin" in plan3 or "ShuffledHashJoin" in plan3
+        ), plan3[:1500]
+        assert sorted(map(str, t3.collect())) == rows1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.catalog.clearCache()
 
 

@@ -125,3 +125,113 @@ def test_sessionize_hot_user_matches_reference(spark, skew_dirs):
     assert got == expect
     # skew sanity: the hot user really is pathological relative to the rest
     assert sum(v[0] for v in got.values()) == N_HOT
+
+
+# ---------------------------------------------------------------- span family
+#
+# r10 (r9 verdict item 5): the fused span map's per-digest window
+# shuffles EVERY occurrence of a digest into one task, and AQE's skew
+# splitting covers joins, not windows — so a boilerplate span occurring
+# 1e6-1e8 times on a real crawl is a one-task sort. These tests pin the
+# hot-digest case (one gram_md5 at ~40% of ALL span positions: docs
+# that are a single repeated token, the padding/boilerplate shape) and
+# assert the window plan and the skew-splittable partial-agg+join-back
+# plan (_duplicate_spans_agg / _remove_duplicate_spans_agg) are the
+# same operator. The timed A/B at x20 lives in scripts/span_skew_ab.py
+# with the verdict recorded at the code site (substrings.py).
+
+HOT_TOK = "boiler"
+N_HOT_DOCS = 120          # identical-token docs -> every span = ONE digest
+HOT_DOC_TOKENS = 71       # 40 spans per hot doc at L=32
+N_NORMAL_DOCS = 300
+N_DUP_PAIRS = 20          # verbatim-copied normal docs: non-hot dup groups
+
+
+def _span_rows():
+    rng = random.Random(SEED)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for d in range(N_NORMAL_DOCS):
+        n = rng.randrange(20, 90)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    for i in range(N_DUP_PAIRS):  # overwrite: doc 2i+1 copies doc 2i
+        rows[2 * i + 1] = (2 * i + 1, rows[2 * i][1])
+    for d in range(N_NORMAL_DOCS, N_NORMAL_DOCS + N_HOT_DOCS):
+        rows.append((d, " ".join([HOT_TOK] * HOT_DOC_TOKENS)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def span_skew_dir(tmp_path_factory):
+    rows = _span_rows()
+    path = tmp_path_factory.mktemp("span_skew")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([f"src{r[0] % 3}" for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"), row_group_size=64)
+    return rows, str(path)
+
+
+def test_span_plans_agree_under_hot_digest(spark, span_skew_dir):
+    """Window plan == partial-agg+join-back plan, row for row, on the
+    fixture whose hottest digest is ~40% of all span positions."""
+    from labelmain_spark.functions import substrings as ss
+
+    rows, d = span_skew_dir
+    L = ss.DUP_SPAN_L
+
+    # the fixture really is pathological: one digest ~40% of ALL spans
+    n_hot_spans = N_HOT_DOCS * (HOT_DOC_TOKENS - L + 1)
+    n_all_spans = sum(
+        max(0, len(t.split(" ")) - L + 1) for _, t in rows
+    )
+    assert 0.30 < n_hot_spans / n_all_spans < 0.50
+
+    dup_w = _collected(ss.duplicate_spans(spark, d))
+    dup_a = _collected(ss._duplicate_spans_agg(spark, d))
+    assert dup_w == dup_a
+    # non-hot duplicate groups exist too (the copied normal docs), so
+    # the agg plan's join-back is exercised on >1 group
+    assert len({r[2] for r in dup_w}) > 1
+
+    rm_w = _collected(ss.remove_duplicate_spans(spark, d))
+    rm_a = _collected(ss._remove_duplicate_spans_agg(spark, d))
+    assert rm_w == rm_a
+
+
+def test_span_hot_digest_matches_reference(spark, span_skew_dir):
+    """Keep-the-globally-first semantics on the hot group against a
+    from-first-principles reference: the lexicographically-first hot
+    occurrence is (doc_id=N_NORMAL_DOCS, pos=0), so the first hot doc's
+    cuts are pos 1..n_spans-1 (covering tokens [1, HOT_DOC_TOKENS)) and
+    exactly its token 0 survives; every later hot doc is fully cut."""
+    from labelmain_spark.functions import substrings as ss
+
+    rows, d = span_skew_dir
+    L = ss.DUP_SPAN_L
+    n_spans = HOT_DOC_TOKENS - L + 1
+    hot = (
+        ss.duplicate_spans(spark, d)
+        .filter(f"doc_id >= {N_NORMAL_DOCS}")
+        .collect()
+    )
+    assert len(hot) == N_HOT_DOCS * n_spans
+    assert len({r.gram_md5 for r in hot}) == 1
+    assert all(r.n_dups == N_HOT_DOCS * n_spans for r in hot)
+
+    rm = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in ss.remove_duplicate_spans(spark, d)
+        .filter(f"doc_id >= {N_NORMAL_DOCS}")
+        .collect()
+    }
+    first_doc = N_NORMAL_DOCS
+    assert rm[first_doc] == (HOT_DOC_TOKENS, HOT_DOC_TOKENS - 1, HOT_TOK)
+    for doc in range(N_NORMAL_DOCS + 1, N_NORMAL_DOCS + N_HOT_DOCS):
+        assert rm[doc] == (HOT_DOC_TOKENS, HOT_DOC_TOKENS, "")
