@@ -52,31 +52,19 @@ def _features(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train on the (hash-keyed) training split, score every document.
-    Output: doc_id, features, weak label, predicted probability, and
-    the train/val split tag so evaluation never touches training rows."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
+def _weak_labeled(feats: DataFrame) -> DataFrame:
+    """Median-threshold weak label + deterministic hash split over the
+    feature frame — shared verbatim by the fitted key and the
+    frozen-coefficient twin so the two scorers are comparable
+    row-for-row.
 
-    docs = load_table(spark, sf_dir, "documents")
-    feats = _features(docs)
-    if feats.isEmpty():  # empty corpus: nothing to train on, score nothing
-        return feats.select(
-            "doc_id",
-            F.lit("train").alias("split"),
-            F.lit(0.0).alias("label"),
-            F.lit(0.0).alias("prob_keep"),
-            F.lit(0.0).alias("pred"),
-        )
-    # weak-label threshold = corpus median stopword ratio, folded into
-    # the plan as a broadcast 1-row aggregate over the DISCRETIZED
-    # cumulative histogram (the perplexity_buckets machinery — the
-    # histogram is bounded by the 4-dp score space, never the corpus).
-    # Replaces the r4-r6 "known, bounded" eager approxQuantile at plan
-    # build: the only eager work left is .fit() itself, which IS the
-    # operator. min{v : 2·cum(v) ≥ N} is an exact median definition on
-    # the rounded values — integer predicate, engine-stable.
+    The threshold = corpus median stopword ratio, folded into the plan
+    as a broadcast 1-row aggregate over the DISCRETIZED cumulative
+    histogram (the perplexity_buckets machinery — the histogram is
+    bounded by the 4-dp score space, never the corpus). Replaces the
+    r4-r6 "known, bounded" eager approxQuantile at plan build.
+    min{v : 2·cum(v) ≥ N} is an exact median definition on the rounded
+    values — integer predicate, engine-stable."""
     from pyspark.sql import Window as W
 
     from labelmain_spark.operators.parity import stable_round
@@ -96,7 +84,7 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = cum.crossJoin(F.broadcast(tot)).agg(
         F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med")
     )
-    labeled = (
+    return (
         feats.crossJoin(F.broadcast(med))
         .withColumn(
             "label",
@@ -113,6 +101,26 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("med")
     )
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the (hash-keyed) training split, score every document.
+    Output: doc_id, features, weak label, predicted probability, and
+    the train/val split tag so evaluation never touches training rows."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _features(docs)
+    if feats.isEmpty():  # empty corpus: nothing to train on, score nothing
+        return feats.select(
+            "doc_id",
+            F.lit("train").alias("split"),
+            F.lit(0.0).alias("label"),
+            F.lit(0.0).alias("prob_keep"),
+            F.lit(0.0).alias("pred"),
+        )
+    labeled = _weak_labeled(feats)
     cols = ["f_tokens", "f_mean_len", "f_stopword_ratio", "f_distinct_ratio"]
     asm = VectorAssembler(inputCols=cols, outputCol="features")
     train = asm.transform(labeled.filter(F.col("split") == "train"))
@@ -280,11 +288,113 @@ def quality_fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen scoring coefficients (r10): ONE recorded seeded fit of the
+# dense model above (sf0.01 fixture, maxIter=50, regParam=0.01 — the
+# fitted key's exact configuration), rounded to 6 dp and inlined as
+# literals in BOTH engines. The `_pq_frozen_books` argument, applied to
+# the classifier: the production FIT stays rows-only because L-BFGS
+# coefficients have no SQL replay, but nothing about the SCORING
+# decision procedure — featurize, z = w·x + b, sigmoid, threshold —
+# depends on where the weights came from, and scoring is the part that
+# runs over 100 TB (the fit sees a sample; the scorer sees the corpus).
+# The dominant weight sits on f_stopword_ratio, as the weak task
+# dictates — the frozen scorer still RANKS by the heuristic, which the
+# agreement property test pins against a fresh fit.
+QM_FROZEN_W = {
+    "f_tokens": -0.004274,
+    "f_mean_len": -0.957157,
+    "f_stopword_ratio": 100.088781,
+    "f_distinct_ratio": -0.656481,
+}
+QM_FROZEN_B = -0.176132
+
+
+def quality_model_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense quality scorer with FROZEN coefficients (`QM_FROZEN_W`)
+    — same output contract as :func:`quality_model_score` (doc_id,
+    split, label, prob_keep, pred) under a full value-hash oracle.
+
+    Scale shape: ONE lazy plan, no eager action (the fitted key's only
+    eager step is .fit() itself). Features are pure JVM column
+    expressions over one corpus scan; the weak-label median is a
+    score-space-bounded histogram aggregate broadcast back as one row;
+    scoring is a narrow map with five double literals — the broadcast-
+    coefficients shape production scorers use. Parity: every feature is
+    an exact-integer quotient (IEEE-deterministic), z is a fixed-order
+    chain of literal products, and the one transcendental (exp) is
+    rounded to 6 dp via stable_round before BOTH the output and the
+    0.5 threshold, so pred is derived from an engine-identical value."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = _weak_labeled(_features(docs))
+    from labelmain_spark.operators.parity import stable_round
+
+    z = F.lit(QM_FROZEN_B)
+    for c, w in QM_FROZEN_W.items():
+        z = z + F.lit(w) * F.col(c)
+    prob = stable_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return labeled.select(
+        "doc_id",
+        "split",
+        "label",
+        prob.alias("prob_keep"),
+        F.when(prob >= F.lit(0.5), F.lit(1.0)).otherwise(F.lit(0.0)).alias("pred"),
+    )
+
+
+def _frozen_oracle() -> str:
+    from labelmain_spark.functions.text import _SQL_SW
+    from labelmain_spark.operators.parity import sql_stable_round
+
+    z = f"{QM_FROZEN_B!r}" + "".join(
+        f" + {w!r} * {c}" for c, w in QM_FROZEN_W.items()
+    )
+    prob = sql_stable_round(f"1.0 / (1.0 + exp(-({z})))", 6)
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS f_tokens,
+                   CAST(length(text) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS f_mean_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains({_SQL_SW}, t))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS f_stopword_ratio,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS f_distinct_ratio
+            FROM documents
+        ), r AS (
+            SELECT *, {sql_stable_round("f_stopword_ratio", 4)} AS rr FROM f
+        ), hist AS (
+            SELECT rr AS v, COUNT(*) AS cnt FROM r GROUP BY rr
+        ), cum AS (
+            SELECT v, SUM(cnt) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum FROM hist
+        ), med AS (
+            SELECT MIN(CASE WHEN cum * 2 >= (SELECT SUM(cnt) FROM hist)
+                            THEN v END) AS med FROM cum
+        ), s AS (
+            SELECT doc_id, rr, {prob} AS prob_keep FROM r
+        )
+        SELECT doc_id,
+               CASE WHEN {_hash_bp_expr("doc_id", "duck", salt="qm:")} < {VAL_BP}
+                    THEN 'val' ELSE 'train' END AS split,
+               CAST(s.rr > med.med AS DOUBLE) AS label,
+               prob_keep,
+               CASE WHEN prob_keep >= 0.5 THEN 1.0 ELSE 0.0 END AS pred
+        FROM s, med
+    """
+
+
 QUERIES = {
-    # rows-only: L-BFGS coefficients have no SQL twin; accuracy is
-    # property-tested instead (tests/test_quality_model.py).
+    # fitted keys rows-only: L-BFGS coefficients have no SQL twin;
+    # accuracy is property-tested instead (tests/test_quality_model.py).
+    # The frozen-coefficient twin puts the SCORING decision procedure
+    # under a full value-hash oracle.
     "quality_model_score": quality_model_score,
     "quality_fasttext_score": quality_fasttext_score,
+    "quality_model_frozen_score": quality_model_frozen_score,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "quality_model_frozen_score": _frozen_oracle(),
+}

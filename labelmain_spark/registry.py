@@ -452,6 +452,12 @@ PRIORITY = [
     # in the mirror at both SFs; its 5-gram sibling carries the
     # family's in-window row (strict superset recursion).
     "quality_kn4_nll",
+    # frozen-coefficient quality scorer (r10): the dense classifier's
+    # SCORING decision procedure under a full value-hash oracle (the
+    # _pq_frozen_books argument applied to the model family); the
+    # fitted keys stay rows-only beside it. Green at both SFs; prime
+    # r11 rotation candidate.
+    "quality_model_frozen_score",
     # r10 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens).
     "scan_project", "incremental_filter", "rollup_agg", "dedup_ttl",

@@ -184,6 +184,8 @@ REPRESENTATIVE = [
     # round-10 additions
     "quality_kn4_nll",
     "quality_kn5_nll",
+    "quality_model_frozen_score",
+    "semantic_dedup_seeded",
 ]
 
 

@@ -25,6 +25,38 @@ def test_quality_model_learns_heldout(spark, sf_dir):
     scored.unpersist()
 
 
+def test_frozen_score_agrees_with_fitted(spark, sf_dir):
+    """The frozen-coefficient twin must make the same keep/drop calls
+    as a fresh fit on nearly every document: both models separate on
+    the dominant stopword-ratio direction, so disagreement is confined
+    to the near-boundary band. Large disagreement means the frozen
+    literals no longer describe the decision procedure they were
+    recorded from."""
+    from labelmain_spark.functions.quality_model import (
+        quality_model_frozen_score,
+    )
+
+    frozen = quality_model_frozen_score(spark, sf_dir).select(
+        "doc_id", F.col("pred").alias("p_frozen"), "label", "split"
+    )
+    fitted = quality_model_score(spark, sf_dir).select(
+        "doc_id", F.col("pred").alias("p_fit")
+    )
+    both = frozen.join(fitted, "doc_id").cache()
+    n = both.count()
+    assert n > 0
+    agree = both.filter(F.col("p_frozen") == F.col("p_fit")).count() / n
+    assert agree > 0.9, f"frozen/fitted pred agreement {agree:.3f}"
+    # the frozen scorer must itself solve the weak task (it carries the
+    # same accuracy property as the fitted key, without the fit)
+    val = both.filter(F.col("split") == "val")
+    n_val = val.count()
+    assert n_val > 0
+    acc = val.filter(F.col("p_frozen") == F.col("label")).count() / n_val
+    assert acc > 0.9, f"frozen held-out accuracy {acc:.3f}"
+    both.unpersist()
+
+
 def test_quality_model_split_deterministic(spark, sf_dir):
     a = quality_model_score(spark, sf_dir).select("doc_id", "split")
     b = quality_model_score(spark, sf_dir).select("doc_id", "split")
