@@ -23,17 +23,74 @@ Pages are JSON-lines files ``page-<n>.json`` with a sidecar chain file
 local stand-in for an HTTP endpoint + next-cursor response field; the
 container has no network, so tests render the corpus with
 :func:`write_page_fixture`.
+
+**T5 backpressure / retry (SURVEY §2.9)** — implemented in the source,
+not left to ops config:
+
+- ``maxRetries`` / ``backoffS`` options: every page fetch retries
+  transient faults with LINEAR backoff (sleep = attempt · backoff),
+  the reference's exact policy (bitcoinabuse/main.go:29-36 sleeps
+  ``retries * time.Minute``; chainabuse/main.py:29-39 re-enters after
+  a fixed sleep). Bounded attempts, then the task fails and Spark's
+  own task-retry tier takes over — two-level retry, transient faults
+  absorbed page-locally without re-running the stage.
+- ``maxPagesPerTrigger`` option (streaming): per-micro-batch admission
+  control, the ``maxOffsetsPerTrigger`` analog implemented INSIDE the
+  source — ``latestOffset`` advances at most N pages past the last
+  planned batch, bounding state/sink pressure when the stream starts
+  far behind the chain head. The first trigger after a restart is
+  uncapped (the Python DataSource API exposes no committed offset to
+  ``latestOffset``); steady-state triggers are bounded, which is the
+  backpressure property that matters when draining a backlog.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 PAGE_SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+# T5 retry defaults: 3 attempts, 50 ms base — the reference's
+# linear-backoff shape at test-friendly scale (options override).
+MAX_RETRIES = 3
+BACKOFF_S = 0.05
+
+
+def _with_retries(fn, max_retries: int = MAX_RETRIES,
+                  backoff_s: float = BACKOFF_S, sleeper=time.sleep):
+    """Linear-backoff retry around one page fetch: sleep attempt·backoff
+    after the i-th failure, re-raise once attempts are exhausted.
+    Transient-fault classes only (I/O + malformed payload) — a schema
+    bug must fail the task, not loop."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except (OSError, json.JSONDecodeError):
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleeper(attempt * backoff_s)
+
+
+def _maybe_inject_fault(page_file: str) -> None:
+    """Test-only transient-fault hook: a ``page-<n>.flaky`` sidecar
+    holding a countdown makes the next reads raise OSError until it
+    drains — the local stand-in for the remote 429/timeout the
+    reference retries on. Inert unless the sidecar exists."""
+    flaky = page_file[: -len(".json")] + ".flaky"
+    if os.path.isfile(flaky):
+        with open(flaky) as f:
+            n = int(f.read().strip() or 0)
+        if n > 0:
+            with open(flaky, "w") as f:
+                f.write(str(n - 1))
+            raise OSError(f"injected transient fault ({n} left) on {page_file}")
 
 
 def write_page_fixture(path: str, rows: list[tuple], page_size: int = 500) -> int:
@@ -84,18 +141,29 @@ def _read_page(page_file: str) -> Iterator[tuple]:
                 yield (d["event_id"], d["user_id"], d["event_type"], d["value"])
 
 
-def _read_page_arrow(page_file: str) -> Iterator:
+def _read_page_arrow(
+    page_file: str,
+    max_retries: int = MAX_RETRIES,
+    backoff_s: float = BACKOFF_S,
+) -> Iterator:
     """One Arrow RecordBatch per page — the Python Data Source API's
     fast path: rows cross the Python→JVM boundary as ONE columnar
     batch instead of per-tuple pickling (measured 13.2 s → ~3 s for
     the 100k-row sf0.1 corpus). Falls back to tuple yields if pyarrow
-    is unavailable."""
+    is unavailable. The fetch itself rides the T5 linear-backoff
+    retry, so a transient fault never costs a task (let alone a
+    stage) re-run."""
+
+    def fetch() -> list[tuple]:
+        _maybe_inject_fault(page_file)
+        return list(_read_page(page_file))
+
     try:
         import pyarrow as pa
     except ImportError:  # pragma: no cover - pyarrow is baked into the env
-        yield from _read_page(page_file)
+        yield from _with_retries(fetch, max_retries, backoff_s)
         return
-    rows = list(_read_page(page_file))
+    rows = _with_retries(fetch, max_retries, backoff_s)
     yield pa.RecordBatch.from_arrays(
         [
             pa.array([r[0] for r in rows], type=pa.int64()),
@@ -119,15 +187,25 @@ try:  # Python Data Source API (Spark 4+)
         def __init__(self, page_file: str) -> None:
             self.page_file = page_file
 
+    def _retry_opts(options: dict) -> tuple[int, float]:
+        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        return (
+            int(opts.get("maxretries", MAX_RETRIES)),
+            float(opts.get("backoffs", BACKOFF_S)),
+        )
+
     class _PagedReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
+            self.max_retries, self.backoff_s = _retry_opts(options)
 
         def partitions(self) -> Sequence[InputPartition]:
             return [_PagePartition(p) for p in _walk_cursor_chain(self.path)]
 
         def read(self, partition: _PagePartition) -> Iterator:
-            return _read_page_arrow(partition.page_file)
+            return _read_page_arrow(
+                partition.page_file, self.max_retries, self.backoff_s
+            )
 
     class _PageOffset:
         @staticmethod
@@ -137,26 +215,60 @@ try:  # Python Data Source API (Spark 4+)
     class _PagedStreamReader(DataSourceStreamReader):
         """Micro-batch reader: offset = number of pages consumed. The
         checkpoint stores it — the durable form of the reference's
-        in-memory endCursor."""
+        in-memory endCursor.
+
+        T5 admission control: with ``maxPagesPerTrigger`` set,
+        ``latestOffset`` advances at most that many pages past the
+        last position it knows the query reached, so a running stream
+        drains a backlog (a burst of new pages, a restart far behind
+        the head) in bounded micro-batches instead of one unbounded
+        catch-up batch. The anchor is every position the engine
+        actually tells us — ``initialOffset``, each planned batch's
+        end (``partitions``, which also covers the post-restart replay
+        batch), each ``commit`` — never a guess: the Python DataSource
+        API gives ``latestOffset`` no committed offset
+        (python_streaming_source_runner protocol: LATEST_OFFSET takes
+        no input), so the one trigger planned before any anchor exists
+        (observed: a fresh query's batch 0 — the JVM calls
+        latestOffset before initialOffset) runs uncapped; guessing an
+        anchor of 0 there would return an offset BELOW the committed
+        one after a clean-commit restart and re-deliver pages. Every
+        anchored trigger is bounded, which is the backpressure
+        property that matters while the stream runs."""
 
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
+            self.max_retries, self.backoff_s = _retry_opts(options)
+            opts = {str(k).lower(): v for k, v in dict(options).items()}
+            cap = int(opts.get("maxpagespertrigger", 0))
+            self.max_pages = cap if cap > 0 else None
+            self._anchor: int | None = None
 
         def initialOffset(self) -> dict:
+            self._anchor = 0
             return {"page": 0}
 
         def latestOffset(self) -> dict:
-            return {"page": len(_walk_cursor_chain(self.path))}
+            n = len(_walk_cursor_chain(self.path))
+            if self.max_pages is not None and self._anchor is not None:
+                n = min(n, self._anchor + self.max_pages)
+            self._anchor = max(n, self._anchor or 0)
+            return {"page": n}
 
         def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+            self._anchor = end["page"]
             chain = _walk_cursor_chain(self.path)
             return [_PagePartition(p) for p in chain[start["page"] : end["page"]]]
 
         def read(self, partition: _PagePartition) -> Iterator:
-            return _read_page_arrow(partition.page_file)
+            return _read_page_arrow(
+                partition.page_file, self.max_retries, self.backoff_s
+            )
 
         def commit(self, end: dict) -> None:
-            pass  # offsets are durable in the streaming checkpoint
+            # offsets are durable in the streaming checkpoint; the
+            # committed position re-anchors the admission cap
+            self._anchor = max(end["page"], self._anchor or 0)
 
     class PagedJsonDataSource(DataSource):
         """``spark.read.format("paged_json").option("path", dir)``."""

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -110,6 +111,128 @@ def test_paged_source_stream_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 450, "restart re-read or skipped pages"
     assert got.select("event_id").distinct().count() == 450
+
+
+def test_retry_linear_backoff_unit():
+    """T5 retry policy in isolation: linear sleeps (b, 2b, 3b — the
+    reference's bitcoinabuse backoff shape), success passes through,
+    exhaustion re-raises the transient error."""
+    from labelmain_spark.sources.paged import _with_retries
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert _with_retries(flaky, 3, 0.1, sleeper=sleeps.append) == "ok"
+    assert sleeps == pytest.approx([0.1, 0.2, 0.3]), "backoff must be linear"
+    assert calls["n"] == 4
+
+    def always_down():
+        raise OSError("still down")
+
+    sleeps.clear()
+    try:
+        _with_retries(always_down, 2, 0.1, sleeper=sleeps.append)
+        raise AssertionError("exhausted retries must re-raise")
+    except OSError:
+        pass
+    assert sleeps == pytest.approx([0.1, 0.2])
+
+    def schema_bug():
+        raise ValueError("not transient")
+
+    try:
+        _with_retries(schema_bug, 3, 0.1, sleeper=sleeps.append)
+        raise AssertionError("non-transient errors must not be retried")
+    except ValueError:
+        pass
+
+
+def test_paged_source_retries_transient_fault(spark, tmp_path):
+    """A page that faults transiently (flaky sidecar = the remote
+    429/timeout) is absorbed by the in-source retry: the batch read
+    returns every row, no task re-run needed, and the fault budget is
+    consumed."""
+    from labelmain_spark.sources import paged
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [(i, i % 5, "click", float(i)) for i in range(300)]
+    paged.write_page_fixture(pages_dir, rows, page_size=100)
+    flaky = os.path.join(pages_dir, "page-1.flaky")
+    with open(flaky, "w") as f:
+        f.write("2")  # two transient failures, under the 3-retry budget
+    paged.register(spark)
+    df = (
+        spark.read.format("paged_json")
+        .option("path", pages_dir)
+        .option("backoffS", "0.01")
+        .load()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(rows)
+    with open(flaky) as f:
+        assert f.read().strip() == "0", "retry path was never exercised"
+
+
+def test_paged_stream_backpressure_max_pages_per_trigger(spark, tmp_path):
+    """T5 admission control: a RUNNING stream with maxPagesPerTrigger=2
+    drains a 6-page burst in bounded micro-batches — every anchored
+    offset-log step advances ≤ 2 pages — instead of one unbounded
+    catch-up batch, and still delivers every row exactly once. (The
+    first-ever trigger has no anchor — the API passes latestOffset no
+    committed offset — so the burst is landed after batch 0; see the
+    reader docstring.)"""
+    from labelmain_spark.sources import paged
+
+    pages_dir, cp = str(tmp_path / "pages"), str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    rows1 = [(i, i % 5, "click", float(i)) for i in range(200)]
+    burst = [(1000 + i, i % 5, "view", float(i)) for i in range(600)]
+    paged.write_page_fixture(pages_dir, rows1, page_size=100)
+    paged.register(spark)
+    q = (
+        spark.readStream.format("paged_json")
+        .option("path", pages_dir)
+        .option("maxPagesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # "the remote API grew a backlog while the stream was up"
+        paged.write_page_fixture(pages_dir, rows1 + burst, page_size=100)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 800
+    assert got.select("event_id").distinct().count() == 800
+    # the offset log is the ground truth for admission: parse each
+    # batch's planned end offset and check per-trigger advance ≤ cap
+    # once anchored (every batch after the first)
+    import json as _json
+
+    offsets_dir = os.path.join(cp, "offsets")
+    ends = []
+    batches = [n for n in os.listdir(offsets_dir) if n.isdigit()]
+    for name in sorted(batches, key=int):
+        with open(os.path.join(offsets_dir, name)) as f:
+            last = [ln for ln in f.read().splitlines() if ln.strip()][-1]
+        ends.append(_json.loads(last)["page"])
+    assert ends[-1] == 8 and sorted(ends) == ends, ends
+    deltas = [b - a for a, b in zip(ends, ends[1:])]
+    assert deltas and max(deltas) <= 2, f"an anchored trigger exceeded the cap: {ends}"
+    assert len([d for d in deltas if d > 0]) >= 3, f"burst not split: {ends}"
 
 
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
