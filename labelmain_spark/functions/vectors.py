@@ -640,6 +640,117 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_score(assigned.filter(F.col("cell").isin(probe)), q)
 
 
+def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF retrieval with a DETERMINISTIC HASH-SEEDED quantizer (r10) —
+    `ann_ivf_topk`'s decision procedure made hash-checkable with
+    DATA-DERIVED centroids, completing the fitted-ANN oracle program:
+    the PQ and IVF-ADC axes got frozen-literal twins in r8/r9, the
+    SemDeDup assignment got the hash-seed twin (`semantic_dedup_seeded`,
+    whose recorded argument — MLlib k-means|| has no SQL replay —
+    covers this key's fit too); this key puts the RETRIEVAL path
+    (probe ranking → cell-pruned scan → exact top-k) under a full
+    value-hash oracle with centroids the SQL twin re-derives from the
+    data, not literals.
+
+    The seeding rule is the fitted key's k ∝ N deployment rule
+    (k = max(2, min(IVF_K, n//60))) over the k vectors with smallest
+    md5(vec_id); probe selection is the query's 6-dp-rounded cosine to
+    each seed centroid, top `IVF_NPROBE` by (sim DESC, cid ASC) —
+    `ann_ivf_pq_frozen_topk`'s driver-side ranking, tie rule included;
+    assignment shares `_centroid_assign_udf` (the banded Arrow matmul
+    and its exactness proof) verbatim; scoring shares `_ivf_score`.
+
+    Scale shape: seed selection is one bounded TakeOrdered collect
+    (≤ IVF_K rows), assignment a narrow map over broadcast centroids,
+    and the probe filters the scan to nprobe/k of the corpus before
+    any scoring — with the cell-partitioned store this is partition
+    pruning, exactly as the fitted key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q_row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("v").first()
+    if q_row is None or q_row[0] is None:
+        return e.select("vec_id", F.lit(0.0).alias("cos_sim")).filter(F.lit(False))
+    qv = [float(x) for x in q_row[0]]
+    n = e.count()
+    k = max(2, min(IVF_K, n // 60))
+    seeds = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r.v] for r in seeds]
+    qnorm = math.sqrt(_py_seq_dot(qv, qv))
+    sims = [
+        math.floor(
+            (_py_seq_dot(qv, c) / (qnorm * math.sqrt(sum(x * x for x in c))))
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+        for c in cents
+    ]
+    probes = sorted(range(len(sims)), key=lambda c: (-sims[c], c))[:IVF_NPROBE]
+    en = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    assign = _centroid_assign_udf(cents)
+    assigned = en.select(
+        "vec_id", "v", assign(F.col("v"), F.col("vn")).alias("s")
+    ).select("vec_id", "v", F.col("s.cluster").alias("cell"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("q"))
+    return _ivf_score(assigned.filter(F.col("cell").isin(probes)), q)
+
+
+def _sql_ann_ivf_seeded() -> str:
+    """DuckDB twin of :func:`ann_ivf_seeded_topk`: seeds, probe
+    ranking, assignment argmax, and the exact-cosine top-k ALL
+    re-derive from the data — no literals. Centroid norms use the
+    sequential dot fold both engines agree on (the
+    semantic_dedup_seeded oracle's assumption, same seed rows)."""
+    qsim = sql_stable_round("list_dot_product(q.qv, s.c) / (q.qn * s.cn)", 6)
+    asim = sql_stable_round("list_dot_product(en.v, s.c) / (en.vn * s.cn)", 6)
+    cos = sql_stable_round(
+        "list_dot_product(a.v, q.qv) / (sqrt(list_dot_product(a.v, a.v)) * q.qn)",
+        4,
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cnt AS (
+            SELECT greatest(2, least({IVF_K}, COUNT(*) // 60)) AS k FROM e
+        ), seeds AS (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cid,
+                   v AS c, sqrt(list_dot_product(v, v)) AS cn
+            FROM e
+            QUALIFY row_number() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                    ) <= (SELECT k FROM cnt)
+        ), q AS (
+            SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+            FROM e WHERE vec_id = {QUERY_VEC_ID}
+        ), probes AS (
+            SELECT s.cid FROM q, seeds s
+            ORDER BY {qsim} DESC, s.cid ASC LIMIT {IVF_NPROBE}
+        ), en AS (
+            SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn
+            FROM e WHERE vec_id <> {QUERY_VEC_ID}
+        ), a AS (
+            SELECT vec_id, v, cid AS cell FROM (
+                SELECT en.vec_id, en.v, s.cid, {asim} AS sim
+                FROM en CROSS JOIN seeds s
+            )
+            QUALIFY row_number() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                    ) = 1
+        )
+        SELECT a.vec_id, {cos} AS cos_sim
+        FROM a CROSS JOIN q
+        WHERE a.cell IN (SELECT cid FROM probes)
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {TOP_K}
+    """
+
+
 def write_ivf_store(
     assigned: DataFrame, path: str, centroids: list[list[float]] | None = None
 ) -> None:
@@ -2030,6 +2141,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,  # full oracle since r8: all 32 table planes inlined (multiprobe precedent)
     "ann_multiprobe_topk": ann_multiprobe_topk,  # full oracle since r8: fitted planes inlined as SQL literals
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
+    "ann_ivf_seeded_topk": ann_ivf_seeded_topk,  # full oracle (r10): hash-seeded data-derived quantizer, the IVF retrieval path made hash-checkable
     "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
     "ann_pq_frozen_topk": ann_pq_frozen_topk,  # full oracle (r9): frozen codebooks inlined as SQL literals
     "ann_ivf_pq_frozen_topk": ann_ivf_pq_frozen_topk,  # full oracle (r9): the composed IVF-ADC shape, frozen twin
@@ -2042,6 +2154,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ann_ivf_seeded_topk": _sql_ann_ivf_seeded(),
     "semantic_dedup": _sql_semantic_dedup(),
     "semantic_dedup_seeded": _sql_semantic_dedup_seeded(),
     "ann_multiprobe_topk": _sql_ann_multiprobe(),

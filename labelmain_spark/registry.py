@@ -458,6 +458,11 @@ PRIORITY = [
     # fitted keys stay rows-only beside it. Green at both SFs; prime
     # r11 rotation candidate.
     "quality_model_frozen_score",
+    # hash-seeded IVF retrieval twin (r10): the last fitted-ANN
+    # decision procedure (probe ranking -> cell-pruned scan -> exact
+    # top-k) under a full hash with data-derived centroids the SQL
+    # twin re-derives. Green at both SFs; r11 rotation candidate.
+    "ann_ivf_seeded_topk",
     # r10 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens).
     "scan_project", "incremental_filter", "rollup_agg", "dedup_ttl",

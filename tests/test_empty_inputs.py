@@ -186,6 +186,7 @@ REPRESENTATIVE = [
     "quality_kn5_nll",
     "quality_model_frozen_score",
     "semantic_dedup_seeded",
+    "ann_ivf_seeded_topk",
 ]
 
 
