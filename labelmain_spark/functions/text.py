@@ -770,6 +770,142 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 KN_D = 0.75  # Kneser-Ney absolute discount (the Chen & Goodman default)
 
 
+def _ngrams_from(base: DataFrame, k: int, names: list[str],
+                 with_doc: bool = False) -> DataFrame:
+    """Explode the k-grams of the token-array column ``toks`` — ONE
+    shared definition for every JM/KN rung (r10 self-review: the three
+    verbatim closure copies were a drift hazard on code whose
+    cross-rung containment the rotation arguments rely on). Zero
+    shuffle: k slices + arrays_zip inside the array expression."""
+    n = F.size("toks")
+    ln = F.greatest(n - (k - 1), F.lit(0))
+    cols = ["doc_id"] if with_doc else []
+    return base.select(
+        *cols,
+        F.explode(
+            F.arrays_zip(
+                *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
+            )
+        ).alias("g"),
+    ).select(*cols, *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)])
+
+
+def _kn_rung(
+    spark: SparkSession, sf_dir: str, order: int, count_alias: str,
+    nll_alias: str,
+) -> DataFrame:
+    """One interpolated-Kneser-Ney rung of the given order — the SINGLE
+    implementation behind quality_kn_nll (2) / kn3 / kn4 / kn5 (r10
+    self-review: the rungs previously duplicated the lower-order
+    continuation machinery verbatim; now each higher rung contains the
+    lower ones BY CONSTRUCTION). Chen & Goodman 1996 §3, interpolated
+    form: raw counts at the top order, continuation counts at every
+    middle order j (from the (j+1)-gram TYPE table: N₁₊(·u) = distinct
+    first-token extensions), the distinct-predecessor unigram at the
+    bottom.
+
+    Scale shape (the kn3 argument at every order): the top table and
+    every multi-token-keyed statistic ride shuffle joins on their
+    n-gram keys (they grow toward |V|ⁿ — never broadcast); every
+    SINGLE-token-keyed statistic is a size-gated broadcast
+    (``broadcast_if_bounded``); the scalar type count is a 1-row
+    broadcast. Per-doc pre-agg collapses Zipf-hot repeats map-side;
+    per-transition NLL in exact integer micro-units × multiplicity,
+    the family discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    W = [f"w{i}" for i in range(1, order + 1)]
+    dq = (
+        _ngrams_from(base, order, W, with_doc=True)
+        .groupBy("doc_id", *W)
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    c_top = dq.groupBy(*W).agg(F.sum("m").alias("cnt_top"))
+    ctx = c_top.groupBy(*W[:-1]).agg(
+        F.sum("cnt_top").alias("ctx_top"),
+        F.count(F.lit(1)).alias("n_succ_top"),
+    )
+    # (j+1)-gram TYPE tables feed middle order j; the top table itself
+    # serves j = order-1, lower ones are built fresh from the tokens.
+    type_tables: dict[int, DataFrame] = {order: c_top.select(*W)}
+    for m in range(2, order):
+        names = [f"g{i}" for i in range(1, m + 1)]
+        type_tables[m] = (
+            _ngrams_from(base, m, names)
+            .groupBy(*names)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(*names)
+        )
+    # bottom: distinct-predecessor unigram over the bigram type table
+    t2 = type_tables[2]
+    last2 = t2.columns[1]
+    cont = (
+        t2.groupBy(last2)
+        .agg(F.count(F.lit(1)).alias("n_pred_1"))
+        .select(F.col(last2).alias(W[-1]), "n_pred_1")
+    )
+    types2 = t2.agg(F.count(F.lit(1)).alias("n_types2"))
+    p = F.col("n_pred_1").cast("double") / F.col("n_types2")
+    stats: list[tuple[DataFrame, list[str]]] = []
+    for j in range(2, order):
+        t = type_tables[j + 1]
+        src = t.columns
+        tail, keys = src[1:], W[order - j:]
+        pred = (
+            t.groupBy(*tail)
+            .agg(F.count(F.lit(1)).alias(f"n_pred_{j}"))
+            .select(
+                *[F.col(c).alias(k) for c, k in zip(tail, keys)], f"n_pred_{j}"
+            )
+        )
+        mid = (
+            t.groupBy(*tail[:-1])
+            .agg(
+                F.count(F.lit(1)).alias(f"n_mid_{j}"),
+                F.count_distinct(tail[-1]).alias(f"n_sm_{j}"),
+            )
+            .select(
+                *[F.col(c).alias(k) for c, k in zip(tail[:-1], keys[:-1])],
+                f"n_mid_{j}", f"n_sm_{j}",
+            )
+        )
+        stats += [(pred, keys), (mid, keys[:-1])]
+        p = (
+            F.greatest(F.col(f"n_pred_{j}").cast("double") - F.lit(KN_D), F.lit(0.0))
+            + F.lit(KN_D) * F.col(f"n_sm_{j}").cast("double") * p
+        ) / F.col(f"n_mid_{j}")
+    p = (
+        F.greatest(F.col("cnt_top").cast("double") - F.lit(KN_D), F.lit(0.0))
+        + F.lit(KN_D) * F.col("n_succ_top").cast("double") * p
+    ) / F.col("ctx_top")
+    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def _gate(df: DataFrame, keys: list[str]) -> DataFrame:
+        # single-token-keyed statistics are vocabulary-bounded and ride
+        # the size gate; multi-token keys grow toward |V|ⁿ and shuffle
+        return broadcast_if_bounded(df) if len(keys) == 1 else df
+
+    scored = dq.join(c_top, W).join(_gate(ctx, W[:-1]), W[:-1])
+    # top-down (j descending), pred before mid within each order — the
+    # original rungs' join order, kept for plan continuity
+    for pred_mid in reversed([stats[i : i + 2] for i in range(0, len(stats), 2)]):
+        for df_, keys in pred_mid:
+            scored = scored.join(_gate(df_, keys), keys)
+    scored = (
+        scored.join(_gate(cont, [W[-1]]), W[-1])
+        .crossJoin(F.broadcast(types2))
+        .select("doc_id", "m", micro.alias("micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").cast("int").alias(count_alias),
+        stable_round(
+            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
+            / F.sum("m"),
+            4,
+        ).alias(nll_alias),
+    )
+
+
 def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated KNESER-NEY bigram LM quality score — the smoothing
     family CCNet's KenLM actually uses (Chen & Goodman 1996 name it
@@ -799,49 +935,12 @@ def quality_kn_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured tier, co-partitioned shuffle join past the 64 MB
     estimate) — the only corpus-scale shuffle join left
     is dtg ⋈ cb on the bigram key. Determinism: per-transition NLL in
-    exact integer micro-units × multiplicity, the family discipline."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
-    pairs = base.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, n - 1).alias("prev"),
-                F.slice("toks", 2, n - 1).alias("cur"),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    dbg = pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("m"))
-    cb = dbg.groupBy("prev", "cur").agg(F.sum("m").alias("cnt_b"))
-    ctx = cb.groupBy("prev").agg(
-        F.sum("cnt_b").alias("ctx_tot"),
-        F.count(F.lit(1)).alias("n_follow"),
-    )
-    cont = cb.groupBy("cur").agg(F.count(F.lit(1)).alias("n_precede"))
-    types = cb.agg(F.count(F.lit(1)).alias("n_types"))
-    p = (
-        F.greatest(F.col("cnt_b").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D)
-        * F.col("n_follow").cast("double")
-        * (F.col("n_precede").cast("double") / F.col("n_types"))
-    ) / F.col("ctx_tot")
-    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = (
-        dbg.join(cb, ["prev", "cur"])
-        .join(broadcast_if_bounded(ctx), "prev")
-        .join(broadcast_if_bounded(cont), "cur")
-        .crossJoin(F.broadcast(types))
-        .select("doc_id", "m", micro.alias("micro"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("int").alias("n_bigrams"),
-        stable_round(
-            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
-            / F.sum("m"),
-            4,
-        ).alias("kn_nll"),
-    )
+    exact integer micro-units × multiplicity, the family discipline.
+
+    Implementation: the shared :func:`_kn_rung` at order 2 (r10 —
+    every KN order is the one builder; this rung IS the recursion's
+    base case)."""
+    return _kn_rung(spark, sf_dir, 2, "n_bigrams", "kn_nll")
 
 
 def quality_kn3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,85 +969,12 @@ def quality_kn3_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic (middle-token normalizers, continuation counts, the
     scalar type count) broadcasts. Per-doc pre-agg collapses the
     Zipf-hot transitions map-side; micro-unit exact sums, the family
-    discipline."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
-    tris = base.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("w1"),
-                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("w2"),
-                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
-            )
-        ).alias("tg"),
-    ).select(
-        "doc_id",
-        F.col("tg.w1").alias("w1"),
-        F.col("tg.w2").alias("w2"),
-        F.col("tg.w3").alias("w3"),
-    )
-    dtg = tris.groupBy("doc_id", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("m"))
-    ct3 = dtg.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("cnt_t"))
-    # context totals + distinct-successor counts in ONE agg over the
-    # trigram table (types = its rows)
-    ctx3 = ct3.groupBy("w1", "w2").agg(
-        F.sum("cnt_t").alias("ctx3"),
-        F.count(F.lit(1)).alias("n_succ3"),
-    )
-    pred3 = ct3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n_pred3"))
-    mid3 = ct3.groupBy("w2").agg(
-        F.count(F.lit(1)).alias("n_mid3"),
-        F.count_distinct("w3").alias("n_succ_mid"),
-    )
-    pairs = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, n - 1).alias("prev"),
-                F.slice("toks", 2, n - 1).alias("cur"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    cbt = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
-    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
-        F.col("cur").alias("w3"), "n_cont2"
-    )
-    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
-    p = (
-        F.greatest(F.col("cnt_t").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D)
-        * F.col("n_succ3").cast("double")
-        * (
-            (
-                F.greatest(
-                    F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0)
-                )
-                + F.lit(KN_D)
-                * F.col("n_succ_mid").cast("double")
-                * (F.col("n_cont2").cast("double") / F.col("n_types2"))
-            )
-            / F.col("n_mid3")
-        )
-    ) / F.col("ctx3")
-    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = (
-        dtg.join(ct3, ["w1", "w2", "w3"])
-        .join(ctx3, ["w1", "w2"])
-        .join(pred3, ["w2", "w3"])
-        .join(broadcast_if_bounded(mid3), "w2")
-        .join(broadcast_if_bounded(cont2), "w3")
-        .crossJoin(F.broadcast(types2))
-        .select("doc_id", "m", micro.alias("micro"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("int").alias("n_trigrams"),
-        stable_round(
-            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
-            / F.sum("m"),
-            4,
-        ).alias("kn3_nll"),
-    )
+    discipline.
+
+    Implementation: the shared :func:`_kn_rung` at order 3 (r10 — the
+    middle-order machinery this rung introduced in r9 now lives in
+    the one builder every order runs)."""
+    return _kn_rung(spark, sf_dir, 3, "n_trigrams", "kn3_nll")
 
 
 TRIGRAM_LAMBDA = 0.7  # JM weight on the trigram MLE (λ₂ stays BIGRAM_LAMBDA)
@@ -1223,20 +1249,10 @@ def quality_5gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt_u"))
     )
     tot = cu.agg(F.sum("cnt_u").alias("total"))
-    n = F.size("toks")
 
     def _ngrams(k: int, names: list[str]) -> DataFrame:
-        ln = F.greatest(n - (k - 1), F.lit(0))
-        return base.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
-                )
-            ).alias("g"),
-        ).select(
-            "doc_id", *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
-        )
+        # shared explode (r10): one definition for every rung
+        return _ngrams_from(base, k, names, with_doc=True)
 
     cb = (
         _ngrams(2, ["a", "b"]).groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt_b"))
@@ -1348,93 +1364,10 @@ def quality_kn4_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     by w₄) are size-gated broadcasts; the type count is a 1-row
     broadcast. Per-doc (w₁..w₄) pre-agg collapses Zipf-hot repeats
     map-side; per-transition NLL in exact integer micro-units ×
-    multiplicity (the family discipline)."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
+    multiplicity (the family discipline).
 
-    def _ngrams(k: int, names: list[str], with_doc: bool) -> DataFrame:
-        ln = F.greatest(n - (k - 1), F.lit(0))
-        cols = ["doc_id"] if with_doc else []
-        return base.select(
-            *cols,
-            F.explode(
-                F.arrays_zip(
-                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
-                )
-            ).alias("g"),
-        ).select(
-            *cols, *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
-        )
-
-    W4 = ["w1", "w2", "w3", "w4"]
-    dqg = _ngrams(4, W4, True).groupBy("doc_id", *W4).agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    c4 = dqg.groupBy(*W4).agg(F.sum("m").alias("cnt_q"))
-    ctx4 = c4.groupBy("w1", "w2", "w3").agg(
-        F.sum("cnt_q").alias("ctx4"),
-        F.count(F.lit(1)).alias("n_succ4"),
-    )
-    pred4 = c4.groupBy("w2", "w3", "w4").agg(F.count(F.lit(1)).alias("n_pred4"))
-    mid4 = c4.groupBy("w2", "w3").agg(
-        F.count(F.lit(1)).alias("n_mid4"),
-        F.count_distinct("w4").alias("n_succmid4"),
-    )
-    ct3 = (
-        _ngrams(3, ["a", "b", "c"], False)
-        .groupBy("a", "b", "c")
-        .agg(F.count(F.lit(1)).alias("cnt_t"))
-    )
-    pred3 = ct3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_pred3")).select(
-        F.col("b").alias("w3"), F.col("c").alias("w4"), "n_pred3"
-    )
-    mid3 = ct3.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_mid3"),
-        F.count_distinct("c").alias("n_succ_mid"),
-    ).select(F.col("b").alias("w3"), "n_mid3", "n_succ_mid")
-    cbt = (
-        _ngrams(2, ["prev", "cur"], False)
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("cnt_b"))
-    )
-    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
-        F.col("cur").alias("w4"), "n_cont2"
-    )
-    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
-    p1 = F.col("n_cont2").cast("double") / F.col("n_types2")
-    p2 = (
-        F.greatest(F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succ_mid").cast("double") * p1
-    ) / F.col("n_mid3")
-    p3 = (
-        F.greatest(F.col("n_pred4").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succmid4").cast("double") * p2
-    ) / F.col("n_mid4")
-    p = (
-        F.greatest(F.col("cnt_q").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succ4").cast("double") * p3
-    ) / F.col("ctx4")
-    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = (
-        dqg.join(c4, W4)
-        .join(ctx4, ["w1", "w2", "w3"])
-        .join(pred4, ["w2", "w3", "w4"])
-        .join(mid4, ["w2", "w3"])
-        .join(pred3, ["w3", "w4"])
-        .join(broadcast_if_bounded(mid3), "w3")
-        .join(broadcast_if_bounded(cont2), "w4")
-        .crossJoin(F.broadcast(types2))
-        .select("doc_id", "m", micro.alias("micro"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("int").alias("n_4grams"),
-        stable_round(
-            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
-            / F.sum("m"),
-            4,
-        ).alias("kn4_nll"),
-    )
+    Implementation: the shared :func:`_kn_rung` at order 4."""
+    return _kn_rung(spark, sf_dir, 4, "n_4grams", "kn4_nll")
 
 
 def quality_kn5_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,115 +1396,7 @@ def quality_kn5_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely the shape DuckDB's oracle pays superlinearly for (the
     kn3 rung measured 0.04× at ×100 — DuckDB 14 min vs Spark ~40 s)
     while Spark adds one partial agg + one co-keyed join per rung."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
-
-    def _ngrams(k: int, names: list[str], with_doc: bool) -> DataFrame:
-        ln = F.greatest(n - (k - 1), F.lit(0))
-        cols = ["doc_id"] if with_doc else []
-        return base.select(
-            *cols,
-            F.explode(
-                F.arrays_zip(
-                    *[F.slice("toks", j + 1, ln).alias(names[j]) for j in range(k)]
-                )
-            ).alias("g"),
-        ).select(
-            *cols, *[F.col(f"g.{names[j]}").alias(names[j]) for j in range(k)]
-        )
-
-    W5 = ["w1", "w2", "w3", "w4", "w5"]
-    dq5 = _ngrams(5, W5, True).groupBy("doc_id", *W5).agg(
-        F.count(F.lit(1)).alias("m")
-    )
-    c5 = dq5.groupBy(*W5).agg(F.sum("m").alias("cnt_5"))
-    ctx5 = c5.groupBy("w1", "w2", "w3", "w4").agg(
-        F.sum("cnt_5").alias("ctx5"),
-        F.count(F.lit(1)).alias("n_succ5"),
-    )
-    pred5 = c5.groupBy("w2", "w3", "w4", "w5").agg(
-        F.count(F.lit(1)).alias("n_pred5")
-    )
-    mid5 = c5.groupBy("w2", "w3", "w4").agg(
-        F.count(F.lit(1)).alias("n_mid5"),
-        F.count_distinct("w5").alias("n_succmid5"),
-    )
-    c4t = (
-        _ngrams(4, ["a", "b", "c", "d"], False)
-        .groupBy("a", "b", "c", "d")
-        .agg(F.count(F.lit(1)).alias("cnt_q"))
-    )
-    pred4 = c4t.groupBy("b", "c", "d").agg(
-        F.count(F.lit(1)).alias("n_pred4")
-    ).select(
-        F.col("b").alias("w3"), F.col("c").alias("w4"), F.col("d").alias("w5"),
-        "n_pred4",
-    )
-    mid4 = c4t.groupBy("b", "c").agg(
-        F.count(F.lit(1)).alias("n_mid4"),
-        F.count_distinct("d").alias("n_succmid4"),
-    ).select(F.col("b").alias("w3"), F.col("c").alias("w4"), "n_mid4", "n_succmid4")
-    ct3 = (
-        _ngrams(3, ["a", "b", "c"], False)
-        .groupBy("a", "b", "c")
-        .agg(F.count(F.lit(1)).alias("cnt_t"))
-    )
-    pred3 = ct3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n_pred3")).select(
-        F.col("b").alias("w4"), F.col("c").alias("w5"), "n_pred3"
-    )
-    mid3 = ct3.groupBy("b").agg(
-        F.count(F.lit(1)).alias("n_mid3"),
-        F.count_distinct("c").alias("n_succ_mid"),
-    ).select(F.col("b").alias("w4"), "n_mid3", "n_succ_mid")
-    cbt = (
-        _ngrams(2, ["prev", "cur"], False)
-        .groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("cnt_b"))
-    )
-    cont2 = cbt.groupBy("cur").agg(F.count(F.lit(1)).alias("n_cont2")).select(
-        F.col("cur").alias("w5"), "n_cont2"
-    )
-    types2 = cbt.agg(F.count(F.lit(1)).alias("n_types2"))
-    p1 = F.col("n_cont2").cast("double") / F.col("n_types2")
-    p2 = (
-        F.greatest(F.col("n_pred3").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succ_mid").cast("double") * p1
-    ) / F.col("n_mid3")
-    p3 = (
-        F.greatest(F.col("n_pred4").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succmid4").cast("double") * p2
-    ) / F.col("n_mid4")
-    p4 = (
-        F.greatest(F.col("n_pred5").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succmid5").cast("double") * p3
-    ) / F.col("n_mid5")
-    p = (
-        F.greatest(F.col("cnt_5").cast("double") - F.lit(KN_D), F.lit(0.0))
-        + F.lit(KN_D) * F.col("n_succ5").cast("double") * p4
-    ) / F.col("ctx5")
-    micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
-    scored = (
-        dq5.join(c5, W5)
-        .join(ctx5, ["w1", "w2", "w3", "w4"])
-        .join(pred5, ["w2", "w3", "w4", "w5"])
-        .join(mid5, ["w2", "w3", "w4"])
-        .join(pred4, ["w3", "w4", "w5"])
-        .join(mid4, ["w3", "w4"])
-        .join(pred3, ["w4", "w5"])
-        .join(broadcast_if_bounded(mid3), "w4")
-        .join(broadcast_if_bounded(cont2), "w5")
-        .crossJoin(F.broadcast(types2))
-        .select("doc_id", "m", micro.alias("micro"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("int").alias("n_5grams"),
-        stable_round(
-            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
-            / F.sum("m"),
-            4,
-        ).alias("kn5_nll"),
-    )
+    return _kn_rung(spark, sf_dir, 5, "n_5grams", "kn5_nll")
 
 
 # Tag taxonomy for phrase-dictionary tagging: tag → marker phrases

@@ -1704,7 +1704,12 @@ def semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     n = e.count()
-    if n < 2:
+    if n == 0:
+        # empty corpus: nothing to seed — any centroid set yields the
+        # same (empty) result; the frozen pair keeps the assign UDF's
+        # nonempty-centroids contract. n == 1 MUST take the seed path:
+        # the oracle derives the lone vector as centroid 0 (cluster=0,
+        # c2c=1.0), which frozen random centroids would not match.
         return semantic_dedup_plan(spark, e, _SEM_CENTROIDS[:2])
     k = max(2, min(64, n // 125))
     seeds = (

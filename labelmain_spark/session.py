@@ -84,13 +84,24 @@ def build_session(
 
 
 # Tracked persists, KEYED BY OWNING SESSION (r10 advisor item): a
-# WeakKeyDictionary{SparkSession: [DataFrame, ...]}. The r9 flat list
+# WeakKeyDictionary{SparkSession: [handle, ...]}. The r9 flat list
 # had two defects — release_caches(spark) unpersisted frames belonging
 # to OTHER live sessions, and a stopped-but-never-released session's
 # entries (plus their persisted RDD handles) stayed reachable forever.
 # Weak keys make the session itself the lifetime: when a session is
 # garbage-collected its tracked list vanishes with it, and releasing
 # one session can never touch another's caches.
+#
+# The handle is the py4j JVM Dataset (``df._jdf``), NOT the Python
+# DataFrame (r10 self-review): a classic DataFrame strongly references
+# its SparkSession (``_session``), so DataFrame values would pin the
+# weak key forever — the documented WeakKeyDictionary caveat — and the
+# abandoned-session entry the weak keying exists to collect would
+# never be collected. The JVM handle references only the py4j gateway,
+# keeps the cache releasable, and dies with the JVM context. Under
+# Spark Connect (no ``_jdf``) the DataFrame itself is stored — there
+# the entry then lives until release_caches or process exit, a
+# documented Connect limitation, not a correctness issue.
 _TRACKED_PERSISTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -106,7 +117,10 @@ def track_persist(df):
     cache entry per distinct invocation (r8 advice item); entries are
     scoped to ``df.sparkSession`` so concurrent sessions cannot
     release each other's frames (r10 advice item)."""
-    _TRACKED_PERSISTS.setdefault(df.sparkSession, []).append(df)
+    handle = getattr(df, "_jdf", None)
+    _TRACKED_PERSISTS.setdefault(df.sparkSession, []).append(
+        handle if handle is not None else df
+    )
     return df
 
 
@@ -121,9 +135,14 @@ def release_caches(spark: SparkSession) -> None:
     iterating many registry keys must call this between keys — bench.py
     and the test fixtures do; the correctness driver's per-key runs are
     short-lived. Frames tracked by other live sessions are untouched."""
-    for df in _TRACKED_PERSISTS.pop(spark, []):
+    from pyspark.sql import DataFrame as _DF
+
+    for h in _TRACKED_PERSISTS.pop(spark, []):
         try:
-            df.unpersist()
+            if isinstance(h, _DF):  # Connect fallback: DataFrame
+                h.unpersist()
+            else:  # py4j JVM Dataset handle (hasattr lies on py4j objects)
+                h.unpersist(False)
         except Exception:
             pass  # session of the tracked frame may already be stopped
     spark.catalog.clearCache()

@@ -32,14 +32,15 @@ TABLES = [
     "embeddings",
 ]
 
-# Schema-bounded dimensions: cardinality fixed by the data model (5
-# regions, 25 nations), NOT by scale factor — the only tables safe to
-# broadcast unconditionally. customer/supplier/part all scale linearly
-# with SF (150k/10k/200k rows per SF unit) and must ride
-# ``broadcast_if_bounded`` instead (r10, closing the r9 verdict's
-# star-schema gating item: the r9 sweep's "schema-bounded dims
-# (region/nation/supplier)" claim wrongly included supplier).
-SMALL_DIMS = {"region", "nation"}
+# Broadcast discipline (r10, closing the r9 verdict's star-schema
+# gating item): the ONLY tables safe to broadcast unconditionally are
+# the schema-bounded dims — region (5 rows) and nation (25), whose
+# cardinality is fixed by the data model, NOT by scale factor. The r9
+# sweep's "schema-bounded dims (region/nation/supplier)" claim wrongly
+# included supplier: customer/supplier/part all scale linearly with SF
+# (150k/10k/200k rows per SF unit) and every frame derived from them
+# rides ``broadcast_if_bounded`` (enforced by
+# tests/test_plans.py::test_star_schema_broadcasts_are_size_gated).
 
 
 def _enable_nanos_as_long(spark: SparkSession) -> None:

@@ -36,3 +36,38 @@ def test_rows_only(key, spark, sf_dir):
 def test_entry(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_seeded_keys_singleton_parity(spark, tmp_path):
+    """n == 1 embeddings: the seeded keys must keep deriving centroids
+    from the data — semantic_dedup_seeded's old n < 2 frozen-centroid
+    fallback diverged from its oracle here (the SQL twin selects the
+    lone vector as centroid 0 → cluster=0, c2c=1.0; frozen random
+    centroids do not). Review catch, r10."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec = [0.1 * (i % 7) for i in range(64)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([vec], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    for key in ("semantic_dedup_seeded", "ann_ivf_seeded_topk"):
+        sdf = _QUERIES[key](spark, str(tmp_path)).toPandas()
+        ddf = con.execute(_ORACLE[key]).fetchdf()
+        assert_parity(sdf, ddf, f"{key}@n=1")
+    sem = _QUERIES["semantic_dedup_seeded"](spark, str(tmp_path)).collect()
+    assert [r.cluster for r in sem] == [0]
+    assert [r.removed for r in sem] == [False]

@@ -1,0 +1,49 @@
+"""Session-scoped persist tracking: the WeakKeyDictionary must be able
+to actually collect an abandoned session, which requires that tracked
+handles never strongly reference the Python SparkSession (r10
+self-review: DataFrame values hold ``_session`` → they pin the weak key
+forever, degrading the dict to a strong one for exactly the sessions it
+exists to clean up)."""
+
+from __future__ import annotations
+
+from labelmain_spark import session as sess
+
+
+def test_tracked_handles_hold_no_session_backref(spark, sf_dir):
+    from labelmain_spark.functions.text import bm25_topk
+
+    sess.release_caches(spark)  # clean slate
+    bm25_topk(spark, sf_dir)  # plan build registers the persisted base
+    entry = sess._TRACKED_PERSISTS.get(spark)
+    assert entry, "bm25_topk should have tracked its persisted projection"
+    # classic path: every handle is the py4j JVM Dataset — a DataFrame
+    # here would re-pin the session (the defect this test pins closed).
+    # isinstance, not hasattr: py4j JavaObjects answer hasattr for any
+    # name, including sparkSession.
+    from pyspark.sql import DataFrame
+
+    assert all(not isinstance(h, DataFrame) for h in entry), (
+        "tracked handle is a Python DataFrame — it strongly references "
+        "the SparkSession and defeats the WeakKeyDictionary"
+    )
+    sess.release_caches(spark)
+    assert not sess._TRACKED_PERSISTS.get(spark), "release must drop the entry"
+
+
+def test_release_caches_scoped_to_caller(spark, sf_dir):
+    """release_caches(spark) must only drop the caller's entry — a
+    second session's tracked list survives. (Simulated with a distinct
+    weak-key object: real concurrent sessions share the test JVM.)"""
+
+    class _FakeSession:
+        pass
+
+    other = _FakeSession()
+    sess._TRACKED_PERSISTS[other] = ["sentinel"]
+    from labelmain_spark.functions.text import bm25_topk
+
+    bm25_topk(spark, sf_dir)
+    sess.release_caches(spark)
+    assert sess._TRACKED_PERSISTS.get(other) == ["sentinel"]
+    del sess._TRACKED_PERSISTS[other]
