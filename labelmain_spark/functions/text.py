@@ -35,10 +35,20 @@ VOCAB_BROADCAST_MAX_TERMS = 2_000_000
 # Tier-1 bound: below this, the (term → micro-NLL) table is collected
 # (≤ ~0.5 MB) and inlined as a create_map literal, eliminating the
 # scoring join AND the 100M-row explode entirely. The cap is an
-# analysis-cost bound, measured: create_map's 2n expression nodes
-# analyze in ~0.7 s at 10k entries but ~86 s at 50k (the quadratic
-# no-CSE class recorded at substrings._md5_spans) — 10k stays cheap.
-UNIGRAM_MAPLIT_MAX_TERMS = 10_000
+# Tier-1 bound, set by the EXECUTION cost, not the analysis cost (r10
+# self-review): GetMapValue on a create_map literal is a LINEAR key
+# scan — no hash — so the per-token probe cost grows with |V| and the
+# 'no-join' tier inverts well before the 10k analysis-cost bound.
+# Measured (scripts/unigram_tier_ab.py, 6M uniform tokens, best-of-2,
+# tier2 = broadcast join): V=30 1.3 vs 1.4 s; V=400 2.4 vs 1.3 s;
+# V=1000 3.3 vs 1.1 s; V=4000 14.3 vs 1.1 s; V=10000 30.1 vs 1.1 s.
+# The tier-1 win is real only where the vocabulary is tiny (the ×400
+# fixture's 30-word corpus: 3.8 vs 11.3 s at 110M tokens — explode
+# avoidance dominates); 256 keeps that regime and hands everything
+# Zipf-shaped to the hash-probe join tier. (Analysis cost was the
+# r10 session's original bound — ~0.7 s at 10k, ~86 s at 50k, the
+# quadratic no-CSE class — but execution crosses over far earlier.)
+UNIGRAM_MAPLIT_MAX_TERMS = 256
 
 # Deterministic per-language marker sets for the n-gram/stopword
 # language-ID heuristic. Ordered dict: ties break on first-listed lang.
@@ -590,7 +600,12 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (HOFs don't codegen), yet it beats the codegen'd
         # explode+broadcast-probe 3×: 11.3 s → 3.8 s at ×400.
         pairs: list = []
-        for r in side.collect():
+        # frequency-ordered (micro-NLL ascending = most frequent term
+        # first): GetMapValue scans keys in literal order, so on a
+        # Zipf corpus the expected match depth is the head, not |V|/2
+        # — free, and element_at results are order-independent (keys
+        # are distinct), so the hash oracle is unaffected.
+        for r in sorted(side.collect(), key=lambda r: (r["m"], r["term"])):
             pairs += [F.lit(r["term"]), F.lit(r["m"])]
         mp = F.create_map(*pairs)
         toks = _toks()
