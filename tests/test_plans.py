@@ -579,7 +579,9 @@ def test_unigram_nll_tiered_plan(spark, sf_dir, monkeypatch):
     to a token-row SortMergeJoin at ×400 / broadcast the EXPLODED side
     at ×200). Three assertions:
 
-    - tier 1 (fixture vocab ≤ 10k): the scoring plan is ONE projection
+    - tier 1 (fixture vocab ≤ the map-literal cap — 256 after the r10
+      GetMapValue-linear-scan sweep; the fixture's 30 words qualify):
+      the scoring plan is ONE projection
       — no join, no exchange, no explode — with the micro table inlined
       as a create_map literal;
     - tier 2 (map-literal cap forced to 0): broadcast hint on the micro
