@@ -33,8 +33,8 @@ from labelmain_spark.sources.readers import (
 VOCAB_BROADCAST_MAX_TERMS = 2_000_000
 
 # Tier-1 bound: below this, the (term → micro-NLL) table is collected
-# (≤ ~0.5 MB) and inlined as a create_map literal, eliminating the
-# scoring join AND the 100M-row explode entirely. The cap is an
+# (≤ 256 rows, ~13 KB) and inlined as a create_map literal,
+# eliminating the scoring join AND the 100M-row explode entirely.
 # Tier-1 bound, set by the EXECUTION cost, not the analysis cost (r10
 # self-review): GetMapValue on a create_map literal is a LINEAR key
 # scan — no hash — so the per-token probe cost grows with |V| and the
@@ -549,8 +549,9 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     term cardinality:
 
     - n ≤ UNIGRAM_MAPLIT_MAX_TERMS: collect the (term → micro-NLL)
-      table (≤ 10k rows, ~0.5 MB — the KNN_Q_CAP bounded-collect
-      discipline) and score each doc in ONE projection over its token
+      table (≤ 256 rows — the KNN_Q_CAP bounded-collect discipline;
+      the cap is the measured GetMapValue linear-scan crossover, see
+      the constant) and score each doc in ONE projection over its token
       array via a create_map literal — no join, no explode
       materialization, no exchange anywhere in the scoring plan.
       Measured at ×400 (110M tokens, warm 5-pass medians): 11.3 s →
@@ -591,7 +592,7 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + a long copy, not ln() + two floors.
     side = freq.crossJoin(F.broadcast(tot)).select("term", micro.alias("m"))
     if n_terms <= UNIGRAM_MAPLIT_MAX_TERMS:
-        # Tier 1: collect the micro table (bounded ≤ 10k rows; the
+        # Tier 1: collect the micro table (bounded ≤ 256 rows; the
         # values come from the SAME Spark expressions as the join
         # tiers, so cross-tier parity is by construction) and score
         # each doc inside ONE projection over the token array —
@@ -739,15 +740,7 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt_u"))
     )
     tot = cu.agg(F.sum("cnt_u").alias("total"))
-    pairs = base.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.size("toks") - 1).alias("prev"),
-                F.slice("toks", 2, F.size("toks") - 1).alias("cur"),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    pairs = _ngrams_from(base, 2, ["prev", "cur"], with_doc=True)
     # dbg feeds BOTH the probe side and the corpus bigram table, and
     # the differently-keyed downstream aggs de-canonicalize the
     # subtrees, so the explode + per-doc agg DO execute twice — but
@@ -1035,35 +1028,13 @@ def quality_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt_u"))
     )
     tot = cu.agg(F.sum("cnt_u").alias("total"))
-    n = F.size("toks")
-    tris = base.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("w1"),
-                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("w2"),
-                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("w3"),
-            )
-        ).alias("tg"),
-    ).select(
-        "doc_id",
-        F.col("tg.w1").alias("w1"),
-        F.col("tg.w2").alias("w2"),
-        F.col("tg.w3").alias("w3"),
-    )
+    tris = _ngrams_from(base, 3, ["w1", "w2", "w3"], with_doc=True)
     # per-doc pre-agg first (map-side combinable) — the corpus trigram
     # table derives from the reduced frame, the bigram-key diamond
     # note applies verbatim (recompute beats persisting string tuples)
     dtg = tris.groupBy("doc_id", "w1", "w2", "w3").agg(F.count(F.lit(1)).alias("m"))
     ct = dtg.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("cnt_t"))
-    pairs = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, n - 1).alias("prev"),
-                F.slice("toks", 2, n - 1).alias("cur"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    pairs = _ngrams_from(base, 2, ["prev", "cur"])
     cb = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
     ctx = cb.select(
         F.col("prev").alias("w1"), F.col("cur").alias("w2"),
@@ -1140,48 +1111,14 @@ def quality_4gram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt_u"))
     )
     tot = cu.agg(F.sum("cnt_u").alias("total"))
-    n = F.size("toks")
-    quads = base.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.greatest(n - 3, F.lit(0))).alias("w1"),
-                F.slice("toks", 2, F.greatest(n - 3, F.lit(0))).alias("w2"),
-                F.slice("toks", 3, F.greatest(n - 3, F.lit(0))).alias("w3"),
-                F.slice("toks", 4, F.greatest(n - 3, F.lit(0))).alias("w4"),
-            )
-        ).alias("qg"),
-    ).select(
-        "doc_id",
-        F.col("qg.w1").alias("w1"),
-        F.col("qg.w2").alias("w2"),
-        F.col("qg.w3").alias("w3"),
-        F.col("qg.w4").alias("w4"),
-    )
+    quads = _ngrams_from(base, 4, ["w1", "w2", "w3", "w4"], with_doc=True)
     dqg = quads.groupBy("doc_id", "w1", "w2", "w3", "w4").agg(
         F.count(F.lit(1)).alias("m")
     )
     c4 = dqg.groupBy("w1", "w2", "w3", "w4").agg(F.sum("m").alias("cnt_q"))
-    tris = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, F.greatest(n - 2, F.lit(0))).alias("a"),
-                F.slice("toks", 2, F.greatest(n - 2, F.lit(0))).alias("b"),
-                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("c"),
-            )
-        ).alias("tg")
-    ).select(
-        F.col("tg.a").alias("a"), F.col("tg.b").alias("b"), F.col("tg.c").alias("c")
-    )
+    tris = _ngrams_from(base, 3, ["a", "b", "c"])
     ct3 = tris.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("cnt_t"))
-    pairs = base.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("toks", 1, n - 1).alias("prev"),
-                F.slice("toks", 2, n - 1).alias("cur"),
-            )
-        ).alias("bg")
-    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    pairs = _ngrams_from(base, 2, ["prev", "cur"])
     cb = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cnt_b"))
     ctx3 = ct3.select(
         F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("c").alias("w3"),

@@ -124,7 +124,7 @@ def track_persist(df):
     return df
 
 
-def release_caches(spark: SparkSession) -> None:
+def release_caches(spark: SparkSession, clear_shared: bool = True) -> None:
     """Drop every persisted intermediate OWNED BY ``spark`` (shared
     explodes, cumsum level caches). Several operators persist
     diamond-shaped intermediates (``_exploded_shingles``,
@@ -134,7 +134,19 @@ def release_caches(spark: SparkSession) -> None:
     accumulate for the lifetime of the session. Long-lived sessions
     iterating many registry keys must call this between keys — bench.py
     and the test fixtures do; the correctness driver's per-key runs are
-    short-lived. Frames tracked by other live sessions are untouched."""
+    short-lived.
+
+    Scoping is two-tier, and the tiers differ (r10 self-review): the
+    TRACKED-release step unpersists only the caller's frames — other
+    live sessions' tracked lists are untouched. The final
+    ``catalog.clearCache()`` backstop, however, is APPLICATION-WIDE in
+    classic Spark (SharedState.cacheManager is per-SparkContext, not
+    per-session) — it exists because many operators persist
+    self-managed intermediates that never enter the tracked list, and
+    a long bench run must be able to reset storage to zero. In a
+    process hosting multiple concurrent sessions over one JVM, pass
+    ``clear_shared=False`` to release only the caller's tracked frames
+    and leave sibling sessions' cached data alone."""
     from pyspark.sql import DataFrame as _DF
 
     for h in _TRACKED_PERSISTS.pop(spark, []):
@@ -145,7 +157,8 @@ def release_caches(spark: SparkSession) -> None:
                 h.unpersist(False)
         except Exception:
             pass  # session of the tracked frame may already be stopped
-    spark.catalog.clearCache()
+    if clear_shared:
+        spark.catalog.clearCache()
 
 
 SMALL_PLAN_ROWS = 200_000

@@ -35,7 +35,10 @@ def gen_fixture(vocab: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = os.path.join(OUT_ROOT, f"vocab{vocab}")
+    # corpus shape is part of the cache key: a rerun after changing
+    # N_DOCS/TOKS_PER_DOC must regenerate, not silently reuse the old
+    # corpus (this table feeds the shipped UNIGRAM_MAPLIT_MAX_TERMS)
+    out_dir = os.path.join(OUT_ROOT, f"vocab{vocab}_{N_DOCS}x{TOKS_PER_DOC}")
     out = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(out):
         return out_dir

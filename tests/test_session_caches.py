@@ -32,9 +32,12 @@ def test_tracked_handles_hold_no_session_backref(spark, sf_dir):
 
 
 def test_release_caches_scoped_to_caller(spark, sf_dir):
-    """release_caches(spark) must only drop the caller's entry — a
+    """The tracked-release step must only drop the caller's entry — a
     second session's tracked list survives. (Simulated with a distinct
-    weak-key object: real concurrent sessions share the test JVM.)"""
+    weak-key object: real concurrent sessions share the test JVM. The
+    catalog.clearCache() backstop is application-wide by Spark's own
+    design — release_caches documents that and takes
+    clear_shared=False for multi-session processes.)"""
 
     class _FakeSession:
         pass
@@ -44,6 +47,7 @@ def test_release_caches_scoped_to_caller(spark, sf_dir):
     from labelmain_spark.functions.text import bm25_topk
 
     bm25_topk(spark, sf_dir)
-    sess.release_caches(spark)
+    sess.release_caches(spark, clear_shared=False)
     assert sess._TRACKED_PERSISTS.get(other) == ["sentinel"]
     del sess._TRACKED_PERSISTS[other]
+    sess.release_caches(spark)
