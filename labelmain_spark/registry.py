@@ -463,6 +463,18 @@ PRIORITY = [
     # top-k) under a full hash with data-derived centroids the SQL
     # twin re-derives. Green at both SFs; r11 rotation candidate.
     "ann_ivf_seeded_topk",
+    # --- r11 rotation backlog (computed at r10 close against
+    # CORRECTNESS_r01-r09 + the r10 window): the full-oracle keys with
+    # NO driver-green row in any round, mirror-green at both SFs —
+    # rotate these ahead of long-tenured rows next round:
+    # ann_ivf_seeded_topk*, quality_model_frozen_score*,
+    # quality_kn4_nll* (the three r10-born keys above), ann_lsh_topk,
+    # attribution_join_outer, corr_stats, dedup_incremental,
+    # doc_fingerprint, entropy_filter, grouping_sets_agg, keyword_tag,
+    # mix_sources, paged_source_scan, pii_luhn, profile_stats,
+    # sample_hash, split_train_val. (The other never-verified keys are
+    # the 15 rows-only-by-design paths, which get the driver's weaker
+    # rows check wherever windowed.)
     # r10 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens).
     "scan_project", "incremental_filter", "rollup_agg", "dedup_ttl",
