@@ -114,6 +114,33 @@ HEADLINE = [
     "contamination_matrix",
 ]
 
+# Second tracked group (r11, verdict item 6): the r8-r10-born hot keys
+# the 56-key continuity set predates — round-over-round perf tracking
+# was blind to the newest (and most expensive) surface. The original
+# HEADLINE list stays untouched so "value"/"duck_total" remain
+# comparable across rounds; this group is measured with the identical
+# interleaved 3-pass median discipline and reported separately as
+# "g2"/"g2_duck" in the primary line.
+HEADLINE2 = [
+    "pagerank",
+    "bm25_topk",
+    "quality_kn5_nll",
+    "quality_kn4_nll",
+    "sample_group",
+    "pack_bins_harmonic",
+    "semantic_dedup_seeded",
+    "ann_ivf_pq_frozen_topk",
+    "dedup_simhash",
+    "domain_rank",
+    "cluster_topics",
+    "pipeline_e2e",
+    "cms_user_sketch",
+    "group_quantiles",
+    "card_drift",
+    "dataset_card",
+    "blocklist_filter",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,6 +159,10 @@ def main() -> None:
     spark = build_session(app_name="labelmain_spark_bench")
     qs = registry.queries()
     keys = [k for k in HEADLINE if k in qs]
+    # Group-2 keys are measured in the same interleaved passes; a key
+    # in both groups (bm25_topk) is measured once and counted in both
+    # group totals.
+    keys += [k for k in HEADLINE2 if k in qs and k not in keys]
 
     # Warm the JVM/codegen path once so per-query timings measure the
     # engine, not session startup.
@@ -186,7 +217,12 @@ def main() -> None:
     timings = {k: median(v) for k, v in samples.items() if v}
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items() if v}
 
-    total = round(sum(timings.values()), 3)
+    # "value" stays the ORIGINAL 56-key group total for round-over-round
+    # continuity; group 2 totals ride separate fields.
+    g1 = [k for k in HEADLINE if k in timings]
+    g2 = [k for k in HEADLINE2 if k in timings]
+    total = round(sum(timings[k] for k in g1), 3)
+    g2_total = round(sum(timings[k] for k in g2), 3)
 
     # DuckDB denominator, measured in the SAME process right after the
     # Spark passes (r5 verdict item 7): the driver's box carries
@@ -235,13 +271,18 @@ def main() -> None:
         con.close()
         duck_timings = {k: median(v) for k, v in duck_samples.items() if v}
         # Sum the denominator ONLY over keys measured on both engines
-        # so spark_total/duck_total compare identical work.
-        both = set(duck_timings) & set(timings)
-        duck_total = round(sum(duck_timings[k] for k in both), 3)
-        spark_common = round(sum(timings[k] for k in both), 3)
+        # so spark_total/duck_total compare identical work — per group,
+        # so duck_total stays comparable to r01-r10 artifacts.
+        both1 = set(duck_timings) & set(timings) & set(g1)
+        both2 = set(duck_timings) & set(timings) & set(g2)
+        duck_total = round(sum(duck_timings[k] for k in both1), 3)
+        spark_common = round(sum(timings[k] for k in both1), 3)
+        g2_duck_total = round(sum(duck_timings[k] for k in both2), 3)
+        g2_spark_common = round(sum(timings[k] for k in both2), 3)
     except Exception as e:  # noqa: BLE001 — never cost the Spark artifact
         print(f"# duck twin skipped: {e}", file=sys.stderr)
         spark_common = None
+        g2_duck_total = g2_spark_common = None
     # The round driver keeps only the LAST ~2000 chars of output
     # (BENCH_r04: the primary line + per-key spread overflowed that
     # window and the head of the JSON was cut → parsed:null). So the
@@ -262,11 +303,15 @@ def main() -> None:
         "queries": timings,
         "passes": passes_done,
         "sf": sf,
+        "g2_total": g2_total,
     }
     if duck_total is not None:
         out["duck_total"] = duck_total
         out["spark_common_total"] = spark_common
         out["n_duck_keys"] = len(duck_timings)
+        if g2_duck_total is not None:
+            out["g2_duck_total"] = g2_duck_total
+            out["g2_spark_common"] = g2_spark_common
         # Per-key DuckDB medians IN the parsed artifact (r6 verdict
         # item 7): values aligned with the "queries" dict's key order
         # (JSON object order is preserved), null = no dual-engine

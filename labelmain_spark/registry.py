@@ -156,11 +156,19 @@ PRIORITY = [
     # plan class now carries a harder in-window row via tag_and_filter
     # (rotating in: the same one-projection map over corpus text with
     # a full rule DAG inside it).
-    "parse_html_reports",
+    # parse_html_reports (P4/P5, mapInPandas) moved out r11 after
+    # NINE straight green rows (r2-r10): the html.parser mapInPandas
+    # machinery keeps its dedicated pytest and the Python-batch
+    # surface keeps in-window rows via multimodal_frames (rotating
+    # in: the same mapInPandas batch contract over binary payloads).
     # joins (J1, J3, J4) — join_asof (J4) out r5; join_anti (J3) out
     # r6 (boilerplate_strip plans the identical LEFT ANTI at corpus
     # scale, in-window).
-    "join_inner",
+    # join_inner (J1) moved out r11 after TEN straight green rows
+    # (r1-r10, the longest unbroken ledger in the repo):
+    # broadcast_if_bounded is plan-tested with a forced-low-threshold
+    # shuffle fallback (tests/test_plans.py:930) and the equi-join
+    # shape keeps in-window rows via join_salted and join_range.
     # windows + event-time (W1-W3, T6, date family) — window_lag (W2)
     # out r5; window_rank (W1) out late-r6; window_tumbling (T6) out
     # r7 (time_rollup is the harder date-truncation member, in-window;
@@ -169,8 +177,14 @@ PRIORITY = [
     # IDENTICAL partitioned ordered running window with a strictly
     # harder frame — last(ignorenulls) LOCF over unbounded preceding —
     # plus the hourly-spine join the plain running sum lacks.
-    # set ops (§2.7, all three semantics in one key)
-    "set_ops",
+    # set ops (§2.7) — set_ops (9 green rows r2-r10) AND the three
+    # r10-de-degenerated singles (set_union/except/intersect, green
+    # r1 + r10 with pairwise-distinct hashes) all moved out r11: the
+    # discrimination property is pinned in pytest
+    # (test_oracle_parity), the fixtures are non-degenerate on
+    # record, and four slots on one plan family was the window's
+    # biggest redundancy — the freed slots fund the never-verified
+    # backlog below.
     # merge sinks + TTL dedup (S6-S8, J2, T2) — merge_addtoset (S7/A4)
     # out r7 (merge_upsert pins the full-outer + coalesce machinery;
     # set semantics in-window via set_ops).
@@ -178,7 +192,11 @@ PRIORITY = [
     # watermarked stream twin keeps its pytest, and merge_upsert
     # (staying — the one driver-bench regression watch from r9) pins
     # the upsert machinery in-window.
-    "merge_upsert",
+    # merge_upsert (S6/S8/J2) moved out r11 after TEN straight green
+    # rows (r1-r10) and with the r9 bench-regression watch resolved
+    # (0.93 -> 0.46 s in BENCH_r10): the full-outer + coalesce merge
+    # is smoke-checked every round via __spark_entry__.entry's
+    # flagship consolidation and keeps its idempotent-sink pytest.
     # label store (flagship) — label_stats out late-r5 (algebraic
     # rollup over label_consolidate's output).
     # label_consolidate moved out r10 after nine green rows: the
@@ -235,7 +253,13 @@ PRIORITY = [
     # 0.27x ×100 scale row on record: the winnowing rolling-min window
     # is property-tested, and dedup_minhash + remove_duplicate_spans
     # keep the fingerprint family in-window.
-    "pii_scrub", "perplexity_buckets",
+    # pii_scrub moved out r11 after seven green rows (r4-r10):
+    # pii_luhn (rotating in, never driver-verified) is the strictly
+    # harder member of the same module — the multi-pattern
+    # regexp_replace machinery plus the mod-10 Luhn fold in row-local
+    # array expressions, full oracle including the false-positive
+    # case; the hypothesis property suite stays.
+    "perplexity_buckets",
     # never-driver-verified continuation-block text keys, promoted r8
     # (verdict item 1 list): the Jelinek-Mercer bigram LM tier, the χ²
     # corpus-report op, the Dolma tag-and-filter decision layer, and
@@ -300,9 +324,31 @@ PRIORITY = [
     # zero driver history): the min-struct source-priority survivor
     # pick is the one dedup family member whose tie-break plan had no
     # driver row.
-    "dedup_minhash", "dedup_cross_source",
-    "dedup_paragraph", "dedup_clusters", "remove_duplicate_spans",
-    "boilerplate_strip", "dedup_incremental_near",
+    # r11 dedup-family rotation — the family held SEVEN window slots
+    # with deep multi-round ledgers; five rotate out to fund the
+    # backlog, leaving dedup_cross_source + dedup_simhash in-window
+    # and rotating in dedup_incremental (the never-verified
+    # incremental-exact member):
+    # dedup_minhash out after nine green rows (r2-r10; banded LSH +
+    #   exact verify keeps the 0.49x ×100 inversion row on record and
+    #   dedup_simhash stays in-window on the sibling banded plan);
+    # dedup_paragraph and dedup_clusters out after six green rows
+    #   each (r5-r10; digest-groupBy survivor pick and the hash-min
+    #   fixpoint both stay bench-headlined every round — the two
+    #   biggest Spark-beats-DuckDB rows in BENCH_r10);
+    # remove_duplicate_spans out after five green rows (r6-r10; the
+    #   r10 span-skew A/B settled its one open question, the window
+    #   plan is pinned with the rejected plan's parity test, and the
+    #   0.31x ×100 inversion row is on record);
+    # boilerplate_strip out after five green rows (r6-r10; the
+    #   paragraph-explode + LEFT ANTI strip shape is the J3 carrier,
+    #   plan-asserted in pytest);
+    # dedup_incremental_near out after five green rows (r6-r10;
+    #   dedup_incremental — rotating in — probes the same bucketed
+    #   digest-history under the simpler exact semantics, keeping the
+    #   incremental-probe family's driver row through a
+    #   never-verified member).
+    "dedup_cross_source",
     # exact per-group quantiles promoted r8 (never driver-verified;
     # the discretized-histogram machinery's full-oracle row — no group
     # ever materializes, integer predicates, measured 21,606-cell
@@ -328,7 +374,15 @@ PRIORITY = [
     # 1) and card_drift (both staying in-window) and inside the
     # release-stream twin's batch-parity pytest — triple coverage
     # without the standalone key.
-    "corpus_incremental", "card_drift",
+    # corpus_incremental moved out r11 after four green rows
+    # (r7-r10) and the 3.5x->1.58x ×100 convergence row: every stage
+    # of its ONE lazy plan keeps an in-window row — delta classify
+    # via card_drift (staying), digest-history dedup via
+    # dedup_incremental (rotating in), span decontamination via
+    # contamination_matrix (staying), history-fitted terciles via
+    # perplexity_buckets (staying) — and pipeline_e2e keeps the
+    # composed-lifecycle driver row.
+    "card_drift",
     # pack_bins_harmonic promoted r8 (never driver-verified): the
     # Harmonic-K whole-document bin-packing full oracle alongside the
     # token-granular pack_sequences.
@@ -348,7 +402,13 @@ PRIORITY = [
     # promoted r9 (verdict item 4, zero driver history): the binned
     # big-big range join, r8-memoized band table — let the driver
     # time exactly what was profiled.
-    "attribution_join", "window_session", "join_range",
+    # attribution_join moved out r11 after six green rows (r5-r10):
+    # attribution_join_outer (rotating in, never driver-verified) is
+    # the strictly harder member — the same interval join plus the
+    # unmatched-touchpoint outer leg — so the stream-stream interval
+    # shape keeps its driver row through the harder variant; the
+    # streaming twin keeps its pytest.
+    "window_session", "join_range",
     # gap_fill promoted r8 (never driver-verified): hourly-spine LOCF
     # — inherits window_running's driver coverage with a strictly
     # harder frame (see the W1-W3 rotation note above).
@@ -382,7 +442,12 @@ PRIORITY = [
     # frozen literals). ann_multiprobe_topk moved out r10 (green
     # r7-r9): ann_ivf_pq_frozen_topk (rotating in) composes the
     # bucket-probe + exact-rerank shape with the ADC axis.
-    "knn_join", "ann_pq_frozen_topk",
+    # knn_join moved out r11 after six green rows (r5-r10): the
+    # KNN_Q_CAP-bounded batch k-NN join keeps its enforcement pytest,
+    # and the exact-rerank top-k tail holds in-window rows via every
+    # ANN key (ann_pq_frozen, ann_ivf_pq_frozen, plus ann_lsh_topk
+    # and ann_ivf_seeded_topk rotating in).
+    "ann_pq_frozen_topk",
     # sampling / dataset assembly — sample_stratified out r6;
     # mix_temperature, validate_constraints, chunk_documents out r7
     # after their first green rows (r6), shapes pinned by in-window
@@ -416,7 +481,12 @@ PRIORITY = [
     # assignment stage IS an in-window scalar pandas_udf); GROUPED_AGG
     # (udaf_grouped_agg) and mapInPandas (parse_html_reports) keep the
     # Python-surface rows.
-    "udaf_grouped_agg",
+    # udaf_grouped_agg moved out r11 after nine green rows (r2-r10):
+    # the GROUPED_AGG pandas_udf surface keeps its pytest, and the
+    # Python-batch contract keeps THREE in-window rows via
+    # multimodal_frames (mapInPandas, rotating in),
+    # quality_fasttext_score (scalar pandas_udf scoring, rotating in
+    # rows-only) and semantic_dedup_seeded's assignment stage.
     # ---- r10 rotations in ----
     # (a) RED-LAST PAYDOWN (r9 verdict item 2): the nine keys whose
     # only driver history is a round-1 red — fixed in r2 but never
@@ -426,9 +496,20 @@ PRIORITY = [
     # no key's most recent driver row anywhere in r01-r10 is red.
     # (set_union/except/intersect additionally carry the r10
     # de-degenerated fixture — pairwise-distinct hashes now.)
-    "cursor_page", "join_salted", "set_union", "set_except",
-    "set_intersect", "nested_flatten", "nested_field_stats",
-    "sessionize", "pivot_counts",
+    # r11 paydown of the r10 red-last cohort (each now green-last,
+    # r1 + r10): cursor_page out (paged_source_scan — rotating in,
+    # never driver-verified — reads the SAME Spark-4 Python
+    # DataSource with durable offsets; the harder T3/T5 member now
+    # carries the retry/admission code paths); set singles out (see
+    # the set-ops note above); nested_flatten out (nested_field_stats
+    # stays — the strictly harder posexplode + per-field stats
+    # member); sessionize out (window_session stays on the native
+    # session_window plan — the harder event-time member);
+    # pivot_counts out (grouping_sets_agg — rotating in, never
+    # driver-verified — keeps the multi-grouping agg family's row
+    # through the GROUPING SETS member Catalyst expands the same
+    # way).
+    "join_salted", "nested_field_stats",
     # (b) never-driver-verified promotions (r9 verdict item 7 list,
     # verbatim): the three r9 ladder rungs, the composed frozen
     # IVF-ADC twin, and six full-oracle pipeline keys.
@@ -440,43 +521,62 @@ PRIORITY = [
     # order (verdict item 4 — kn4 holds mirror + driver_sim rows) and
     # the hash-seeded SemDeDup full oracle (verdict item 8).
     "quality_kn5_nll", "semantic_dedup_seeded",
+    # ---- r11 rotations in ----
+    # (a) The CORRECTED never-driver-verified full-oracle backlog
+    # (r10 verdict item 1 — the 19-key list, including
+    # multimodal_frames and quality_repetition which the r10 backlog
+    # note here mistakenly omitted; the note is superseded by this
+    # rotation). All 19 are green in MIRROR_r10 at both SFs; nine
+    # were additionally green in the judge's independent r10
+    # driver_sim re-runs. Leading with the three r10-born keys:
+    "ann_ivf_seeded_topk", "quality_model_frozen_score",
+    "quality_kn4_nll",
+    # ...then the sixteen long-stranded full-oracle keys:
+    "ann_lsh_topk", "attribution_join_outer", "corr_stats",
+    "dedup_incremental", "doc_fingerprint", "entropy_filter",
+    "grouping_sets_agg", "keyword_tag", "mix_sources",
+    "paged_source_scan", "pii_luhn", "profile_stats", "sample_hash",
+    "split_train_val", "multimodal_frames", "quality_repetition",
+    # (b) rows-only-by-design keys windowed for the driver's weaker
+    # rows check (r10 verdict item 5): none of the 15 rows-only keys
+    # has ever been in the window, so the driver has never even
+    # rows-checked the no-oracle-possible paths. Three enter:
+    # distributed BPE merge learning (iterative argmax — exact-
+    # equality-vs-reference pytest), content-defined-chunking binary
+    # dedup (dependent rolling-hash scan — property-pinned), and the
+    # fastText-shape hashing-trick classifier (fitted model —
+    # held-out accuracy property).
+    "bpe_train", "multimodal_cdc_dedup", "quality_fasttext_score",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
-    # r9's new key leads the overflow (prime r10 rotation candidate):
-    # recursively-interpolated 4-GRAM JM LM quality (r8 verdict item
-    # 7 — the rung that makes the ladder's "extends unchanged" claim
-    # measured; full oracle, exact micro-unit sums, the trigram
-    # template one order up).
-    # interpolated KN at 4-GRAM (r10): full micro-unit oracle, green
-    # in the mirror at both SFs; its 5-gram sibling carries the
-    # family's in-window row (strict superset recursion).
-    "quality_kn4_nll",
-    # frozen-coefficient quality scorer (r10): the dense classifier's
-    # SCORING decision procedure under a full value-hash oracle (the
-    # _pq_frozen_books argument applied to the model family); the
-    # fitted keys stay rows-only beside it. Green at both SFs; prime
-    # r11 rotation candidate.
-    "quality_model_frozen_score",
-    # hash-seeded IVF retrieval twin (r10): the last fitted-ANN
-    # decision procedure (probe ranking -> cell-pruned scan -> exact
-    # top-k) under a full hash with data-derived centroids the SQL
-    # twin re-derives. Green at both SFs; r11 rotation candidate.
-    "ann_ivf_seeded_topk",
-    # --- r11 rotation backlog (computed at r10 close against
-    # CORRECTNESS_r01-r09 + the r10 window): the full-oracle keys with
-    # NO driver-green row in any round, mirror-green at both SFs —
-    # rotate these ahead of long-tenured rows next round:
-    # ann_ivf_seeded_topk*, quality_model_frozen_score*,
-    # quality_kn4_nll* (the three r10-born keys above), ann_lsh_topk,
-    # attribution_join_outer, corr_stats, dedup_incremental,
-    # doc_fingerprint, entropy_filter, grouping_sets_agg, keyword_tag,
-    # mix_sources, paged_source_scan, pii_luhn, profile_stats,
-    # sample_hash, split_train_val. (The other never-verified keys are
-    # the 15 rows-only-by-design paths, which get the driver's weaker
-    # rows check wherever windowed.)
-    # r10 rotated-out keys lead the overflow (first checked if the
-    # driver window ever widens).
+    # --- r12 rotation backlog (computed at r11): after this round's
+    # 19-key paydown the only never-driver-verified FULL-ORACLE key
+    # is the r11-born one directly below — every other full-oracle
+    # key has either a driver-green row or is in the r11 window.
+    # Remaining never-windowed keys are the 12 rows-only-by-design
+    # paths (three entered the window r11: bpe_train,
+    # multimodal_cdc_dedup, quality_fasttext_score); window two or
+    # three more of them per round (e.g. ann_ivf_topk,
+    # bpe_token_count, bpe_fertility, semantic_dedup_ivf) until each
+    # has at least one driver rows-check.
+    # NEW r11 key — prime r12 rotation candidate (the quality_kn4
+    # precedent: born just after its round's window was pinned):
+    # the composed IVF-ADC pipeline under a data-derived seeded
+    # quantizer × frozen-codebook ADC full oracle (r10 verdict item
+    # 7; functions/vectors.py::ann_ivf_pq_seeded_topk).
+    "ann_ivf_pq_seeded_topk",
+    # r11 rotated-out keys lead the overflow (first checked if the
+    # driver window ever widens) — every one retired green-last with
+    # its justification inline at its old window slot above.
+    "join_inner", "merge_upsert", "parse_html_reports", "set_ops",
+    "pii_scrub", "dedup_minhash", "dedup_paragraph", "dedup_clusters",
+    "remove_duplicate_spans", "boilerplate_strip",
+    "dedup_incremental_near", "corpus_incremental", "attribution_join",
+    "knn_join", "udaf_grouped_agg", "cursor_page", "set_union",
+    "set_except", "set_intersect", "nested_flatten", "sessionize",
+    "pivot_counts",
+    # r10 rotated-out keys next.
     "scan_project", "incremental_filter", "rollup_agg", "dedup_ttl",
     "label_consolidate", "time_rollup", "doc_winnow",
     "quality_bigram_nll", "chi2_keywords", "tag_and_filter",
@@ -503,46 +603,18 @@ PRIORITY = [
     "regex_max_page", "string_norm", "join_anti", "text_quality",
     "duplicate_spans", "shard_pack", "embedding_neardup",
     "sample_stratified", "multimodal_meta",
-    # rows-only by nature (dependent rolling-hash scan): sub-file
-    # binary dedup for media payloads, property-pinned.
-    "multimodal_cdc_dedup",
     "join_asof", "window_lag", "filter_null", "wallet_map",
     "reshape_3col", "date_trunc", "udaf_grouped",
     "embedding_centroid", "group_count", "filter_contains",
     "string_concat", "histogram_bins",
-    "doc_fingerprint", "date_arith",
+    "date_arith",
     "unpivot_metrics", "cube_agg", "join_semi", "window_ntile",
-    "grouping_sets_agg",
-    "sample_hash", "split_train_val", "profile_stats", "corr_stats",
-    "paged_source_scan", "multimodal_frames",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "customer_distribution", "top_supplier",
-    "quality_repetition",
-    "mix_sources",
-    "quality_model_score", "attribution_join_outer",
-    "dedup_incremental",
+    "quality_model_score",
     "order_limit", "similarity_topk", "label_stats",
     "bpe_token_count", "pack_sequences_bpe",
     "semantic_dedup_ivf",
-    # distributed BPE merge learning (rows-only: iterative argmax has
-    # no fixed SQL form; exact-equality-vs-reference property test).
-    "bpe_train",
-    # ---- remaining late-r7 continuation block (all full-oracle
-    # unless noted; ten of its members entered the window r8) ----
-    # character-entropy garbage filter (RefinedWeb-class; exact
-    # micro-unit histogram entropy — full oracle).
-    "entropy_filter",
-    # Luhn-validated credit-card PII (Dolma/RedPajama-v2 upgrade over
-    # pure regex: mod-10 fold in row-local array expressions, only
-    # VALID cards redacted — full oracle incl. the false-positive).
-    "pii_luhn",
-    # phrase-dictionary taxonomy tagging (bounded broadcast-as-literal
-    # dictionary, one codegen map — full oracle).
-    "keyword_tag",
-    # fastText-shape quality classifier: hashing-trick word+bigram
-    # features (no vocabulary object — corpus-size-independent),
-    # sparse treeAggregate LR (rows-only; held-out accuracy property).
-    "quality_fasttext_score",
     # per-language tokenizer fertility audit under the fitted BPE
     # (rows-only: no SQL twin for BPE segmentation; exact long sums,
     # integer-arithmetic threshold flag).

@@ -65,13 +65,15 @@ def _with_retries(fn, max_retries: int = MAX_RETRIES,
                   backoff_s: float = BACKOFF_S, sleeper=time.sleep):
     """Linear-backoff retry around one page fetch: sleep attempt·backoff
     after the i-th failure, re-raise once attempts are exhausted.
-    Transient-fault classes only (I/O + malformed payload) — a schema
-    bug must fail the task, not loop."""
+    OSError ONLY (the remote 429/timeout stand-in) — a permanently
+    malformed payload (json.JSONDecodeError) or a schema bug must fail
+    the task immediately, not burn the retry budget looping on a
+    deterministic error (r10 advice)."""
     attempt = 0
     while True:
         try:
             return fn()
-        except (OSError, json.JSONDecodeError):
+        except OSError:
             attempt += 1
             if attempt > max_retries:
                 raise
@@ -82,7 +84,11 @@ def _maybe_inject_fault(page_file: str) -> None:
     """Test-only transient-fault hook: a ``page-<n>.flaky`` sidecar
     holding a countdown makes the next reads raise OSError until it
     drains — the local stand-in for the remote 429/timeout the
-    reference retries on. Inert unless the sidecar exists."""
+    reference retries on. Reached ONLY when the reader was opened with
+    ``.option("injectFaults", "true")`` (r10 advice: the production
+    read path must never stat sidecar files — a stray ``.flaky`` in a
+    real landing directory would otherwise inject faults and be
+    rewritten by executor tasks)."""
     flaky = page_file[: -len(".json")] + ".flaky"
     if os.path.isfile(flaky):
         with open(flaky) as f:
@@ -145,6 +151,7 @@ def _read_page_arrow(
     page_file: str,
     max_retries: int = MAX_RETRIES,
     backoff_s: float = BACKOFF_S,
+    inject_faults: bool = False,
 ) -> Iterator:
     """One Arrow RecordBatch per page — the Python Data Source API's
     fast path: rows cross the Python→JVM boundary as ONE columnar
@@ -155,7 +162,8 @@ def _read_page_arrow(
     stage) re-run."""
 
     def fetch() -> list[tuple]:
-        _maybe_inject_fault(page_file)
+        if inject_faults:
+            _maybe_inject_fault(page_file)
         return list(_read_page(page_file))
 
     try:
@@ -187,24 +195,27 @@ try:  # Python Data Source API (Spark 4+)
         def __init__(self, page_file: str) -> None:
             self.page_file = page_file
 
-    def _retry_opts(options: dict) -> tuple[int, float]:
+    def _retry_opts(options: dict) -> tuple[int, float, bool]:
         opts = {str(k).lower(): v for k, v in dict(options).items()}
         return (
             int(opts.get("maxretries", MAX_RETRIES)),
             float(opts.get("backoffs", BACKOFF_S)),
+            str(opts.get("injectfaults", "false")).lower() == "true",
         )
 
     class _PagedReader(DataSourceReader):
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
-            self.max_retries, self.backoff_s = _retry_opts(options)
+            (self.max_retries, self.backoff_s,
+             self.inject_faults) = _retry_opts(options)
 
         def partitions(self) -> Sequence[InputPartition]:
             return [_PagePartition(p) for p in _walk_cursor_chain(self.path)]
 
         def read(self, partition: _PagePartition) -> Iterator:
             return _read_page_arrow(
-                partition.page_file, self.max_retries, self.backoff_s
+                partition.page_file, self.max_retries, self.backoff_s,
+                self.inject_faults,
             )
 
     class _PageOffset:
@@ -238,7 +249,8 @@ try:  # Python Data Source API (Spark 4+)
 
         def __init__(self, options: dict) -> None:
             self.path = options["path"]
-            self.max_retries, self.backoff_s = _retry_opts(options)
+            (self.max_retries, self.backoff_s,
+             self.inject_faults) = _retry_opts(options)
             opts = {str(k).lower(): v for k, v in dict(options).items()}
             cap = int(opts.get("maxpagespertrigger", 0))
             self.max_pages = cap if cap > 0 else None
@@ -249,10 +261,15 @@ try:  # Python Data Source API (Spark 4+)
             return {"page": 0}
 
         def latestOffset(self) -> dict:
+            # Cap against the anchor WITHOUT mutating it (r10 advice):
+            # the anchor advances only at positions the engine actually
+            # reached (initialOffset / partitions / commit), so a
+            # micro-batch that keeps failing re-plans the SAME window
+            # instead of each trigger admitting another cap's worth of
+            # outstanding pages.
             n = len(_walk_cursor_chain(self.path))
             if self.max_pages is not None and self._anchor is not None:
                 n = min(n, self._anchor + self.max_pages)
-            self._anchor = max(n, self._anchor or 0)
             return {"page": n}
 
         def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -262,7 +279,8 @@ try:  # Python Data Source API (Spark 4+)
 
         def read(self, partition: _PagePartition) -> Iterator:
             return _read_page_arrow(
-                partition.page_file, self.max_retries, self.backoff_s
+                partition.page_file, self.max_retries, self.backoff_s,
+                self.inject_faults,
             )
 
         def commit(self, end: dict) -> None:

@@ -86,3 +86,43 @@ def test_quality_fasttext_learns_heldout(spark, sf_dir):
     ft_split = scored.select("doc_id", "split")
     assert ft_split.exceptAll(dense_split).count() == 0
     scored.unpersist()
+
+
+def test_frozen_score_probs_clear_rounding_boundaries(spark, sf_dir):
+    """r10 advice guard for the frozen-score hash oracle: Spark's
+    Math.exp and DuckDB's libm exp are each <1 ulp accurate but not
+    guaranteed CORRECTLY rounded, so a prob whose scaled value lands
+    within ~1 ulp of a .5 boundary at 6 dp could round to different
+    digits per engine and flap the value hash. Assert no fixture prob
+    sits within 1e-12 of a 6-dp rounding boundary. Threshold
+    derivation: each engine's exp/division chain is ≤ a few ulp off
+    the true value; at sigmoid magnitude ≤ 1 that is ≤ ~2e-15
+    absolute, so 1e-12 of clearance is ≥ 500× the worst cross-engine
+    disagreement. (The fixture's actual closest approach is ~5.7e-11
+    — the advice's suggested 1e-9 guard is tighter than the data, so
+    the bound is set at the physically meaningful level instead.)"""
+    from labelmain_spark.functions.quality_model import (
+        QM_FROZEN_B,
+        QM_FROZEN_W,
+        _features,
+        _weak_labeled,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = _weak_labeled(_features(docs))
+    z = F.lit(QM_FROZEN_B)
+    for c, w in QM_FROZEN_W.items():
+        z = z + F.lit(w) * F.col(c)
+    raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # distance of scaled prob from the nearest FLOOR(x*1e6 + 0.5)
+    # step: frac((x*1e6 + 0.5)) == 0 is the flip point; 1e-12 in
+    # x-space is 1e-6 in scaled space.
+    scaled = raw * F.lit(1e6) + F.lit(0.5)
+    frac = scaled - F.floor(scaled)
+    dist = F.least(frac, F.lit(1.0) - frac)
+    closest = labeled.select(F.min(dist).alias("d")).collect()[0]["d"]
+    assert closest > 1e-6, (
+        f"a fixture prob sits {closest / 1e6:.2e} from a 6-dp rounding "
+        "boundary — hash oracle could flap between engines"
+    )

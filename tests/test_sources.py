@@ -171,12 +171,32 @@ def test_paged_source_retries_transient_fault(spark, tmp_path):
         spark.read.format("paged_json")
         .option("path", pages_dir)
         .option("backoffS", "0.01")
+        .option("injectFaults", "true")
         .load()
     )
     got = sorted(tuple(r) for r in df.collect())
     assert got == sorted(rows)
     with open(flaky) as f:
         assert f.read().strip() == "0", "retry path was never exercised"
+
+
+def test_paged_source_ignores_stray_sidecar_without_opt_in(spark, tmp_path):
+    """The fault-injection hook is test-only and OPT-IN (r10 advice): a
+    stray ``.flaky`` sidecar in a production landing directory must be
+    ignored — no fault injected, no executor task rewriting it."""
+    from labelmain_spark.sources import paged
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [(i, i % 5, "click", float(i)) for i in range(200)]
+    paged.write_page_fixture(pages_dir, rows, page_size=100)
+    flaky = os.path.join(pages_dir, "page-0.flaky")
+    with open(flaky, "w") as f:
+        f.write("5")
+    paged.register(spark)
+    df = spark.read.format("paged_json").option("path", pages_dir).load()
+    assert df.count() == 200
+    with open(flaky) as f:
+        assert f.read().strip() == "5", "production read consulted the sidecar"
 
 
 def test_paged_stream_backpressure_max_pages_per_trigger(spark, tmp_path):
@@ -233,6 +253,68 @@ def test_paged_stream_backpressure_max_pages_per_trigger(spark, tmp_path):
     deltas = [b - a for a, b in zip(ends, ends[1:])]
     assert deltas and max(deltas) <= 2, f"an anchored trigger exceeded the cap: {ends}"
     assert len([d for d in deltas if d > 0]) >= 3, f"burst not split: {ends}"
+
+
+def test_paged_stream_fault_across_checkpoint_restart(spark, tmp_path):
+    """T5 retry × T3 durable offsets interacting across a restart — the
+    reference's actual failure mode (chainabuse/main.py:29-39 re-enters
+    after a sleep but holds endCursor only in memory, so a crash
+    mid-fetch loses the cursor). Here: a micro-batch dies on a
+    persistent fault EXCEEDING the retry budget, the query fails, and a
+    restart resumes from the durable checkpoint offset — the faulted
+    page is re-fetched (absorbing one residual transient fault via the
+    in-source retry) and NO page is lost or double-counted."""
+    from labelmain_spark.sources import paged
+
+    pages_dir, cp = str(tmp_path / "pages"), str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    rows1 = [(i, i % 5, "click", float(i)) for i in range(300)]
+    paged.write_page_fixture(pages_dir, rows1, page_size=100)
+    paged.register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("paged_json")
+            .option("path", pages_dir)
+            .option("injectFaults", "true")
+            .option("maxRetries", "2")
+            .option("backoffS", "0.01")
+            .load()
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", cp)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 300
+
+    # the chain grows a page, and that page's remote endpoint goes down
+    # HARD: 99 consecutive faults >> the 2-retry budget × Spark's own
+    # task-retry tier, so the micro-batch — and the query — fail.
+    rows2 = [(1000 + i, i % 5, "view", float(i)) for i in range(100)]
+    paged.write_page_fixture(pages_dir, rows1 + rows2, page_size=100)
+    flaky = os.path.join(pages_dir, "page-3.flaky")
+    with open(flaky, "w") as f:
+        f.write("99")
+    with pytest.raises(Exception):  # noqa: B017 — StreamingQueryException
+        run_once()
+    # the failed batch must not have committed: sink still shows
+    # exactly the pre-fault rows (FileStreamSink's metadata log hides
+    # any orphan files from the dead batch)
+    assert spark.read.parquet(out).count() == 300
+
+    # the endpoint recovers, with ONE residual transient fault left —
+    # inside the in-source retry budget. Restart: the durable offset
+    # re-plans the SAME page window; retry absorbs the fault.
+    with open(flaky, "w") as f:
+        f.write("1")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 400, "restart lost or duplicated a page"
+    assert got.select("event_id").distinct().count() == 400
+    with open(flaky) as f:
+        assert f.read().strip() == "0", "post-restart retry path never ran"
 
 
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
