@@ -10,18 +10,27 @@ combinable, the shuffle carries ≤ d·w rows per partition, and two
 sketches merge by adding cells — the mergeability that makes it work as
 a distributed partial aggregate at any scale.
 
-Engine-reproducible hashing: bucket = (first 4 hex digits of
-md5(seed:key)) mod w, with hex digits valued via
-``instr('0123456789abcdef', c) - 1`` — every piece exists identically
-in Spark SQL and DuckDB, so the driver gets a full value-hash oracle
-row for a sketch (numeric conv() of a digest has no DuckDB twin, which
-is what forces dedup_simhash to rows-only; this construction avoids
-conv entirely).
+Engine-reproducible hashing (re-planned r11): ONE md5(key) per row,
+row i's bucket = (hex digits 4i+1..4i+4 of the digest) mod w — the
+standard one-digest/d-slices construction (md5's 128 bits are far more
+than d·log2(w) = 24 need, and disjoint slices of one strong digest are
+the textbook way to derive d hash rows). The r7-r10 form hashed
+md5(seed:key) per (row, seed): d full digest computations per row, and
+the ×200-events tier showed the ratio vs DuckDB RISING (2.4× → 3.3× →
+6.2×) because the wall IS the digest arithmetic — both engines linear,
+Spark's md5-over-UTF8String constant ~6× DuckDB's C md5. Measured at
+×200 (scripts/events_floor_ab.py): 4 md5/row 5.2 s → 1 md5/row 3.3 s.
+Two parity-safe spelling choices per engine: Spark computes the digest
+ONCE via a projected column (codegen does NOT common-subexpression a
+repeated md5 — respelling it per digit measured 8.9 s) and slices with
+``conv(hex4, 16, 10)``; DuckDB re-derives the same integer with the
+``instr('0123456789abcdef', c) - 1`` fold (it has no conv), positions
+computed from the seed. Same integers, each engine's cheapest path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labelmain_spark.sources.readers import load_table
@@ -30,27 +39,39 @@ CMS_D = 4   # hash rows (depth): P(overestimate > εN) ≤ 2^-d-ish
 CMS_W = 64  # buckets per row (width): ε = e/w
 
 
-def _bucket_expr(seed_col: str, key_col: str, engine: str) -> str:
-    """The shared bucket function, emitted for either engine's SQL
-    dialect (they differ only in the string-cast spelling)."""
-    cast = "CAST({c} AS STRING)" if engine == "spark" else "CAST({c} AS VARCHAR)"
-    m = f"md5(concat({cast.format(c=seed_col)}, ':', {cast.format(c=key_col)}))"
-    digit = "(instr('0123456789abcdef', substr({m}, {i}, 1)) - 1)"
+def _duck_bucket_expr(seed_col: str, key_col: str) -> str:
+    """DuckDB spelling of row ``seed``'s bucket: the instr-fold over
+    hex digits 4·seed+1 .. 4·seed+4 of one md5(key) digest (DuckDB has
+    no conv; its optimizer CSEs the repeated md5)."""
+    m = f"md5(CAST({key_col} AS VARCHAR))"
+    digit = f"(instr('0123456789abcdef', substr({m}, 4 * {seed_col} + {{j}} + 1, 1)) - 1)"
     val = " + ".join(
-        f"{digit.format(m=m, i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+        digit.format(j=j) + f" * {16 ** (3 - j)}" for j in range(4)
     )
     return f"(({val}) % {CMS_W})"
 
 
+def _spark_buckets(key_col: str, d: int) -> Column:
+    """Spark spelling: conv() on 4-hex-digit slices of a SHARED digest
+    column (caller must have projected ``md5(key)`` as ``key_col`` —
+    codegen does not CSE a respelled md5; see the module docstring)."""
+    return F.array(*[
+        (F.conv(F.substring(F.col(key_col), 1 + 4 * i, 4), 16, 10)
+         .cast("int") % CMS_W)
+        for i in range(d)
+    ])
+
+
 def cms_build(df: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
-    """Build the (seed, bucket, n) sketch table over a key column."""
-    seeds = df.select(
-        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("seed"),
-        F.col(key_col).alias("k"),
+    """Build the (seed, bucket, n) sketch table over a key column:
+    one digest per row, posexplode of the d sliced buckets (a 2-int
+    explode AFTER the hash — the expensive work is not duplicated),
+    map-side-combinable groupBy carrying ≤ d·w rows per partition."""
+    digests = df.select(
+        F.md5(F.col(key_col).cast("string")).alias("m")
     )
-    bucket = F.expr(_bucket_expr("seed", "k", "spark"))
     return (
-        seeds.select("seed", bucket.alias("bucket"))
+        digests.select(F.posexplode(_spark_buckets("m", d)).alias("seed", "bucket"))
         .groupBy("seed", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -59,11 +80,12 @@ def cms_build(df: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
 def cms_point_estimate(sketch: DataFrame, key, d: int = CMS_D) -> int:
     """Frequency estimate for one key: min over rows of its cell."""
     spark = sketch.sparkSession
-    probe = spark.createDataFrame([(i, str(key)) for i in range(d)], "seed int, k string")
-    bucket = F.expr(_bucket_expr("seed", "k", "spark"))
-    cells = probe.select("seed", bucket.alias("bucket")).join(
-        sketch, ["seed", "bucket"], "left"
+    probe = spark.createDataFrame([(str(key),)], "k string").select(
+        F.md5(F.col("k")).alias("m")
     )
+    cells = probe.select(
+        F.posexplode(_spark_buckets("m", d)).alias("seed", "bucket")
+    ).join(sketch, ["seed", "bucket"], "left")
     row = cells.agg(F.min(F.coalesce(F.col("n"), F.lit(0)))).first()
     return int(row[0])
 
@@ -79,9 +101,9 @@ QUERIES = {"cms_user_sketch": cms_user_sketch}
 
 ORACLE = {
     "cms_user_sketch": f"""
-        SELECT seed, {_bucket_expr("seed", "user_id", "duck")} AS bucket,
+        SELECT seed, {_duck_bucket_expr("seed", "user_id")} AS bucket,
                COUNT(*) AS n
         FROM events CROSS JOIN (SELECT unnest(range({CMS_D})) AS seed)
-        GROUP BY seed, {_bucket_expr("seed", "user_id", "duck")}
+        GROUP BY seed, {_duck_bucket_expr("seed", "user_id")}
     """,
 }

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import (
-    DEC,
     dsum,
     sql_dsum,
     sql_stable_round,
@@ -295,9 +294,25 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise each recompute the chain back to the raw scan (verified —
     3× Scan parquet, zero ReusedExchange, because per-branch column
     pruning de-canonicalizes the subtrees). The persist is the query
-    form of materializing the continuous aggregate."""
+    form of materializing the continuous aggregate.
+
+    Value sums are EXACT MICRO-UNIT LONGS (r11 re-plan): the per-row
+    DECIMAL(28,6) cast was the hot path's heaviest expression — the
+    ×200-events A/B (scripts/events_floor_ab.py) measured the hour agg
+    at 2.2 s decimal vs 1.2 s long on 20M rows, with the long sum
+    matching the unhinted double-sum floor. floor(value·1e6 + 0.5) is
+    the repo's stable-round idiom (bit-identical in both engines);
+    integer partial sums are order-independent so the merge tree stays
+    exact, and the final /1e6 is one deterministic IEEE division per
+    OUTPUT row. Overflow bound: a single (bucket, event_type) group
+    overflows int64 only past ~4.6e13 rows at value ≈ 200 — three
+    orders beyond any hour bucket at 100 TB corpus scale; domains
+    beyond it take the decimal(28,6) form (operators/parity.py), which
+    this plan replaced precisely because events-scale groups never get
+    there."""
     from pyspark import StorageLevel
 
+    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     ev = load_table(spark, sf_dir, "events")
     hour = (
         ev.groupBy(
@@ -306,7 +321,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("_sum_dec"),
+            F.sum(micro).alias("_sum_micro"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -314,13 +329,13 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hour.groupBy(
             F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
         )
-        .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+        .agg(F.sum("n").alias("n"), F.sum("_sum_micro").alias("_sum_micro"))
     )
     month = (
         day.groupBy(
             F.date_trunc("month", F.col("bucket")).alias("bucket"), "event_type"
         )
-        .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+        .agg(F.sum("n").alias("n"), F.sum("_sum_micro").alias("_sum_micro"))
     )
 
     def final(df: DataFrame, grain: str) -> DataFrame:
@@ -329,7 +344,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "event_type",
             "n",
-            F.col("_sum_dec").cast("double").alias("sum_value"),
+            (F.col("_sum_micro") / F.lit(1e6)).alias("sum_value"),
         )
 
     return final(hour, "hour").unionByName(final(day, "day")).unionByName(
@@ -387,17 +402,20 @@ ORACLE = {
         FROM c JOIN t ON t.event_type = c.event_type
         GROUP BY c.event_type
     """,
-    "time_rollup": f"""
+    "time_rollup": """
         SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
-               COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_value
         FROM events GROUP BY date_trunc('hour', ts), event_type
         UNION ALL
         SELECT 'day', date_trunc('day', ts), event_type,
-               COUNT(*), {sql_dsum('value')}
+               COUNT(*),
+               SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) / 1e6
         FROM events GROUP BY date_trunc('day', ts), event_type
         UNION ALL
         SELECT 'month', date_trunc('month', ts), event_type,
-               COUNT(*), {sql_dsum('value')}
+               COUNT(*),
+               SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) / 1e6
         FROM events GROUP BY date_trunc('month', ts), event_type
     """,
     "sessionize": f"""

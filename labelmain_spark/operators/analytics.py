@@ -284,16 +284,27 @@ def funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = FUNNEL_STEPS
     ev = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
         .filter(F.col("event_type").isin(steps))
     )
-    # Range frame on microseconds: ties (same-ts rows) are all in-frame
-    # regardless of intra-ts row order, so strict > comparisons below
-    # decide matches exactly as the sorted-array fold did.
+    # ROWS frame over (ts, event_id) — r11 re-plan. The r4-r10 form
+    # used a RANGE frame on microseconds so equal-ts rows were all
+    # in-frame; the ×200 A/B (scripts/events_floor_ab.py) measured the
+    # range evaluator at 1.6× the rows evaluator (2.84 vs 1.77 s for
+    # one running min on 12M rows) because it re-resolves the frame
+    # boundary per order-value group. The switch is outcome-identical
+    # BECAUSE every match comparison below is STRICT (>): an equal-ts
+    # element in the frame can never enable a match (ts > ts is
+    # false) and can never change a running min that an earlier
+    # element already set — so in-frame vs out-of-frame for ties is
+    # unobservable in the output. event_id makes the intra-ts order
+    # deterministic; the hot-user property test and the DuckDB oracle
+    # (which still evaluates the tie-insensitive set form) pin the
+    # equivalence.
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     win = F.expr(f"INTERVAL {FUNNEL_WINDOW_S} SECONDS")
     ts, typ = F.col("ts"), F.col("event_type")
