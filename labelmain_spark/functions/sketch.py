@@ -51,15 +51,19 @@ def _duck_bucket_expr(seed_col: str, key_col: str) -> str:
     return f"(({val}) % {CMS_W})"
 
 
-def _spark_buckets(key_col: str, d: int) -> Column:
+def _spark_bucket_list(key_col: str, d: int) -> list[Column]:
     """Spark spelling: conv() on 4-hex-digit slices of a SHARED digest
     column (caller must have projected ``md5(key)`` as ``key_col`` —
     codegen does not CSE a respelled md5; see the module docstring)."""
-    return F.array(*[
+    return [
         (F.conv(F.substring(F.col(key_col), 1 + 4 * i, 4), 16, 10)
          .cast("int") % CMS_W)
         for i in range(d)
-    ])
+    ]
+
+
+def _spark_buckets(key_col: str, d: int) -> Column:
+    return F.array(*_spark_bucket_list(key_col, d))
 
 
 def cms_build(df: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
@@ -97,7 +101,70 @@ def cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_build(ev, "user_id")
 
 
-QUERIES = {"cms_user_sketch": cms_user_sketch}
+HH_THRESHOLD = 80  # events per key: 1 / 13 / 104 hitters at the three SFs
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters THROUGH the sketch (r11) — the production
+    pattern the standalone sketch exists for, composed end-to-end:
+    build the CMS, broadcast it as a literal, use its estimates as a
+    map-side CANDIDATE FILTER, then exact-count only the survivors.
+    Because a CMS never under-estimates, the filter has no false
+    negatives, so the output is EXACTLY ``GROUP BY key HAVING
+    count ≥ T`` — a sketch-accelerated plan with a trivial full
+    oracle (the sketch affects which rows shuffle, never the answer).
+
+    Plan: scan 1 builds the (seed, bucket, n) sketch (map-side
+    combinable, ≤ d·w rows shuffled); the d·w = 256 cells are
+    collected (bounded — the KNN_Q_CAP discipline) and inlined as a
+    create_map literal keyed on seed·w + bucket, hottest cells first
+    (GetMapValue scans keys in literal order; heavy keys hit the
+    head). Scan 2 computes each row's d cell estimates from ONE
+    shared digest projection (the cms_build slices verbatim), takes
+    their min, and drops the row unless est ≥ T — so the exact
+    groupBy's exchange carries only candidate-key rows. At 100 TB
+    the filter is what makes exact heavy-hitters affordable: the
+    long tail (the overwhelming share of DISTINCT keys) never
+    shuffles. Candidate precision is a sizing question — ε = e/w
+    over-admits when w is small relative to N/T — and w beyond the
+    256-cell map-literal tier rides the quality_unigram_nll tier
+    ladder (broadcast the cell table, probe via posexplode join);
+    correctness never depends on it. At the test SFs w=64 admits
+    generously; the oracle pins exactness, the plan pins the shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # bounded collect: exactly d·w ≤ 256 cells regardless of corpus size
+    cells = cms_build(ev, "user_id").collect()
+    if not cells:
+        return (
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.lit(False))
+        )
+    pairs: list = []
+    for r in sorted(cells, key=lambda r: (-r["n"], r["seed"], r["bucket"])):
+        pairs += [F.lit(r["seed"] * CMS_W + r["bucket"]), F.lit(r["n"])]
+    mp = F.create_map(*pairs)
+    keyed = ev.select(
+        "user_id", F.md5(F.col("user_id").cast("string")).alias("m")
+    )
+    est = None
+    for i, b in enumerate(_spark_bucket_list("m", CMS_D)):
+        cell_est = F.coalesce(
+            F.element_at(mp, F.lit(i * CMS_W) + b), F.lit(0).cast("long")
+        )
+        est = cell_est if est is None else F.least(est, cell_est)
+    return (
+        keyed.filter(est >= F.lit(HH_THRESHOLD))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(HH_THRESHOLD))
+    )
+
+
+QUERIES = {
+    "cms_user_sketch": cms_user_sketch,
+    "heavy_hitters": heavy_hitters,
+}
 
 ORACLE = {
     "cms_user_sketch": f"""
@@ -105,5 +172,13 @@ ORACLE = {
                COUNT(*) AS n
         FROM events CROSS JOIN (SELECT unnest(range({CMS_D})) AS seed)
         GROUP BY seed, {_duck_bucket_expr("seed", "user_id")}
+    """,
+    # the sketch is a plan accelerator, never a semantics change: the
+    # oracle is the naive exact form the CMS candidate filter must
+    # reproduce bit-for-bit (no false negatives by construction).
+    "heavy_hitters": f"""
+        SELECT user_id, COUNT(*) AS n
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) >= {HH_THRESHOLD}
     """,
 }

@@ -560,12 +560,16 @@ PRIORITY = [
     # three more of them per round (e.g. ann_ivf_topk,
     # bpe_token_count, bpe_fertility, semantic_dedup_ivf) until each
     # has at least one driver rows-check.
-    # NEW r11 key — prime r12 rotation candidate (the quality_kn4
+    # NEW r11 keys — prime r12 rotation candidates (the quality_kn4
     # precedent: born just after its round's window was pinned):
     # the composed IVF-ADC pipeline under a data-derived seeded
     # quantizer × frozen-codebook ADC full oracle (r10 verdict item
-    # 7; functions/vectors.py::ann_ivf_pq_seeded_topk).
-    "ann_ivf_pq_seeded_topk",
+    # 7; functions/vectors.py::ann_ivf_pq_seeded_topk), and exact
+    # heavy hitters THROUGH the CMS candidate filter — the sketch
+    # composed into the plan it exists for, with the trivial exact
+    # oracle the no-false-negatives guarantee buys
+    # (functions/sketch.py::heavy_hitters).
+    "ann_ivf_pq_seeded_topk", "heavy_hitters",
     # r11 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

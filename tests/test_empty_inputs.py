@@ -187,6 +187,8 @@ REPRESENTATIVE = [
     "quality_model_frozen_score",
     "semantic_dedup_seeded",
     "ann_ivf_seeded_topk",
+    "ann_ivf_pq_seeded_topk",
+    "heavy_hitters",
 ]
 
 

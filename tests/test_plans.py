@@ -992,3 +992,27 @@ def test_bm25_topk_window_group_limit_pinned(spark, sf_dir):
     ), plan[:2000]
     checks.assert_no_python_eval(df)
     spark.catalog.clearCache()
+
+
+def test_heavy_hitters_filters_before_the_exchange(spark, sf_dir):
+    """The sketch must ACCELERATE the plan, not decorate it: the CMS
+    estimate filter (a min over map-literal cell lookups) has to run
+    map-side BEFORE the exact count's exchange, so only candidate-key
+    rows shuffle; and the whole exact pass is one scan, one exchange.
+    (Exactness itself is the oracle's job — no false negatives means
+    the output equals the naive GROUP BY ... HAVING.)"""
+    from labelmain_spark.functions.sketch import heavy_hitters
+
+    df = heavy_hitters(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    n_broadcast = plan.count("BroadcastExchange")
+    assert plan.count("Exchange") - n_broadcast == 1, plan
+    # the estimate filter (least over GetMapValue lookups) sits below
+    # the exchange: everything after the last Exchange is the final
+    # agg + HAVING, so the least() must appear after (deeper than) it
+    # in the bottom-up plan string
+    assert "least(" in plan, plan
+    assert plan.rindex("least(") > plan.index("Exchange"), plan
+    checks.assert_no_python_eval(df)
