@@ -102,63 +102,82 @@ def cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HH_THRESHOLD = 80  # events per key: 1 / 13 / 104 hitters at the three SFs
+# Tier boundary: below this many DISTINCT keys the exact groupBy's
+# exchange is trivially affordable (map-side combine collapses to one
+# partial row per key per partition) and the sketch prefilter is pure
+# overhead — measured at ev×400 (40M rows, 600k keys): sketch tier
+# 12.3 s vs naive-class agg ~1.6 s. The sketch pays only when the
+# DISTINCT-KEY count itself makes the exchange the bottleneck.
+HH_SKETCH_MIN_KEYS = 5_000_000
 
 
-def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters THROUGH the sketch (r11) — the production
-    pattern the standalone sketch exists for, composed end-to-end:
-    build the CMS, broadcast it as a literal, use its estimates as a
-    map-side CANDIDATE FILTER, then exact-count only the survivors.
-    Because a CMS never under-estimates, the filter has no false
-    negatives, so the output is EXACTLY ``GROUP BY key HAVING
-    count ≥ T`` — a sketch-accelerated plan with a trivial full
-    oracle (the sketch affects which rows shuffle, never the answer).
-
-    Plan: scan 1 builds the (seed, bucket, n) sketch (map-side
-    combinable, ≤ d·w rows shuffled); the d·w = 256 cells are
-    collected (bounded — the KNN_Q_CAP discipline) and inlined as a
-    create_map literal keyed on seed·w + bucket, hottest cells first
-    (GetMapValue scans keys in literal order; heavy keys hit the
-    head). Scan 2 computes each row's d cell estimates from ONE
-    shared digest projection (the cms_build slices verbatim), takes
-    their min, and drops the row unless est ≥ T — so the exact
-    groupBy's exchange carries only candidate-key rows. At 100 TB
-    the filter is what makes exact heavy-hitters affordable: the
-    long tail (the overwhelming share of DISTINCT keys) never
-    shuffles. Candidate precision is a sizing question — ε = e/w
-    over-admits when w is small relative to N/T — and w beyond the
-    256-cell map-literal tier rides the quality_unigram_nll tier
-    ladder (broadcast the cell table, probe via posexplode join);
-    correctness never depends on it. At the test SFs w=64 admits
-    generously; the oracle pins exactness, the plan pins the shape.
-    """
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    # bounded collect: exactly d·w ≤ 256 cells regardless of corpus size
-    cells = cms_build(ev, "user_id").collect()
-    if not cells:
-        return (
-            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.lit(False))
-        )
-    pairs: list = []
-    for r in sorted(cells, key=lambda r: (-r["n"], r["seed"], r["bucket"])):
-        pairs += [F.lit(r["seed"] * CMS_W + r["bucket"]), F.lit(r["n"])]
-    mp = F.create_map(*pairs)
-    keyed = ev.select(
-        "user_id", F.md5(F.col("user_id").cast("string")).alias("m")
-    )
-    est = None
-    for i, b in enumerate(_spark_bucket_list("m", CMS_D)):
-        cell_est = F.coalesce(
-            F.element_at(mp, F.lit(i * CMS_W) + b), F.lit(0).cast("long")
-        )
-        est = cell_est if est is None else F.least(est, cell_est)
+def _hh_exact(ev: DataFrame, key_col: str) -> DataFrame:
     return (
-        keyed.filter(est >= F.lit(HH_THRESHOLD))
-        .groupBy("user_id")
+        ev.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(HH_THRESHOLD))
     )
+
+
+def _hh_sketch(ev: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
+    """The sketch-prefiltered tier: build the CMS, inline it as a
+    DENSE d·w array literal (cells are dense integers 0..d·w-1, so
+    element_at is one O(1) positional access — the first cut used a
+    create_map literal, whose GetMapValue is a LINEAR key scan, and
+    4 lookups × ~128 expected depth × 40M rows measured 12.3 s at
+    ev×400; the same lesson as the unigram map-tier cap), then filter
+    rows by the min cell estimate BEFORE the exact count's exchange.
+    No false negatives (CMS never under-estimates) → output equals
+    the naive form exactly."""
+    # bounded collect: exactly d·w ≤ 256 cells regardless of corpus size
+    cells = cms_build(ev, key_col).collect()
+    if not cells:
+        return _hh_exact(ev, key_col).filter(F.lit(False))
+    dense = [0] * (d * CMS_W)
+    for r in cells:
+        dense[r["seed"] * CMS_W + r["bucket"]] = r["n"]
+    arr = F.array(*[F.lit(int(c)).cast("long") for c in dense])
+    keyed = ev.select(
+        key_col, F.md5(F.col(key_col).cast("string")).alias("m")
+    )
+    est = None
+    for i, b in enumerate(_spark_bucket_list("m", d)):
+        cell_est = F.element_at(arr, F.lit(i * CMS_W + 1) + b)
+        est = cell_est if est is None else F.least(est, cell_est)
+    return _hh_exact(
+        keyed.filter(est >= F.lit(HH_THRESHOLD)).select(key_col), key_col
+    )
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters, sketch-prefiltered where that helps (r11):
+    the production pattern the standalone sketch exists for. Because a
+    CMS never under-estimates, a min-cell-estimate filter has no
+    false negatives, so EITHER tier's output is exactly ``GROUP BY
+    key HAVING count ≥ T`` — one trivial full oracle, the sketch only
+    ever changes which rows shuffle.
+
+    Tiering (the quality_unigram_nll discipline — pick the plan by
+    measured cardinality, never by hope): one cheap pre-scan takes
+    approx_count_distinct(key); below HH_SKETCH_MIN_KEYS the naive
+    exact groupBy wins outright (its exchange carries ≤ one combined
+    partial per key per partition — the ev×400 measurement above) and
+    is what ships at every local SF. Past the gate — the 10^9+
+    distinct-URL/user regimes where per-key partials ARE the
+    bottleneck — the sketch tier prefilters map-side so only
+    candidate-key rows reach the exchange. Its d·w = 256-cell literal
+    prunes effectively while N ≲ w·T/e (ε = e/w over-admits beyond);
+    production sizing raises w ∝ N/T, whose cell table outgrows a
+    literal and rides a broadcast join probed from the same digest
+    slices — the documented third tier, same ladder as the unigram
+    broadcast/shuffle tiers. The gate cannot affect correctness
+    (both tiers are exact); the plan test pins the sketch tier's
+    filter-below-exchange shape by calling it directly."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n_keys = ev.agg(F.approx_count_distinct("user_id").alias("k")).first()["k"]
+    if n_keys < HH_SKETCH_MIN_KEYS:
+        return _hh_exact(ev, "user_id")
+    return _hh_sketch(ev, "user_id")
 
 
 QUERIES = {

@@ -415,6 +415,57 @@ def run_decontaminate_sink(
     q.awaitTermination()
 
 
+def run_cms_sink(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+) -> None:
+    """Streaming Count-Min sketch (r11): each micro-batch builds its
+    PARTIAL sketch through functions/sketch.py::cms_build — shared
+    VERBATIM with the batch key, so parity holds by construction —
+    and lands it under its own ``epoch=<id>`` directory (the
+    idempotent epoch-overwrite discipline every sink here uses:
+    foreachBatch is at-least-once, a replayed epoch rewrites its OWN
+    partial, never double-counts). The full-corpus sketch is the
+    cell-wise SUM of the epoch partials (:func:`finalize_cms`):
+    sketch(A ∪ B) = sketch(A) + sketch(B) cell-for-cell is the CMS
+    mergeability property, and exercising it across micro-batches is
+    the streaming form of the same map-side partial / reduce-side
+    merge the batch groupBy does across partitions. The same
+    checkpoint-vs-stale-epochs distinction as run_release_sink
+    applies: a fresh checkpoint clears leftover epochs."""
+    from labelmain_spark.functions.sketch import cms_build
+
+    if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
+        shutil.rmtree(out_path, ignore_errors=True)
+
+    def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        cms_build(batch.select(key_col), key_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
+
+    q = (
+        events.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_cms(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the per-epoch partial sketches into the corpus sketch:
+    cell-wise sum over (seed, bucket) — the CMS merge operation. The
+    result is bit-equal to cms_build over all rows at once (pinned by
+    the streaming parity test)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def run_release_sink(
     docs: DataFrame,
     prev_digests: DataFrame,

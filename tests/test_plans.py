@@ -994,14 +994,19 @@ def test_bm25_topk_window_group_limit_pinned(spark, sf_dir):
     spark.catalog.clearCache()
 
 
-def test_heavy_hitters_filters_before_the_exchange(spark, sf_dir):
-    """The sketch must ACCELERATE the plan, not decorate it: the CMS
-    estimate filter (a min over map-literal cell lookups) has to run
-    map-side BEFORE the exact count's exchange, so only candidate-key
-    rows shuffle; and the whole exact pass is one scan, one exchange.
-    (Exactness itself is the oracle's job — no false negatives means
-    the output equals the naive GROUP BY ... HAVING.)"""
-    from labelmain_spark.functions.sketch import heavy_hitters
+def test_heavy_hitters_tiers_and_sketch_plan_shape(spark, sf_dir):
+    """Two pins for the tiered heavy-hitter key. (1) At local key
+    cardinality the gate must pick the NAIVE tier — the ev×400
+    measurement showed the sketch prefilter is pure overhead below
+    the distinct-key bottleneck regime — so the shipped plan is one
+    scan, one exchange, no estimate math. (2) The sketch tier,
+    called directly, must put its estimate filter (a min over O(1)
+    dense-array cell lookups) map-side BEFORE the exact count's
+    exchange so only candidate-key rows shuffle — and must agree
+    with the naive tier row-for-row (no false negatives).
+    (Exactness vs the naive form is ALSO the driver oracle's job.)"""
+    from labelmain_spark.functions.sketch import _hh_exact, _hh_sketch, heavy_hitters
+    from labelmain_spark.sources.readers import load_table
 
     df = heavy_hitters(spark, sf_dir)
     df.count()
@@ -1009,10 +1014,21 @@ def test_heavy_hitters_filters_before_the_exchange(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan
     n_broadcast = plan.count("BroadcastExchange")
     assert plan.count("Exchange") - n_broadcast == 1, plan
-    # the estimate filter (least over GetMapValue lookups) sits below
-    # the exchange: everything after the last Exchange is the final
-    # agg + HAVING, so the least() must appear after (deeper than) it
-    # in the bottom-up plan string
-    assert "least(" in plan, plan
-    assert plan.rindex("least(") > plan.index("Exchange"), plan
+    assert "least(" not in plan, "gate picked the sketch tier at local SF"
     checks.assert_no_python_eval(df)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sk = _hh_sketch(ev, "user_id")
+    sk.count()
+    splan = sk._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("FileScan") == 1, splan
+    n_broadcast = splan.count("BroadcastExchange")
+    assert splan.count("Exchange") - n_broadcast == 1, splan
+    # the estimate filter sits below the exchange: everything after
+    # the last Exchange is the final agg + HAVING, so the least()
+    # must appear after (deeper than) it in the bottom-up string
+    assert "least(" in splan, splan
+    assert splan.rindex("least(") > splan.index("Exchange"), splan
+    got = {(r.user_id, r.n) for r in sk.collect()}
+    want = {(r.user_id, r.n) for r in _hh_exact(ev, "user_id").collect()}
+    assert got == want and got, (len(got), len(want))

@@ -4,6 +4,7 @@ idempotent across replays."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -569,3 +570,33 @@ def test_release_empty_stream_and_stale_epoch_hygiene(spark, sf_dir, tmp_path):
         r.doc_id for r in prev_digests.select("doc_id").collect()
     }
     assert drift.count() == 0  # both aggregates empty -> no drift rows
+
+
+def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CMS == batch CMS on the same rows, exercised across
+    REAL micro-batch boundaries: the events keys land as three files,
+    maxFilesPerTrigger=1 forces three epochs, each epoch writes its
+    partial sketch, and the cell-wise merge (finalize_cms) must
+    reproduce cms_build over all rows at once bit-for-bit — the
+    mergeability property that makes a sketch a distributed partial
+    aggregate, demonstrated as streaming state rather than claimed."""
+    from labelmain_spark.functions.sketch import cms_build
+    from labelmain_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    land = str(tmp_path / "land")
+    ev.repartition(3).write.parquet(land)
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    inc.run_cms_sink(stream, out, ckpt)
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, f"merge never crossed a batch boundary: {epochs}"
+    got = {
+        (r.seed, r.bucket, r.n) for r in inc.finalize_cms(spark, out).collect()
+    }
+    want = {(r.seed, r.bucket, r.n) for r in cms_build(ev, "user_id").collect()}
+    assert got == want and got, (len(got), len(want))
