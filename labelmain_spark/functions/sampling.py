@@ -27,7 +27,8 @@ HASH_MOD = 10_000  # basis points of the keyspace
 
 def _hash_bp_expr(key_col: str, engine: str, salt: str = "smp:") -> str:
     """Key → [0, HASH_MOD) via the first 4 hex digits of md5 — the same
-    engine-portable construction as sketch._bucket_expr. Distinct
+    engine-portable instr-fold construction as the CMS bucket function
+    (sketch._duck_bucket_expr / _spark_bucket_list). Distinct
     ``salt``s give independent hash draws (sampling vs mixing must not
     correlate: a doc dropped by the sampler must not be systematically
     dropped by the mixer too)."""

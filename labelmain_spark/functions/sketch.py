@@ -119,6 +119,25 @@ def _hh_exact(ev: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _hh_sketch_selectivity(cells: list, d: int = CMS_D) -> float:
+    """Estimated admit fraction of the min-cell-estimate filter,
+    computed FREE from the already-collected cells: a row passes only
+    if ALL d of its cells hold ≥ T, and under independent hash rows
+    that probability is the product of each row's ≥T cell-mass
+    fraction. ≈1.0 means the sketch is SATURATED for this (N, w, T)
+    — ε·N ≳ T, every cell looks heavy — and the filter prunes
+    nothing."""
+    frac = []
+    for i in range(d):
+        row = [r["n"] for r in cells if r["seed"] == i]
+        heavy = sum(1 for n in row if n >= HH_THRESHOLD)
+        frac.append(heavy / CMS_W)
+    sel = 1.0
+    for f in frac:
+        sel *= f
+    return sel
+
+
 def _hh_sketch(ev: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
     """The sketch-prefiltered tier: build the CMS, inline it as a
     DENSE d·w array literal (cells are dense integers 0..d·w-1, so
@@ -133,6 +152,12 @@ def _hh_sketch(ev: DataFrame, key_col: str, d: int = CMS_D) -> DataFrame:
     cells = cms_build(ev, key_col).collect()
     if not cells:
         return _hh_exact(ev, key_col).filter(F.lit(False))
+    return _hh_sketch_from_cells(ev, key_col, cells, d)
+
+
+def _hh_sketch_from_cells(
+    ev: DataFrame, key_col: str, cells: list, d: int = CMS_D
+) -> DataFrame:
     dense = [0] * (d * CMS_W)
     for r in cells:
         dense[r["seed"] * CMS_W + r["bucket"]] = r["n"]
@@ -170,14 +195,27 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     production sizing raises w ∝ N/T, whose cell table outgrows a
     literal and rides a broadcast join probed from the same digest
     slices — the documented third tier, same ladder as the unigram
-    broadcast/shuffle tiers. The gate cannot affect correctness
-    (both tiers are exact); the plan test pins the sketch tier's
-    filter-below-exchange shape by calling it directly."""
+    broadcast/shuffle tiers. Past the gate a SECOND guard reads the
+    already-collected cells before committing to the filter scan: if
+    the estimated admit fraction (`_hh_sketch_selectivity` — the
+    product of per-seed ≥T cell-mass fractions) shows the sketch
+    SATURATED for this (N, w, T) — ε·N ≳ T, every cell looks heavy —
+    the filter would prune nothing, and the tier falls back to naive
+    rather than pay the per-row estimate math for free: a mis-sized
+    sketch must never make the plan WORSE than not having one. The
+    gates cannot affect correctness (every tier is exact); the plan
+    test pins the sketch tier's filter-below-exchange shape by
+    calling it directly."""
     ev = load_table(spark, sf_dir, "events").select("user_id")
     n_keys = ev.agg(F.approx_count_distinct("user_id").alias("k")).first()["k"]
     if n_keys < HH_SKETCH_MIN_KEYS:
         return _hh_exact(ev, "user_id")
-    return _hh_sketch(ev, "user_id")
+    cells = cms_build(ev, "user_id").collect()
+    if not cells:
+        return _hh_exact(ev, "user_id").filter(F.lit(False))
+    if _hh_sketch_selectivity(cells) > 0.5:
+        return _hh_exact(ev, "user_id")
+    return _hh_sketch_from_cells(ev, "user_id", cells)
 
 
 QUERIES = {

@@ -1270,3 +1270,30 @@ def test_setops_fixture_discriminates(spark, sf_dir):
     # union strictly larger than A (= except ∪ intersect): B adds keys
     assert len(uni) > len(exc | ints)
     spark.catalog.clearCache()
+
+
+def test_hh_sketch_selectivity_estimate():
+    """The saturation guard's admit-fraction estimate, pinned on
+    constructed cell tables: all-heavy cells → 1.0 (saturated, tier
+    must fall back to naive); no heavy cells → 0.0; half-heavy per
+    seed → 0.5^d under the independent-rows model."""
+    from labelmain_spark.functions.sketch import (
+        CMS_D,
+        CMS_W,
+        HH_THRESHOLD,
+        _hh_sketch_selectivity,
+    )
+
+    def cells(n_fn):
+        return [
+            {"seed": s, "bucket": b, "n": n_fn(s, b)}
+            for s in range(CMS_D)
+            for b in range(CMS_W)
+        ]
+
+    assert _hh_sketch_selectivity(cells(lambda s, b: HH_THRESHOLD)) == 1.0
+    assert _hh_sketch_selectivity(cells(lambda s, b: HH_THRESHOLD - 1)) == 0.0
+    half = _hh_sketch_selectivity(
+        cells(lambda s, b: HH_THRESHOLD if b < CMS_W // 2 else 0)
+    )
+    assert abs(half - 0.5 ** CMS_D) < 1e-12
