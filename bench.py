@@ -114,14 +114,17 @@ HEADLINE = [
     "contamination_matrix",
 ]
 
-# Second tracked group (r11, verdict item 6): the r8-r10-born hot keys
+# Second tracked group (r11, verdict item 6): the r8-r11-born hot keys
 # the 56-key continuity set predates — round-over-round perf tracking
 # was blind to the newest (and most expensive) surface. The original
 # HEADLINE list stays untouched so "value"/"duck_total" remain
 # comparable across rounds; this group is measured with the identical
 # interleaved 3-pass median discipline and reported separately as
-# "g2"/"g2_duck" in the primary line.
+# "g2"/"g2_duck" in the primary line. (The two r11-born keys joined
+# before g2's first shipped artifact, so its continuity starts whole.)
 HEADLINE2 = [
+    "ann_ivf_pq_seeded_topk",
+    "heavy_hitters",
     "pagerank",
     "bm25_topk",
     "quality_kn5_nll",
@@ -290,7 +293,8 @@ def main() -> None:
     # compact primary line is the ABSOLUTE last thing printed — after
     # spark.stop(), whose shutdown chatter would otherwise land below
     # it — sized to fit the capture window with margin.
-    detail = {"spread": spread, "passes": passes_done}
+    detail = {"spread": spread, "passes": passes_done,
+              "spark_queries": timings}
     if errors:
         detail["errors"] = errors
     if duck_timings:
@@ -300,7 +304,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2-dp in the primary line (full 3-dp medians ride the detail
+        # line): with 75 tracked keys the extra digit would push the
+        # line past the driver's ~2000-char capture and trigger the
+        # top-40 truncation — worse than the lost precision.
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "passes": passes_done,
         "sf": sf,
         "g2_total": g2_total,
@@ -328,7 +336,8 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
         out["queries"] = {
-            k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:40]
+            k: round(timings[k], 2)
+            for k in sorted(timings, key=timings.get, reverse=True)[:40]
         }
         out["queries_truncated"] = True
         line = json.dumps(out, separators=(",", ":"))

@@ -165,7 +165,7 @@ PRIORITY = [
     # r6 (boilerplate_strip plans the identical LEFT ANTI at corpus
     # scale, in-window).
     # join_inner (J1) moved out r11 after TEN straight green rows
-    # (r1-r10, the longest unbroken ledger in the repo):
+    # (r1-r10, tied with merge_upsert for the longest unbroken ledger):
     # broadcast_if_bounded is plan-tested with a forced-low-threshold
     # shuffle fallback (tests/test_plans.py:930) and the equi-join
     # shape keeps in-window rows via join_salted and join_range.
