@@ -212,6 +212,124 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_docs(docs.filter(~is_eval), bench)
 
 
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (r11). The 100 TB shape of the
+# doc-drop decontamination pass (GPT-3 appendix C direction: flag every
+# TRAIN doc sharing an n-gram with the benchmark): the benchmark's
+# n-gram set is benchmark-bounded but its STRINGS are wide (~30 B
+# each); a Bloom bitset over the same set is BLOOM_BITS bits FLAT —
+# 8 KiB here, and fixed by the benchmark, not the corpus — so the
+# candidate test runs map-side against a constant-folded literal and
+# only candidate rows reach the verify join. A Bloom filter has NO
+# false negatives, so `bloom candidates → exact verify` is bit-equal
+# to the plain exact plan — the heavy_hitters trivial-oracle
+# discipline: the sketch is a plan accelerator, never a semantics
+# change.
+#
+# Hashing is the CMS one-digest/d-slices lesson applied to xxhash64:
+# ONE 64-bit hash per shingle (projected once — codegen does not CSE a
+# respelled hash), the k = 4 probe positions are its disjoint 16-bit
+# slices (4 × 16 = 64 exactly, m = 2^16). The bitset inlines as a
+# BLOOM_WORDS-long array literal; all-literal CreateArray constant-
+# folds to a single ArrayData, and element_at on it is one O(1)
+# positional access per probe (the create_map linear-scan trap,
+# avoided the same way heavy_hitters avoids it).
+#
+# Saturation guard (the heavy_hitters discipline): the admit fraction
+# of a uniformly-hashed NON-member is exactly (set_bits / m)^k, known
+# free after the bounded build collect; past BLOOM_SATURATION the
+# filter prunes nothing and the plan falls back to the exact join —
+# a mis-sized filter must never make the plan worse than not having
+# one. Fixture regime (measured, su = set-bit fraction): sf0.01
+# n_bench = 1.4k → admit 4.5e-5; sf0.1 n_bench = 10.5k → admit 0.050
+# (95% of non-hit rows never shuffle). Production sizing raises
+# BLOOM_BITS ∝ n_bench (10-16 bits/element); past the literal-array
+# comfort zone (~2^18) the documented next tier is the same
+# broadcast-join-on-word-index ladder the heavy_hitters cell table
+# rides.
+
+BLOOM_BITS = 1 << 16          # m: the bitset, 8 KiB flat
+BLOOM_K = 4                   # probes: disjoint 16-bit slices of ONE xxhash64
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_SATURATION = 0.5        # admit fraction beyond which the filter is off
+
+
+def _bloom_positions(hash_col) -> list:
+    """The k probe positions: disjoint 16-bit slices of one signed
+    64-bit hash (arithmetic shift is safe — the mask truncates any
+    sign-extended high bits)."""
+    return [
+        F.shiftright(hash_col, 16 * i).bitwiseAND(F.lit(BLOOM_BITS - 1))
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_fit(bench_sh: DataFrame) -> tuple[list[int], float]:
+    """Collect the set bit positions (bounded: ≤ min(k·n_bench,
+    BLOOM_BITS) ints — benchmark-bounded, never corpus-bounded) and
+    pack them into BLOOM_WORDS signed 64-bit words. Returns the words
+    and the exact non-member admit fraction (set_bits / m)^k."""
+    pos_rows = (
+        bench_sh.select(
+            F.explode(F.array(*_bloom_positions(F.xxhash64("s")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in pos_rows:
+        words[r["p"] >> 6] |= 1 << (r["p"] & 63)
+    # LongType literals are signed; wrap bit 63 into two's complement.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    admit = (len(pos_rows) / BLOOM_BITS) ** BLOOM_K
+    return words, admit
+
+
+def _bloom_candidates(train: DataFrame, words: list[int]) -> DataFrame:
+    """Map-side candidate filter: keep only rows whose k probe bits
+    are ALL set. One projected xxhash64 per row; the bitset is a
+    constant-folded literal array; element_at + shiftright + mask is
+    pure JVM integer math inside whole-stage codegen."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    keyed = train.select("doc_id", "s", F.xxhash64("s").alias("h"))
+    hit = None
+    for pos in _bloom_positions(F.col("h")):
+        word = F.element_at(arr, (F.shiftright(pos, 6) + F.lit(1)).cast("int"))
+        bit = F.call_function("shiftright", word, pos.bitwiseAND(F.lit(63)))
+        test = bit.bitwiseAND(F.lit(1)) == F.lit(1)
+        hit = test if hit is None else hit & test
+    return keyed.filter(hit).select("doc_id", "s")
+
+
+def _contaminated_docs(train: DataFrame, bench_sh: DataFrame) -> DataFrame:
+    """The exact verify: (doc_id, n_hits) over train rows whose
+    shingle is in the benchmark set. The semi-join build side is
+    benchmark-bounded → size-gated broadcast."""
+    from labelmain_spark.sources.readers import broadcast_if_bounded
+
+    return (
+        train.join(broadcast_if_bounded(bench_sh), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-train-doc report, Bloom-prefiltered: every TRAIN
+    document sharing ≥1 word-3-gram shingle with the eval split, with
+    its hit count — exactly ``train ⋈ bench GROUP BY doc_id`` (the
+    trivial full oracle), the Bloom filter only changes WHICH rows
+    reach the verify join's exchange."""
+    e = _exploded_shingles(spark, sf_dir)
+    is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
+    bench_sh = e.filter(is_eval).select("s").distinct()
+    train = e.filter(~is_eval).select("doc_id", "s")
+    words, admit = _bloom_fit(bench_sh)
+    if admit > BLOOM_SATURATION:
+        return _contaminated_docs(train, bench_sh)
+    return _contaminated_docs(_bloom_candidates(train, words), bench_sh)
+
+
 _RATIO_SQL = sql_stable_round(
     "CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / t.n_shingles", 4
 )
@@ -220,6 +338,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "decontaminate_spans": decontaminate_spans,
     "contamination_matrix": contamination_matrix,
+    "bloom_decontaminate": bloom_decontaminate,
 }
 
 ORACLE = {
@@ -341,5 +460,25 @@ ORACLE = {
                CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
                COALESCE(clean_text, '') AS clean_text
         FROM outp FULL OUTER JOIN cov ON outp.doc_id = cov.doc_id
+    """,
+    # the Bloom filter is a plan accelerator, never a semantics
+    # change: no false negatives + exact verify ⇒ the output is
+    # bit-equal to the plain exact join (the heavy_hitters oracle
+    # discipline).
+    "bloom_decontaminate": f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), ev AS (
+            SELECT DISTINCT s FROM e
+            WHERE {_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP}
+        ), tr AS (
+            SELECT doc_id, s FROM e
+            WHERE NOT ({_hash_bp_expr("doc_id", "duck")} < {CONTAM_EVAL_BP})
+        )
+        SELECT tr.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM tr JOIN ev USING (s)
+        GROUP BY tr.doc_id
     """,
 }

@@ -218,9 +218,128 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hh_sketch_from_cells(ev, "user_id", cells)
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet-Fuillet-Gandouet-Meunier 2007) — the cardinality
+# member of the mergeable-sketch family (CMS = frequency, heavy_hitters
+# = point queries, HLL = distinct count). Same engine-reproducible
+# construction as the CMS: ONE md5(key) per row, the register index is
+# the first p hex bits, the rank input w is the next HLL_W_BITS bits.
+# The sketch IS the (bucket, max_rho) register table: groupBy(bucket)
+# .max(rho) is algebraic (map-side partial max, ≤ m rows per partition
+# reach the exchange), and two sketches merge by cell-wise MAX — the
+# same mergeability that lets it run as a distributed partial aggregate
+# or a streaming per-micro-batch partial (streaming/incremental.py::
+# run_hll_sink). The register table is pure integers, so unlike the
+# estimator (float alpha_m · m² / Σ2^-rho) it is hash-checkable against
+# a DuckDB twin digit-for-digit; the estimate itself is driver-side
+# scalar math over ≤ m collected rows (hll_estimate), property-tested
+# against the exact distinct count rather than oracle-hashed.
+#
+# rho (rank of the first 1-bit of w, 1-based) is spelled EXACTLY, no
+# float log2: rho = HLL_W_BITS + 1 - bit_length(w), and bit_length(w)
+# = length(bin(w)) in both engines (Spark F.bin / DuckDB bin() both
+# render a BIGINT without leading zeros; w = 0 is the all-zeros case,
+# rho = HLL_W_BITS + 1). Integer in, integer out — none of the exp/log
+# cross-engine rounding risk the NLL family carries.
+
+HLL_P = 8                    # register-index bits: m = 2^p registers
+HLL_M = 1 << HLL_P           # 256 registers -> ~6.5% standard error
+HLL_W_BITS = 48              # rank-input bits: digest hex digits 3..14
+HLL_RHO_MAX = HLL_W_BITS + 1
+
+
+def _duck_hex_int(md5_expr: str, start: int, ndigits: int) -> str:
+    """DuckDB spelling of ``int(hexdigest[start-1 : start-1+ndigits],
+    16)``: the instr fold (DuckDB has no conv; its optimizer CSEs the
+    repeated md5)."""
+    digit = (
+        f"(instr('0123456789abcdef', substr({md5_expr}, {start} + {{j}}, 1)) - 1)"
+    )
+    val = " + ".join(
+        digit.format(j=j) + f" * {16 ** (ndigits - 1 - j)}" for j in range(ndigits)
+    )
+    return f"({val})"
+
+
+def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the (bucket, max_rho) register table over a key column.
+    One digest per row (projected once — codegen does not CSE a
+    respelled md5; the CMS measurement above), register index from hex
+    digits 1-2 (8 bits = HLL_P), rank input w from hex digits 3-14
+    (48 bits, exact in a long), rho via length(bin(w)) — exact integer
+    bit-length, no float log."""
+    digests = df.select(F.md5(F.col(key_col).cast("string")).alias("m"))
+    w = F.conv(F.substring("m", 1 + HLL_P // 4, HLL_W_BITS // 4), 16, 10).cast("long")
+    bucket = F.conv(F.substring("m", 1, HLL_P // 4), 16, 10).cast("int")
+    rho = (
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        digests.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """sketch(A ∪ B) = cell-wise MAX of the register tables — the HLL
+    mergeability property (union of observed rank maxima). Bit-equal
+    to hll_build over the concatenated rows (pinned in pytest)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list) -> float:
+    """Driver-side estimator over the ≤ m collected register rows
+    (bounded by construction — the sketch never exceeds HLL_M cells
+    regardless of corpus size): raw = alpha_m·m²/Σ2^-M_j with absent
+    registers contributing 2^0, linear counting below 2.5m when empty
+    registers remain (the standard small-range correction). Scalar
+    float math on the driver, NEVER in the oracle-hashed output."""
+    import math
+
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    got = {r["bucket"]: r["max_rho"] for r in registers}
+    s = sum(2.0 ** -got.get(j, 0) for j in range(HLL_M))
+    raw = alpha * HLL_M * HLL_M / s
+    zeros = HLL_M - len(got)
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return HLL_M * math.log(HLL_M / zeros)
+    return raw
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table over events.user_id — the distinct-count
+    sketch a pipeline keeps per shard/day and merges instead of ever
+    re-shuffling raw keys for a COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return hll_build(ev, "user_id")
+
+
+def _hll_oracle_sql() -> str:
+    m = "md5(CAST(user_id AS VARCHAR))"
+    bucket = _duck_hex_int(m, 1, HLL_P // 4)
+    w = _duck_hex_int(m, 1 + HLL_P // 4, HLL_W_BITS // 4)
+    return f"""
+        WITH h AS (
+            SELECT {bucket} AS bucket, {w} AS w FROM events
+        )
+        SELECT bucket,
+               MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
+                        ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS max_rho
+        FROM h GROUP BY bucket
+    """
+
+
 QUERIES = {
     "cms_user_sketch": cms_user_sketch,
     "heavy_hitters": heavy_hitters,
+    "hll_registers": hll_registers,
 }
 
 ORACLE = {
@@ -238,4 +357,7 @@ ORACLE = {
         FROM events GROUP BY user_id
         HAVING COUNT(*) >= {HH_THRESHOLD}
     """,
+    # pure-integer register table: fully hash-checkable (the float
+    # estimator stays driver-side; see hll_estimate).
+    "hll_registers": _hll_oracle_sql(),
 }

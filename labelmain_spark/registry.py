@@ -570,6 +570,15 @@ PRIORITY = [
     # oracle the no-false-negatives guarantee buys
     # (functions/sketch.py::heavy_hitters).
     "ann_ivf_pq_seeded_topk", "heavy_hitters",
+    # Late-r11 keys, same prime-candidate status: the cardinality
+    # member of the mergeable-sketch family — a HyperLogLog register
+    # table under a full pure-integer hash oracle (the float
+    # estimator stays driver-side; functions/sketch.py::
+    # hll_registers), and Bloom-prefiltered doc-drop decontamination
+    # — candidates through an 8 KiB constant-folded bitset, exact
+    # verify, bit-equal to the plain join (functions/
+    # contamination.py::bloom_decontaminate).
+    "hll_registers", "bloom_decontaminate",
     # r11 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -466,6 +466,53 @@ def finalize_cms(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def run_hll_sink(
+    events: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+) -> None:
+    """Streaming HyperLogLog (r11) — the cardinality member of the
+    per-micro-batch partial-sketch family (run_cms_sink is the
+    frequency member; same idempotent epoch-overwrite discipline, same
+    checkpoint-vs-stale-epochs handling). Each micro-batch builds its
+    PARTIAL register table through functions/sketch.py::hll_build —
+    shared VERBATIM with the batch key — and the corpus sketch is the
+    cell-wise MAX of the epoch partials (:func:`finalize_hll`):
+    hll(A ∪ B) = max(hll(A), hll(B)) register-for-register, which is
+    what lets a pipeline keep one 256-row table per shard/day and
+    answer COUNT(DISTINCT) over any union of them without ever
+    re-shuffling raw keys."""
+    from labelmain_spark.functions.sketch import hll_build
+
+    if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
+        shutil.rmtree(out_path, ignore_errors=True)
+
+    def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        hll_build(batch.select(key_col), key_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_path, f"epoch={epoch_id}"))
+
+    q = (
+        events.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_hll(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge the per-epoch partial register tables: cell-wise MAX over
+    bucket — the HLL merge operation. Bit-equal to hll_build over all
+    rows at once (pinned by the streaming parity test)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
 def run_release_sink(
     docs: DataFrame,
     prev_digests: DataFrame,

@@ -189,6 +189,9 @@ REPRESENTATIVE = [
     "ann_ivf_seeded_topk",
     "ann_ivf_pq_seeded_topk",
     "heavy_hitters",
+    # round-11 additions
+    "hll_registers",
+    "bloom_decontaminate",
 ]
 
 

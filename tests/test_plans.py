@@ -994,6 +994,57 @@ def test_bm25_topk_window_group_limit_pinned(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_hll_registers_plan_shape(spark, sf_dir):
+    """The HLL register build must be one scan → map-side partial max
+    → ONE exchange carrying ≤ m rows per partition → final max: the
+    algebraic partial-aggregate shape that makes the sketch a
+    distributed partial aggregate (the CMS plan discipline). All
+    integer expression math, no Python eval."""
+    from labelmain_spark.functions.sketch import hll_registers
+
+    df = hll_registers(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    assert "partial_max" in plan or (
+        "Partial" in plan and plan.rindex("Partial") > plan.index("Exchange")
+    ), plan[:2000]
+    checks.assert_no_python_eval(df)
+
+
+def test_bloom_candidates_filter_below_exchange(spark, sf_dir):
+    """The Bloom candidate test must run MAP-SIDE: the element_at
+    bit-probe filter sits below every exchange, so only candidate
+    rows reach the verify join — at 100 TB the filter's job is to
+    keep (1 - admit) of non-hit shingle rows off the wire entirely.
+    The bitset literal must constant-fold (no per-row CreateArray:
+    a 1024-child array rebuilt per row would dwarf the probe)."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions import contamination as C
+
+    e = C._exploded_shingles(spark, sf_dir)
+    is_eval = F.expr(C._hash_bp_expr("doc_id", "spark")) < C.CONTAM_EVAL_BP
+    bench_sh = e.filter(is_eval).select("s").distinct()
+    train = e.filter(~is_eval).select("doc_id", "s")
+    words, _ = C._bloom_fit(bench_sh)
+    cand = C._bloom_candidates(train, words)
+    cand.count()
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan, plan[:2000]
+    first_exchange = plan.find("Exchange")
+    # bottom-up string: deeper operators print LATER; the probe must
+    # be deeper than (after) any exchange, or there must be none at
+    # all on the candidate path (the cached shingle table satisfies
+    # the filter without one).
+    if first_exchange != -1:
+        assert plan.rindex("element_at") > first_exchange, plan[:3000]
+    assert "CreateArray" not in plan.split("Filter")[0], plan[:2000]
+    checks.assert_no_python_eval(cand)
+    spark.catalog.clearCache()
+
+
 def test_heavy_hitters_tiers_and_sketch_plan_shape(spark, sf_dir):
     """Two pins for the tiered heavy-hitter key. (1) At local key
     cardinality the gate must pick the NAIVE tier — the ev×400

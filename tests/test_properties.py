@@ -645,6 +645,103 @@ def test_cms_never_underestimates(spark, sf_dir):
         assert est <= true + eps_bound, (key, est, true, eps_bound)
 
 
+def test_hll_estimate_within_error_and_merge_exact(spark, sf_dir):
+    """Two HLL guarantees, demonstrated rather than claimed. (1) The
+    driver-side estimator over the register table lands within the
+    published error regime of the exact distinct count (m = 256 →
+    σ ≈ 1.04/√m ≈ 6.5%; assert 4σ — the fixture cardinalities sit in
+    the linear-counting small range, which is tighter still). (2)
+    Mergeability: cell-wise MAX of the two half-corpus register
+    tables is bit-equal to building over all rows at once — the
+    property that lets one sketch per shard/day answer
+    COUNT(DISTINCT) over any union without re-shuffling raw keys."""
+    from labelmain_spark.functions.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    regs = hll_build(ev, "user_id").collect()
+    est = hll_estimate(regs)
+    exact = ev.distinct().count()
+    assert abs(est - exact) / exact <= 4 * 1.04 / 16, (est, exact)
+
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 != 0)
+    merged = {
+        (r.bucket, r.max_rho)
+        for r in hll_merge(
+            hll_build(a, "user_id"), hll_build(b, "user_id")
+        ).collect()
+    }
+    whole = {(r.bucket, r.max_rho) for r in regs}
+    assert merged == whole and whole, (len(merged), len(whole))
+
+
+def test_bloom_decontaminate_prunes_and_saturation_guard(spark, sf_dir):
+    """Three pins for the Bloom prefilter. (1) No false negatives,
+    end-to-end: the bloom-prefiltered output equals the plain exact
+    join's output row-for-row (ALSO the driver oracle's job; here it
+    guards refactors at every SF). (2) The filter actually PRUNES:
+    candidate rows ≤ true-hit rows + the (set_bits/m)^k admit slack
+    over the non-hit mass — a filter that admits everything is
+    mis-sized, not wrong, and this asserts the fixture regime stays
+    in the sized zone. (3) The saturation guard: a deliberately
+    mis-sized 64-bit filter over the same benchmark admits ~100% and
+    the guard must fall back to the exact plan rather than pay
+    per-row estimate math for zero pruning."""
+    from labelmain_spark.functions import contamination as C
+
+    e = C._exploded_shingles(spark, sf_dir)
+    is_eval = F.expr(C._hash_bp_expr("doc_id", "spark")) < C.CONTAM_EVAL_BP
+    bench_sh = e.filter(is_eval).select("s").distinct()
+    train = e.filter(~is_eval).select("doc_id", "s")
+
+    words, admit = C._bloom_fit(bench_sh)
+    assert admit <= 0.25, f"fixture left the sized zone: admit={admit}"
+    exact_out = {
+        (r.doc_id, r.n_hits)
+        for r in C._contaminated_docs(train, bench_sh).collect()
+    }
+    bloom_out = {
+        (r.doc_id, r.n_hits)
+        for r in C.bloom_decontaminate(spark, sf_dir).collect()
+    }
+    assert bloom_out == exact_out and exact_out, (
+        len(bloom_out),
+        len(exact_out),
+    )
+
+    n_train = train.count()
+    n_hits = train.join(bench_sh, "s", "left_semi").count()
+    n_cand = C._bloom_candidates(train, words).count()
+    assert n_cand >= n_hits  # superset: no false negatives
+    slack = admit * (n_train - n_hits) * 3 + 10
+    assert n_cand <= n_hits + slack, (n_cand, n_hits, slack)
+
+    # (3) saturated filter -> guard picks the exact plan: the output
+    # still matches, and the mis-sized path was never taken (pin by
+    # monkeypatching the module constants the way the tier gates are
+    # tested elsewhere).
+    import labelmain_spark.functions.contamination as cmod
+
+    old_bits, old_words = cmod.BLOOM_BITS, cmod.BLOOM_WORDS
+    try:
+        cmod.BLOOM_BITS, cmod.BLOOM_WORDS = 64, 1
+        _, sat_admit = cmod._bloom_fit(bench_sh)
+        assert sat_admit > cmod.BLOOM_SATURATION, sat_admit
+        sat_out = {
+            (r.doc_id, r.n_hits)
+            for r in cmod.bloom_decontaminate(spark, sf_dir).collect()
+        }
+        assert sat_out == exact_out
+    finally:
+        cmod.BLOOM_BITS, cmod.BLOOM_WORDS = old_bits, old_words
+    spark.catalog.clearCache()
+
+
 def test_connected_components_multi_component(spark):
     """Hash-min propagation on a synthetic bipartite graph with three
     known components (including a chain that needs >1 iteration) gives

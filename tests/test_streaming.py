@@ -600,3 +600,33 @@ def test_stream_cms_matches_batch(spark, sf_dir, tmp_path):
     }
     want = {(r.seed, r.bucket, r.n) for r in cms_build(ev, "user_id").collect()}
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_hll_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming HLL == batch HLL across REAL micro-batch boundaries
+    (the CMS streaming-parity discipline, for the cardinality sketch):
+    three forced epochs each land a partial register table, and the
+    cell-wise MAX merge must reproduce hll_build over all rows at once
+    bit-for-bit — the union-of-rank-maxima mergeability that lets one
+    sketch per shard answer COUNT(DISTINCT) over any union."""
+    from labelmain_spark.functions.sketch import hll_build
+    from labelmain_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    land = str(tmp_path / "land")
+    ev.repartition(3).write.parquet(land)
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    inc.run_hll_sink(stream, out, ckpt)
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, f"merge never crossed a batch boundary: {epochs}"
+    got = {
+        (r.bucket, r.max_rho)
+        for r in inc.finalize_hll(spark, out).collect()
+    }
+    want = {(r.bucket, r.max_rho) for r in hll_build(ev, "user_id").collect()}
+    assert got == want and got, (len(got), len(want))
