@@ -142,6 +142,9 @@ HEADLINE2 = [
     "card_drift",
     "dataset_card",
     "blocklist_filter",
+    # late-r11 keys
+    "hll_registers",
+    "bloom_decontaminate",
 ]
 
 

@@ -161,7 +161,13 @@ def _hh_sketch_from_cells(
     dense = [0] * (d * CMS_W)
     for r in cells:
         dense[r["seed"] * CMS_W + r["bucket"]] = r["n"]
-    arr = F.array(*[F.lit(int(c)).cast("long") for c in dense])
+    # ONE parsed SQL string, not F.array(*[F.lit(c) for c in dense]):
+    # the per-element form costs ~2 py4j round-trips per cell of pure
+    # driver chatter per plan construction (measured 2.4 s at 1024
+    # elements building the bloom bitset literal — same trap, caught
+    # there r11); one expr parse is ~1 ms and constant-folds to the
+    # identical ArrayData.
+    arr = F.expr("array(" + ",".join(f"{int(c)}L" for c in dense) + ")")
     keyed = ev.select(
         key_col, F.md5(F.col(key_col).cast("string")).alias("m")
     )
