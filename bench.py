@@ -144,6 +144,7 @@ HEADLINE2 = [
     "blocklist_filter",
     # late-r11 keys
     "hll_registers",
+    "hll_grouped",
     "bloom_decontaminate",
 ]
 

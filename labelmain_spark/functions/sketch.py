@@ -267,24 +267,54 @@ def _duck_hex_int(md5_expr: str, start: int, ndigits: int) -> str:
     return f"({val})"
 
 
-def hll_build(df: DataFrame, key_col: str) -> DataFrame:
-    """Build the (bucket, max_rho) register table over a key column.
-    One digest per row (projected once — codegen does not CSE a
-    respelled md5; the CMS measurement above), register index from hex
-    digits 1-2 (8 bits = HLL_P), rank input w from hex digits 3-14
-    (48 bits, exact in a long), rho via length(bin(w)) — exact integer
-    bit-length, no float log."""
-    digests = df.select(F.md5(F.col(key_col).cast("string")).alias("m"))
-    w = F.conv(F.substring("m", 1 + HLL_P // 4, HLL_W_BITS // 4), 16, 10).cast("long")
-    bucket = F.conv(F.substring("m", 1, HLL_P // 4), 16, 10).cast("int")
+def _hll_parts(digest_col: str) -> tuple[Column, Column]:
+    """(bucket, rho) from a projected md5 hex digest column: register
+    index from hex digits 1-2 (8 bits = HLL_P), rank input w from hex
+    digits 3-14 (48 bits, exact in a long), rho via length(bin(w)) —
+    exact integer bit-length, no float log."""
+    w = F.conv(
+        F.substring(digest_col, 1 + HLL_P // 4, HLL_W_BITS // 4), 16, 10
+    ).cast("long")
+    bucket = F.conv(F.substring(digest_col, 1, HLL_P // 4), 16, 10).cast("int")
     rho = (
         F.when(w == 0, F.lit(HLL_RHO_MAX))
         .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(w)))
         .cast("int")
     )
+    return bucket, rho
+
+
+def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the (bucket, max_rho) register table over a key column.
+    One digest per row (projected once — codegen does not CSE a
+    respelled md5; the CMS measurement above)."""
+    digests = df.select(F.md5(F.col(key_col).cast("string")).alias("m"))
+    bucket, rho = _hll_parts("m")
     return (
         digests.select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_build_grouped(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """One register table PER GROUP — the sketch as a grouped
+    aggregate: (group…, bucket, max_rho), ≤ m rows per group
+    regardless of group size, still algebraic (map-side partial max
+    keyed (group…, bucket)), still cell-wise-MAX mergeable within
+    each group. This is the form a 100 TB pipeline actually stores:
+    per-domain / per-day distinct-count registers that roll up to any
+    coarser grouping by re-grouping MAX over the SAME table — no
+    re-scan of raw keys, ever."""
+    digests = df.select(
+        *group_cols, F.md5(F.col(key_col).cast("string")).alias("m")
+    )
+    bucket, rho = _hll_parts("m")
+    return (
+        digests.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
@@ -327,18 +357,28 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_build(ev, "user_id")
 
 
-def _hll_oracle_sql() -> str:
+def hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL registers over user_id — the grouped
+    distinct-count sketch (the oracle-checkable twin of the built-in
+    approx_count_distinct key, whose HLL internals differ per
+    engine)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_build_grouped(ev, ["event_type"], "user_id")
+
+
+def _hll_oracle_sql(group_cols: str = "") -> str:
     m = "md5(CAST(user_id AS VARCHAR))"
     bucket = _duck_hex_int(m, 1, HLL_P // 4)
     w = _duck_hex_int(m, 1 + HLL_P // 4, HLL_W_BITS // 4)
+    g = f"{group_cols}, " if group_cols else ""
     return f"""
         WITH h AS (
-            SELECT {bucket} AS bucket, {w} AS w FROM events
+            SELECT {g}{bucket} AS bucket, {w} AS w FROM events
         )
-        SELECT bucket,
+        SELECT {g}bucket,
                MAX(CASE WHEN w = 0 THEN {HLL_RHO_MAX}
                         ELSE {HLL_RHO_MAX} - length(bin(w)) END) AS max_rho
-        FROM h GROUP BY bucket
+        FROM h GROUP BY {g}bucket
     """
 
 
@@ -346,6 +386,7 @@ QUERIES = {
     "cms_user_sketch": cms_user_sketch,
     "heavy_hitters": heavy_hitters,
     "hll_registers": hll_registers,
+    "hll_grouped": hll_grouped,
 }
 
 ORACLE = {
@@ -366,4 +407,5 @@ ORACLE = {
     # pure-integer register table: fully hash-checkable (the float
     # estimator stays driver-side; see hll_estimate).
     "hll_registers": _hll_oracle_sql(),
+    "hll_grouped": _hll_oracle_sql("event_type"),
 }

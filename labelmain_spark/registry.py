@@ -579,6 +579,11 @@ PRIORITY = [
     # verify, bit-equal to the plain join (functions/
     # contamination.py::bloom_decontaminate).
     "hll_registers", "bloom_decontaminate",
+    # …and the grouped form: one register table PER event_type — the
+    # oracle-checkable twin of approx_distinct (whose built-in HLL
+    # internals differ per engine); rolls up to hll_registers by
+    # re-grouping MAX over the same table (pinned in pytest).
+    "hll_grouped",
     # r11 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -191,6 +191,7 @@ REPRESENTATIVE = [
     "heavy_hitters",
     # round-11 additions
     "hll_registers",
+    "hll_grouped",
     "bloom_decontaminate",
 ]
 

@@ -679,6 +679,21 @@ def test_hll_estimate_within_error_and_merge_exact(spark, sf_dir):
     whole = {(r.bucket, r.max_rho) for r in regs}
     assert merged == whole and whole, (len(merged), len(whole))
 
+    # (3) the grouped form ROLLS UP: re-grouping MAX over the
+    # per-event-type register table reproduces the global table —
+    # coarser groupings never need the raw keys again.
+    from labelmain_spark.functions.sketch import hll_build_grouped
+
+    ev2 = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    rolled = {
+        (r.bucket, r.max_rho)
+        for r in hll_build_grouped(ev2, ["event_type"], "user_id")
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert rolled == whole, (len(rolled), len(whole))
+
 
 def test_bloom_decontaminate_prunes_and_saturation_guard(spark, sf_dir):
     """Three pins for the Bloom prefilter. (1) No false negatives,
