@@ -240,7 +240,7 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # free after the bounded build collect; past BLOOM_SATURATION the
 # filter prunes nothing and the plan falls back to the exact join —
 # a mis-sized filter must never make the plan worse than not having
-# one. Fixture regime (measured, su = set-bit fraction): sf0.01
+# one. Fixture regime (measured): sf0.01
 # n_bench = 1.4k → admit 4.5e-5; sf0.1 n_bench = 10.5k → admit 0.050
 # (95% of non-hit rows never shuffle). Production sizing raises
 # BLOOM_BITS ∝ n_bench (10-16 bits/element); past the literal-array

@@ -1,6 +1,9 @@
-"""Count-Min sketch as a relational operator (SURVEY §2.11 north-star
-"novel sketch" class, next to the built-in HLL/GK forms in
-operators/advanced.py).
+"""Mergeable sketches as relational operators (SURVEY §2.11 north-star
+"novel sketch" class): Count-Min (frequency), exact heavy hitters
+through the CMS candidate filter (point queries), and native
+HyperLogLog registers (cardinality, below) — next to the built-in
+HLL/GK forms in operators/advanced.py, which stay rows-only because
+their engine internals differ.
 
 A CMS is d hash rows × w buckets of counters; point frequency estimate
 = min over rows of the addressed counter — never under-estimates,
@@ -225,7 +228,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# HyperLogLog (Flajolet-Fuillet-Gandouet-Meunier 2007) — the cardinality
+# HyperLogLog (Flajolet-Fusy-Gandouet-Meunier 2007) — the cardinality
 # member of the mergeable-sketch family (CMS = frequency, heavy_hitters
 # = point queries, HLL = distinct count). Same engine-reproducible
 # construction as the CMS: ONE md5(key) per row, the register index is

@@ -550,10 +550,14 @@ PRIORITY = [
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
-    # --- r12 rotation backlog (computed at r11): after this round's
-    # 19-key paydown the only never-driver-verified FULL-ORACLE key
-    # is the r11-born one directly below — every other full-oracle
-    # key has either a driver-green row or is in the r11 window.
+    # --- r12 rotation backlog (computed at r11, updated late-r11):
+    # after this round's 19-key paydown the never-driver-verified
+    # FULL-ORACLE set is exactly the FOUR r11-born keys directly
+    # below (ann_ivf_pq_seeded_topk from the verdict-response batch;
+    # hll_registers, hll_grouped, bloom_decontaminate born late-r11)
+    # — every other full-oracle key has either a driver-green row or
+    # is in the r11 window. All four are prime r12 rotation
+    # candidates, each mirror-green at both SFs at birth.
     # Remaining never-windowed keys are the 12 rows-only-by-design
     # paths (three entered the window r11: bpe_train,
     # multimodal_cdc_dedup, quality_fasttext_score); window two or
