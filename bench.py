@@ -146,6 +146,7 @@ HEADLINE2 = [
     "hll_registers",
     "hll_grouped",
     "bloom_decontaminate",
+    "embedding_drift",
 ]
 
 

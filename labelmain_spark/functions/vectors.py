@@ -90,6 +90,90 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampling_hash_bp_sql(key_col: str, salt: str) -> str:
+    """DuckDB spelling of the sampling-family hash split (the oracle
+    twin of the salted predicates embedding_drift builds in Spark)."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    return _hash_bp_expr(key_col, "duck", salt=salt)
+
+
+DRIFT_MUT_DIMS = 8     # the fixture perturbation hits dims 0..7 only
+DRIFT_MUT_SHIFT = 0.5  # +shift on those dims for the revised 5%
+DRIFT_EPS = 0.015      # |Δmean| at/above which a dimension is flagged
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION mean drift between two corpus snapshots — the
+    embedding-QA table a pipeline checks before mixing a re-embedded
+    or re-crawled batch into an existing index: an embedding-model
+    version bump or an ingest-distribution shift shows up as a
+    localized per-dimension mean shift long before recall@k degrades.
+    Output: (dim, prev_n, cur_n, prev_mean, cur_mean, delta,
+    drift_flag) for all 64 dimensions.
+
+    Snapshot convention shared with the corpus_delta family
+    (dedup.delta_snapshots' salts, on vec_id): overlapping 90% hash
+    snapshots, and — mirroring its 5% text revision — the CURRENT
+    snapshot of the mut-salt 5% of vectors carries a deterministic
+    +DRIFT_MUT_SHIFT on dims < DRIFT_MUT_DIMS (the "model swapped its
+    first block" story), so the flag column discriminates on real
+    rows in BOTH engines: dims 0-7 flag, dims 8-63 do not (margins
+    measured ≥3× against subset noise at every SF; pinned in pytest —
+    the set-op de-degeneracy lesson applied at birth).
+
+    Scale shape: ONE posexplode of the vector column → two filtered
+    algebraic aggs keyed by dim (map-side partials; exactly 64 rows
+    per partition reach each exchange) → a 64-row full-outer merge.
+    Exact decimal sums (davg), stable_round(6) BEFORE the delta
+    subtraction so both engines difference identical doubles; the
+    flag compares that deterministic delta against DRIFT_EPS."""
+    from labelmain_spark.functions.sampling import _hash_bp_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    in_prev = F.expr(_hash_bp_expr("vec_id", "spark", salt="snapA:")) < 9000
+    in_cur = F.expr(_hash_bp_expr("vec_id", "spark", salt="snapB:")) < 9000
+    revised = F.expr(_hash_bp_expr("vec_id", "spark", salt="mut:")) < 500
+    e = emb.select(
+        "vec_id",
+        revised.alias("rev"),
+        in_prev.alias("in_prev"),
+        in_cur.alias("in_cur"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cur_x = F.when(
+        F.col("rev") & (F.col("dim") < DRIFT_MUT_DIMS),
+        F.col("x") + F.lit(DRIFT_MUT_SHIFT),
+    ).otherwise(F.col("x"))
+    prev = (
+        e.filter("in_prev")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("prev_n"),
+            stable_round(davg("x"), 6).alias("prev_mean"),
+        )
+    )
+    cur = (
+        e.filter("in_cur")
+        .select("dim", cur_x.alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cur_n"),
+            stable_round(davg("x"), 6).alias("cur_mean"),
+        )
+    )
+    delta = stable_round(F.col("cur_mean") - F.col("prev_mean"), 6)
+    return prev.join(cur, "dim", "full_outer").select(
+        "dim",
+        "prev_n",
+        "cur_n",
+        "prev_mean",
+        "cur_mean",
+        delta.alias("delta"),
+        (F.abs(delta) >= F.lit(DRIFT_EPS)).cast("int").alias("drift_flag"),
+    )
+
+
 NEARDUP_R = 2  # bits per band
 NEARDUP_BANDS = 24  # bands; r·b = 48 sign planes
 
@@ -2253,6 +2337,7 @@ _SQL_KNN_JOIN = f"""
 QUERIES = {
     "similarity_topk": similarity_topk,
     "embedding_centroid": embedding_centroid,
+    "embedding_drift": embedding_drift,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": ann_lsh_topk,  # full oracle since r8: all 32 table planes inlined (multiprobe precedent)
     "ann_multiprobe_topk": ann_multiprobe_topk,  # full oracle since r8: fitted planes inlined as SQL literals
@@ -2303,6 +2388,41 @@ ORACLE = {
             FROM embeddings
         ) GROUP BY label, dim
     """,
+    # same snapshot salts and decimal-exact means as the Spark plan;
+    # delta and flag computed from the ROUNDED means so both engines
+    # difference identical doubles.
+    "embedding_drift": f"""
+        WITH e AS (
+            SELECT ({{mut}} < 500) AS rev,
+                   ({{snap_a}} < 9000) AS in_prev,
+                   ({{snap_b}} < 9000) AS in_cur,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim
+            FROM embeddings
+        ), p AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS prev_n,
+                   {sql_stable_round(sql_davg('x'), 6)} AS prev_mean
+            FROM e WHERE in_prev GROUP BY dim
+        ), c AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS cur_n,
+                   {sql_stable_round(
+                       sql_davg(f"CASE WHEN rev AND dim < {DRIFT_MUT_DIMS}"
+                                f" THEN x + {DRIFT_MUT_SHIFT} ELSE x END"),
+                       6,
+                   )} AS cur_mean
+            FROM e WHERE in_cur GROUP BY dim
+        )
+        SELECT COALESCE(p.dim, c.dim) AS dim, prev_n, cur_n,
+               prev_mean, cur_mean,
+               {sql_stable_round('cur_mean - prev_mean', 6)} AS delta,
+               CAST(ABS({sql_stable_round('cur_mean - prev_mean', 6)})
+                    >= {DRIFT_EPS} AS INTEGER) AS drift_flag
+        FROM p FULL OUTER JOIN c ON p.dim = c.dim
+    """.format(
+        mut=_sampling_hash_bp_sql("vec_id", "mut:"),
+        snap_a=_sampling_hash_bp_sql("vec_id", "snapA:"),
+        snap_b=_sampling_hash_bp_sql("vec_id", "snapB:"),
+    ),
     # Mirrors the banded semantics exactly: same frozen planes, same 48-bit
     # sign signature, same band split — candidates via DISTINCT (set-
     # identical to Spark's first-agreeing-band emission), then the same

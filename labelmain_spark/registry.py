@@ -552,12 +552,13 @@ PRIORITY = [
     # ordered most-valuable-first in case the driver checks more.
     # --- r12 rotation backlog (computed at r11, updated late-r11):
     # after this round's 19-key paydown the never-driver-verified
-    # FULL-ORACLE set is exactly the FOUR r11-born keys directly
+    # FULL-ORACLE set is exactly the FIVE r11-born keys directly
     # below (ann_ivf_pq_seeded_topk from the verdict-response batch;
-    # hll_registers, hll_grouped, bloom_decontaminate born late-r11)
-    # — every other full-oracle key has either a driver-green row or
-    # is in the r11 window. All four are prime r12 rotation
-    # candidates, each mirror-green at both SFs at birth.
+    # hll_registers, hll_grouped, bloom_decontaminate,
+    # embedding_drift born late-r11) — every other full-oracle key
+    # has either a driver-green row or is in the r11 window. All
+    # five are prime r12 rotation candidates, each driver_sim-green
+    # at both SFs at birth.
     # Remaining never-windowed keys are the 12 rows-only-by-design
     # paths (three entered the window r11: bpe_train,
     # multimodal_cdc_dedup, quality_fasttext_score); window two or
@@ -588,6 +589,11 @@ PRIORITY = [
     # internals differ per engine); rolls up to hll_registers by
     # re-grouping MAX over the same table (pinned in pytest).
     "hll_grouped",
+    # Per-dimension embedding mean drift between corpus snapshots —
+    # the embedding-QA audit before mixing a re-embedded batch into
+    # an index (functions/vectors.py::embedding_drift; flag
+    # discrimination pinned in pytest, the de-degeneracy lesson).
+    "embedding_drift",
     # r11 rotated-out keys lead the overflow (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

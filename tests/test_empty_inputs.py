@@ -193,6 +193,7 @@ REPRESENTATIVE = [
     "hll_registers",
     "hll_grouped",
     "bloom_decontaminate",
+    "embedding_drift",
 ]
 
 

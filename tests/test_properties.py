@@ -695,6 +695,28 @@ def test_hll_estimate_within_error_and_merge_exact(spark, sf_dir):
     assert rolled == whole, (len(rolled), len(whole))
 
 
+def test_embedding_drift_flags_discriminate(spark, sf_dir):
+    """The drift flag must DISCRIMINATE on real rows (the set-op
+    de-degeneracy lesson): exactly the perturbed dims 0..7 flag, with
+    margin — the smallest flagged |delta| ≥ 1.25·eps and the largest
+    unflagged ≤ 0.5·eps (measured ≥1.59× / ≤0.32× at every SF), so a
+    fixture or threshold regression trips loudly rather than flipping
+    one boundary dim."""
+    from labelmain_spark.functions.vectors import (
+        DRIFT_EPS,
+        DRIFT_MUT_DIMS,
+        embedding_drift,
+    )
+
+    rows = embedding_drift(spark, sf_dir).collect()
+    assert len(rows) == 64
+    flagged = sorted(r.dim for r in rows if r.drift_flag == 1)
+    assert flagged == list(range(DRIFT_MUT_DIMS)), flagged
+    deltas = {r.dim: abs(r.delta) for r in rows}
+    assert min(deltas[d] for d in flagged) >= 1.25 * DRIFT_EPS
+    assert max(v for d, v in deltas.items() if d not in flagged) <= 0.5 * DRIFT_EPS
+
+
 def test_bloom_decontaminate_prunes_and_saturation_guard(spark, sf_dir):
     """Three pins for the Bloom prefilter. (1) No false negatives,
     end-to-end: the bloom-prefiltered output equals the plain exact
