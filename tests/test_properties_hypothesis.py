@@ -302,3 +302,83 @@ def test_blocklist_suffix_chain_matches_reference(spark, hosts):
     want = [ref(h) for h in hosts]
     assert got == want, list(zip(hosts, got, want))
     spark.catalog.clearCache()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(st.integers(-(10**12), 10**12), st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=20,
+        )),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_hll_registers_match_python_reference(spark, keys):
+    """The HLL register table from the Spark expression pipeline must
+    equal a direct Python model (hashlib md5, int slicing,
+    bit_length) for ARBITRARY keys — the whole engine-reproducibility
+    claim (conv/substring/bin vs Python arithmetic) checked on inputs
+    no fixture contains, including negatives, huge ints, and
+    punctuation strings."""
+    from labelmain_spark.functions.sketch import HLL_RHO_MAX, hll_build
+
+    import hashlib
+
+    def ref(ks):
+        regs: dict[int, int] = {}
+        for k in ks:
+            m = hashlib.md5(str(k).encode("utf-8")).hexdigest()
+            bucket, w = int(m[:2], 16), int(m[2:14], 16)
+            rho = HLL_RHO_MAX if w == 0 else HLL_RHO_MAX - w.bit_length()
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return set(regs.items())
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    got = {(r.bucket, r.max_rho) for r in hll_build(df, "k").collect()}
+    assert got == ref([str(k) for k in keys]), keys
+    spark.catalog.clearCache()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strings=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=2,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_bloom_candidates_never_drop_members(spark, strings):
+    """No false negatives, on ARBITRARY strings: every train row whose
+    shingle is in the bench set must survive the bitset filter — the
+    property the trivial oracle rests on, checked off-fixture (bench =
+    every other string, train = all of them)."""
+    from labelmain_spark.functions.contamination import (
+        _bloom_candidates,
+        _bloom_fit,
+    )
+
+    bench = strings[::2]
+    bench_df = spark.createDataFrame([(s,) for s in bench], "s string")
+    train_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "doc_id long, s string"
+    )
+    words, _ = _bloom_fit(bench_df)
+    got = {(r.doc_id, r.s) for r in _bloom_candidates(train_df, words).collect()}
+    members = {(i, s) for i, s in enumerate(strings) if s in set(bench)}
+    assert members <= got, sorted(members - got)
+    spark.catalog.clearCache()
