@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import (
     dsum,
+    micro_units,
     sql_dsum,
     sql_stable_round,
     stable_round,
@@ -312,7 +313,7 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     there."""
     from pyspark import StorageLevel
 
-    micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    micro = micro_units(F.col("value"))  # the shared fixed-point idiom
     ev = load_table(spark, sf_dir, "events")
     hour = (
         ev.groupBy(

@@ -19,27 +19,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from labelmain_spark.operators.parity import davg, dsum, sql_davg, sql_dsum, stable_round
+from labelmain_spark.operators.parity import (
+    DEC,
+    davg,
+    dsum,
+    micro_units,
+    sql_davg,
+    sql_dsum,
+    sql_micro_units,
+    stable_round,
+)
 from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1. Exact sums via TWO-LEVEL micro-unit longs (late-r11
+    re-plan, the time_rollup lesson generalized to unbounded groups):
+    the old per-row DECIMAL(28,6) casts were the hot path's heaviest
+    expressions — measured 4.20 s decimal vs 1.75 s two-level vs
+    1.37 s plain-double floor on the sf0.1 fixture (7 aggregates,
+    /tmp-A/B r11) — so each value becomes floor(x·1e6+0.5) as a LONG
+    once, partitions sum longs map-side keyed (group, partition_id),
+    and only the ≤ groups·partitions partial rows pay the decimal
+    merge. Q1's four groups grow unboundedly with SF (a single-level
+    long sum overflows past ~7e7 rows/group ≈ SF 120), but the
+    per-PARTITION partial is bounded by maxPartitionBytes (~1.3e6
+    rows ≈ 1.7e17 micro-units at worst-case values — 50× headroom),
+    and the decimal merge is exact at any scale. Values are
+    bit-identical to the old decimal plan on the fixture; the oracle
+    is re-spelled to the same floor fixed-point so agreement is by
+    construction, not fixture luck (micro_units docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            stable_round(davg("l_quantity"), 4).alias("avg_qty"),
-            stable_round(davg("l_extendedprice"), 4).alias("avg_price"),
-            stable_round(davg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+    part = (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
         )
+        .groupBy(
+            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+        )
+        .agg(
+            F.sum(micro_units(F.col("l_quantity"))).alias("mq"),
+            F.sum(micro_units(F.col("l_extendedprice"))).alias("mp"),
+            F.sum(micro_units(disc_price)).alias("md"),
+            F.sum(micro_units(charge)).alias("mc"),
+            F.sum(micro_units(F.col("l_discount"))).alias("mdisc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dsum_partial = lambda c: F.sum(F.col(c).cast(DEC)).cast("double") / F.lit(1e6)  # noqa: E731
+    g = part.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum_partial("mq").alias("sum_qty"),
+        dsum_partial("mp").alias("sum_base_price"),
+        dsum_partial("md").alias("sum_disc_price"),
+        dsum_partial("mc").alias("sum_charge"),
+        dsum_partial("mdisc").alias("_sum_disc"),
+        F.sum("n").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        stable_round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+        stable_round(F.col("sum_base_price") / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        stable_round(F.col("_sum_disc") / F.col("count_order"), 4).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -192,15 +242,19 @@ ORACLE = {
                       * 1000000.0 + 0.5) / 1000000.0) AS corr_value_bucket
         FROM g
     """,
+    # same floor-fixed-point spelling as the Spark plan (micro_units):
+    # DuckDB's BIGINT sum accumulates in 128 bits, so one level
+    # suffices oracle-side; the exact integer total → double → /1e6
+    # sequence matches Spark's decimal-merged partials op for op.
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity')} AS sum_qty,
-               {sql_dsum('l_extendedprice')} AS sum_base_price,
-               {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
-               {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
-               (FLOOR({sql_davg('l_quantity')} * 10000.0 + 0.5) / 10000.0) AS avg_qty,
-               (FLOOR({sql_davg('l_extendedprice')} * 10000.0 + 0.5) / 10000.0) AS avg_price,
-               (FLOOR({sql_davg('l_discount')} * 10000.0 + 0.5) / 10000.0) AS avg_disc,
+               CAST(SUM({sql_micro_units('l_quantity')}) AS DOUBLE) / 1000000.0 AS sum_qty,
+               CAST(SUM({sql_micro_units('l_extendedprice')}) AS DOUBLE) / 1000000.0 AS sum_base_price,
+               CAST(SUM({sql_micro_units('l_extendedprice * (1.0 - l_discount)')}) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+               CAST(SUM({sql_micro_units('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')}) AS DOUBLE) / 1000000.0 AS sum_charge,
+               (FLOOR((CAST(SUM({sql_micro_units('l_quantity')}) AS DOUBLE) / 1000000.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+               (FLOOR((CAST(SUM({sql_micro_units('l_extendedprice')}) AS DOUBLE) / 1000000.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_price,
+               (FLOOR((CAST(SUM({sql_micro_units('l_discount')}) AS DOUBLE) / 1000000.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'

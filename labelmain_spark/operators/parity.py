@@ -108,6 +108,33 @@ def sql_stable_round(expr: str, n: int) -> str:
     return f"(FLOOR(({expr}) * {s} + 0.5) / {s})"
 
 
+def micro_units(col: Column) -> Column:
+    """Exact 6-dp fixed point as a LONG: floor(x·1e6 + 0.5) — the
+    stable-round idiom (bit-identical across engines) applied per row
+    BEFORE aggregation, so sums run as integer math instead of
+    per-row DECIMAL(28,6) casts. The time_rollup r11 A/B measured the
+    decimal cast as the hot path's heaviest expression (2.2 s vs
+    1.2 s on 20M rows for ONE column); the same pricing_summary A/B
+    read 4.2 s decimal vs 1.75 s for the two-level long form on 7
+    aggregates. Overflow is the caller's obligation: a LONG sum holds
+    ~9.2e18 micro-units, so either bound the group size (time_rollup's
+    hour buckets) or sum per-partition partials first and merge the
+    ≤ partitions·groups partial longs as decimals (pricing_summary /
+    rollup_agg — safe at any group size because rows-per-partition is
+    bounded by maxPartitionBytes, ~1.3e6 rows ≈ 1.7e17 micro at
+    worst-case 1.3e11-micro values, 50× headroom).
+
+    SQL twin: :func:`sql_micro_units`."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def sql_micro_units(expr: str) -> str:
+    """DuckDB twin of :func:`micro_units` (DuckDB sums BIGINT into
+    a 128-bit accumulator, so the oracle side needs no partial
+    split)."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for an arbitrary SQL expression."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"

@@ -994,6 +994,38 @@ def test_bm25_topk_window_group_limit_pinned(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_micro_unit_agg_plans_keep_decimal_off_the_scan(spark, sf_dir):
+    """The late-r11 two-level fixed-point re-plan (pricing_summary
+    4.20 → 1.02 s, rollup_agg 3.08 → 0.48 s at sf0.1): per-row work on
+    the scan side must be integer floor/cast math ONLY — the
+    DECIMAL(28,6) casts may touch nothing but the ≤ groups·partitions
+    partial rows above the first exchange. For rollup_agg the Expand
+    must likewise sit ABOVE the partial aggregate (rollup pushdown:
+    ×3-expanding partial rows, never the fact table). Plan strings
+    print top-down, so 'after the last Exchange' IS the scan side."""
+    from labelmain_spark.operators.aggregates import rollup_agg
+    from labelmain_spark.operators.analytics import pricing_summary
+
+    for name, fn, expand in (
+        ("pricing_summary", pricing_summary, False),
+        ("rollup_agg", rollup_agg, True),
+    ):
+        df = fn(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1, (name, plan[:1500])
+        scan_side = plan[plan.rindex("Exchange"):]
+        assert "FLOOR(" in scan_side or "floor(" in scan_side, (name, scan_side[:1200])
+        assert "decimal(28,6)" not in scan_side.lower(), (name, scan_side[:1500])
+        if expand:
+            assert "Expand" in plan, (name, plan[:1500])
+            assert plan.index("Expand") < plan.rindex("Exchange"), (
+                name,
+                "Expand sits on the scan side — rollup pushdown regressed",
+            )
+        checks.assert_no_python_eval(df)
+
+
 def test_hll_registers_plan_shape(spark, sf_dir):
     """The HLL register build must be one scan → map-side partial max
     → ONE exchange carrying ≤ m rows per partition → final max: the
