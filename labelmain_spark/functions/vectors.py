@@ -34,8 +34,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import (
+    DEC,
     davg,
+    micro_units,
     sql_davg,
+    sql_micro_units,
     sql_stable_round,
     stable_round,
 )
@@ -77,17 +80,54 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
-def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid in long format: (label, dim, exact mean)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
-        )
-        .groupBy("label", "dim")
-        .agg(stable_round(davg("x"), 6).alias("centroid"))
+def _micro_mean_partials(e: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Two-level exact mean over exploded embedding elements (the
+    late-r11 micro-unit discipline, operators/parity.py::micro_units):
+    long fixed-point sums per (group…, partition) on the scan side —
+    per-partition bound ~1.2e11 micro at |x| ≤ 6 gaussian floats, 7
+    orders of headroom — decimal only across the partial rows."""
+    return e.groupBy(
+        *group_cols, F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(micro_units(F.col("x"))).alias("mx"),
     )
+
+
+def _micro_mean(df: DataFrame, group_cols: list[str], out: str, ndp: int) -> DataFrame:
+    total = F.sum(F.col("mx").cast(DEC)).cast("double") / F.lit(1e6)
+    return df.groupBy(*group_cols).agg(
+        F.sum("_n").alias("_n_total"),
+        total.alias("_total"),
+    ).select(
+        *group_cols,
+        F.col("_n_total"),
+        stable_round(F.col("_total") / F.col("_n_total"), ndp).alias(out),
+    )
+
+
+def _sql_micro_mean(expr: str, ndp: int) -> str:
+    """DuckDB twin of the two-level mean: BIGINT sums accumulate in
+    128 bits, so one level suffices; the op order (exact integer →
+    double → /1e6 → /count → stable round) matches Spark's."""
+    s = float(10**ndp)
+    return (
+        f"(FLOOR(((CAST(SUM({sql_micro_units(expr)}) AS DOUBLE) / 1000000.0)"
+        f" / COUNT(*)) * {s} + 0.5) / {s})"
+    )
+
+
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long format: (label, dim, exact mean) —
+    micro-unit two-level means (see _micro_mean_partials)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    return _micro_mean(
+        _micro_mean_partials(e, ["label", "dim"]), ["label", "dim"], "centroid", 6
+    ).drop("_n_total")
 
 
 def _sampling_hash_bp_sql(key_col: str, salt: str) -> str:
@@ -125,7 +165,9 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE posexplode of the vector column → two filtered
     algebraic aggs keyed by dim (map-side partials; exactly 64 rows
     per partition reach each exchange) → a 64-row full-outer merge.
-    Exact decimal sums (davg), stable_round(6) BEFORE the delta
+    Sums are exact two-level micro-unit longs (_micro_mean_partials —
+    the late-r11 fixed-point discipline; per-partition bound has 7
+    orders of headroom), means stable_round(6)ed BEFORE the delta
     subtraction so both engines difference identical doubles; the
     flag compares that deterministic delta against DRIFT_EPS."""
     from labelmain_spark.functions.sampling import _hash_bp_expr
@@ -145,23 +187,20 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev") & (F.col("dim") < DRIFT_MUT_DIMS),
         F.col("x") + F.lit(DRIFT_MUT_SHIFT),
     ).otherwise(F.col("x"))
-    prev = (
-        e.filter("in_prev")
-        .groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("prev_n"),
-            stable_round(davg("x"), 6).alias("prev_mean"),
-        )
-    )
-    cur = (
-        e.filter("in_cur")
-        .select("dim", cur_x.alias("x"))
-        .groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("cur_n"),
-            stable_round(davg("x"), 6).alias("cur_mean"),
-        )
-    )
+    prev = _micro_mean(
+        _micro_mean_partials(e.filter("in_prev"), ["dim"]),
+        ["dim"],
+        "prev_mean",
+        6,
+    ).withColumnRenamed("_n_total", "prev_n")
+    cur = _micro_mean(
+        _micro_mean_partials(
+            e.filter("in_cur").select("dim", cur_x.alias("x")), ["dim"]
+        ),
+        ["dim"],
+        "cur_mean",
+        6,
+    ).withColumnRenamed("_n_total", "cur_n")
     delta = stable_round(F.col("cur_mean") - F.col("prev_mean"), 6)
     return prev.join(cur, "dim", "full_outer").select(
         "dim",
@@ -2380,7 +2419,7 @@ ORACLE = {
     """,
     "embedding_centroid": f"""
         SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
-               {sql_stable_round(sql_davg('x'), 6)} AS centroid
+               {_sql_micro_mean('x', 6)} AS centroid
         FROM (
             SELECT label,
                    unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -2401,13 +2440,13 @@ ORACLE = {
             FROM embeddings
         ), p AS (
             SELECT dim, CAST(COUNT(*) AS BIGINT) AS prev_n,
-                   {sql_stable_round(sql_davg('x'), 6)} AS prev_mean
+                   {_sql_micro_mean('x', 6)} AS prev_mean
             FROM e WHERE in_prev GROUP BY dim
         ), c AS (
             SELECT dim, CAST(COUNT(*) AS BIGINT) AS cur_n,
-                   {sql_stable_round(
-                       sql_davg(f"CASE WHEN rev AND dim < {DRIFT_MUT_DIMS}"
-                                f" THEN x + {DRIFT_MUT_SHIFT} ELSE x END"),
+                   {_sql_micro_mean(
+                       f"CASE WHEN rev AND dim < {DRIFT_MUT_DIMS}"
+                       f" THEN x + {DRIFT_MUT_SHIFT} ELSE x END",
                        6,
                    )} AS cur_mean
             FROM e WHERE in_cur GROUP BY dim

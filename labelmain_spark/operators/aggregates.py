@@ -141,16 +141,35 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qty_partials(li: DataFrame) -> DataFrame:
+    """Finest-grain (flag, status, partition) partials for the
+    rollup/cube/grouping-sets trio — the late-r11 two-level micro-unit
+    shape (see rollup_agg): long fixed-point sums on the scan side,
+    decimal only above the first exchange, and the Expand node
+    multiplies ≤ groups·partitions partial rows instead of the fact
+    table."""
+    return li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(micro_units(F.col("l_quantity"))).alias("mq"),
+    )
+
+
+def _dsum_partial(c: str):
+    return F.sum(F.col(c).cast(DEC)).cast("double") / F.lit(1e6)
+
+
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-granularity stats: cube(returnflag, linestatus) — rollup's
-    superset (adds the (∅, linestatus) slices). Same partial→final
-    HashAggregate shape; the expand node multiplies rows by the number
-    of grouping sets BEFORE the shuffle, so at 100 TB prefer rollup
-    when the drill path is hierarchical (4 sets vs 3 here)."""
+    superset (adds the (∅, linestatus) slices). At 100 TB the expand
+    factor is the set count (4 here vs rollup's 3), which is exactly
+    why it now expands the partial table, not the fact table
+    (_qty_partials)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity", "sum_qty"),
+    return _qty_partials(li).cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        _dsum_partial("mq").alias("sum_qty"),
     )
 
 
@@ -158,17 +177,18 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the generalization rollup/cube compile
     to: exactly the requested slices ((returnflag), (linestatus), ()),
     with grouping_id disambiguating all-NULL group keys from NULL data.
-    At 100 TB the expand factor is the set count (3 here) — strictly
-    the slices you asked for, unlike cube's 2^n."""
+    Same two-level partial shape as rollup/cube; grouping_id is
+    computed over the partial table's expand and is identical to the
+    fact-table form because the grouping COLUMNS are identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupingSets(
+    return _qty_partials(li).groupingSets(
         [["l_returnflag"], ["l_linestatus"], []],
         "l_returnflag",
         "l_linestatus",
     ).agg(
         F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity", "sum_qty"),
+        F.sum("_n").alias("n"),
+        _dsum_partial("mq").alias("sum_qty"),
     )
 
 
@@ -184,11 +204,11 @@ QUERIES = {
 }
 
 ORACLE = {
-    "grouping_sets_agg": """
+    "grouping_sets_agg": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+               CAST(SUM({sql_micro_units('l_quantity')}) AS DOUBLE) / 1000000.0 AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -234,7 +254,7 @@ ORACLE = {
     """,
     "cube_agg": f"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               {sql_dsum('l_quantity')} AS sum_qty
+               CAST(SUM({sql_micro_units('l_quantity')}) AS DOUBLE) / 1000000.0 AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 }
