@@ -82,24 +82,26 @@ def test_agg_fast_mode(spark, sf_dir):
     reversible — exact stays the default the oracle gate relies on."""
     from labelmain_spark.operators import aggregates, parity
 
+    # count_sum still rides dsum/davg (rollup_agg moved to the
+    # mode-independent micro-unit form late-r11, which would make this
+    # test pass vacuously — the key must be one the switch reaches).
+    def rowmap():
+        return {
+            (r.event_type, r.n): (r.total_value, r.avg_value)
+            for r in aggregates.count_sum(spark, sf_dir).collect()
+        }
+
     assert parity.agg_mode() == "exact"
-    exact = {
-        tuple(r[:-1]): r[-1]
-        for r in aggregates.rollup_agg(spark, sf_dir)
-        .collect()
-    }
+    exact = rowmap()
     try:
         parity.set_agg_mode("fast")
-        fast = {
-            tuple(r[:-1]): r[-1]
-            for r in aggregates.rollup_agg(spark, sf_dir)
-            .collect()
-        }
+        fast = rowmap()
     finally:
         parity.set_agg_mode("exact")
     assert fast.keys() == exact.keys()
-    for k, v in exact.items():
-        assert abs(fast[k] - v) <= 1e-6 * max(1.0, abs(v)), (k, fast[k], v)
+    for k, vals in exact.items():
+        for v, fv in zip(vals, fast[k]):
+            assert abs(fv - v) <= 1e-6 * max(1.0, abs(v)), (k, fv, v)
     assert parity.agg_mode() == "exact"
 
     import pytest
