@@ -35,9 +35,7 @@ from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import (
     DEC,
-    davg,
     micro_units,
-    sql_davg,
     sql_micro_units,
     sql_stable_round,
     stable_round,

@@ -21,10 +21,8 @@ from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import (
     DEC,
-    davg,
     dsum,
     micro_units,
-    sql_davg,
     sql_dsum,
     sql_micro_units,
     stable_round,
