@@ -305,6 +305,16 @@ def main() -> None:
     if duck_timings:
         detail["duck_queries"] = duck_timings
     print(json.dumps({"bench_detail": detail}, separators=(",", ":")))
+    # The primary line truncates past 40 keys (driver capture window),
+    # so the FULL per-key record also lands in a committed artifact —
+    # round-over-round tracking must not lose exactly the keys that
+    # got fast enough to fall out of the top-40.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump({"sf": sf, **detail}, fh, indent=1, sort_keys=True)
+    except Exception as e:  # noqa: BLE001 — never cost the artifact
+        print(f"# detail file skipped: {e}", file=sys.stderr)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
