@@ -513,6 +513,84 @@ def finalize_hll(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def run_drift_sink(
+    vectors: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming embedding-drift partials (late r11) — the third
+    member of the per-micro-batch partial family (CMS = frequency,
+    HLL = cardinality, this = per-dimension MOMENTS): each
+    micro-batch of landing vectors writes its (dim, _n, mx) partial —
+    the exact count and micro-unit fixed-point sum from
+    functions/vectors.py::_micro_mean_partials, shared VERBATIM with
+    the batch key so parity holds by construction — under the
+    idempotent ``epoch=<id>`` overwrite discipline. Count/sum are
+    mergeable, so the stream's running per-dim means are exact at
+    any epoch cut, and :func:`finalize_drift` compares them against
+    a FROZEN baseline register (the index's published per-dim means)
+    — the monitor a pipeline runs on a landing embedding stream to
+    catch a model-version or ingest shift BEFORE the batch mixes
+    into the index (the batch key's docstring has the QA story)."""
+    from labelmain_spark.functions.vectors import _micro_mean_partials
+
+    if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
+        shutil.rmtree(out_path, ignore_errors=True)
+
+    def drift_batch(batch: DataFrame, epoch_id: int) -> None:
+        e = batch.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            )
+        )
+        # one partial row per dim per epoch: collapse the per-partition
+        # split (the batch is one epoch's bounded slice)
+        _micro_mean_partials(e, ["dim"]).groupBy("dim").agg(
+            F.sum("_n").alias("_n"), F.sum("mx").alias("mx")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch={epoch_id}")
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(drift_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_drift(
+    spark: SparkSession, out_path: str, baseline: DataFrame, eps: float
+) -> DataFrame:
+    """Merge the per-epoch moment partials (sum-of-counts,
+    sum-of-sums — exact) into per-dim stream means and flag each
+    dimension against the frozen ``baseline`` (dim, base_mean):
+    (dim, n, mean, delta, drift_flag). The mean math is the batch
+    key's spelling (total/1e6 then /n, stable-rounded) so a stream
+    cut equals the batch computation over the same rows
+    bit-for-bit."""
+    from labelmain_spark.operators.parity import DEC, stable_round
+
+    total = F.sum(F.col("mx").cast(DEC)).cast("double") / F.lit(1e6)
+    m = (
+        spark.read.parquet(out_path)
+        .groupBy("dim")
+        .agg(F.sum("_n").alias("n"), total.alias("_total"))
+        .select(
+            "dim", "n", stable_round(F.col("_total") / F.col("n"), 6).alias("mean")
+        )
+    )
+    delta = stable_round(F.col("mean") - F.col("base_mean"), 6)
+    return m.join(baseline, "dim").select(
+        "dim",
+        "n",
+        "mean",
+        delta.alias("delta"),
+        (F.abs(delta) >= F.lit(eps)).cast("int").alias("drift_flag"),
+    )
+
+
 def run_release_sink(
     docs: DataFrame,
     prev_digests: DataFrame,

@@ -630,3 +630,51 @@ def test_stream_hll_matches_batch(spark, sf_dir, tmp_path):
     }
     want = {(r.bucket, r.max_rho) for r in hll_build(ev, "user_id").collect()}
     assert got == want and got, (len(got), len(want))
+
+
+def test_stream_drift_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming drift partials == the batch mean computation over the
+    same rows, across REAL micro-batch boundaries: three forced epochs
+    each land exact (dim, n, Σmicro) moments, the merge reproduces the
+    batch per-dim means bit-for-bit, and flagging against a frozen
+    baseline built from the SAME rows yields zero drift (then a
+    shifted baseline flags every dim — the monitor discriminates)."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions.vectors import (
+        _micro_mean,
+        _micro_mean_partials,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    land = str(tmp_path / "land")
+    emb.repartition(3).write.parquet(land)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out, ckpt = str(tmp_path / "moments"), str(tmp_path / "ckpt")
+    inc.run_drift_sink(stream, out, ckpt)
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, f"merge never crossed a batch boundary: {epochs}"
+
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    batch_means = _micro_mean(
+        _micro_mean_partials(e, ["dim"]), ["dim"], "base_mean", 6
+    ).select("dim", "base_mean")
+
+    flags = inc.finalize_drift(spark, out, batch_means, eps=1e-6).collect()
+    assert len(flags) == 64
+    assert all(r.drift_flag == 0 and r.delta == 0.0 for r in flags), [
+        (r.dim, r.delta) for r in flags if r.drift_flag
+    ][:5]
+
+    shifted = batch_means.select(
+        "dim", (F.col("base_mean") + F.lit(1.0)).alias("base_mean")
+    )
+    flags2 = inc.finalize_drift(spark, out, shifted, eps=0.5).collect()
+    assert all(r.drift_flag == 1 for r in flags2)
