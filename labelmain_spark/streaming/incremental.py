@@ -454,13 +454,26 @@ def run_cms_sink(
     q.awaitTermination()
 
 
+def _epoch_partials(spark: SparkSession, out_path: str, schema: str) -> DataFrame:
+    """Read the per-epoch partial directory, surviving the ZERO-epoch
+    case: an availableNow stream over an empty landing dir triggers no
+    batches, so ``out_path`` may not exist — schema inference over
+    nothing throws, and a monitor asking "what has the stream seen so
+    far" deserves an empty typed frame, not an AnalysisException. The
+    explicit schema also pins the partial layout the finalizers
+    assume."""
+    if not os.path.isdir(out_path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out_path)
+
+
 def finalize_cms(spark: SparkSession, out_path: str) -> DataFrame:
     """Merge the per-epoch partial sketches into the corpus sketch:
     cell-wise sum over (seed, bucket) — the CMS merge operation. The
     result is bit-equal to cms_build over all rows at once (pinned by
     the streaming parity test)."""
     return (
-        spark.read.parquet(out_path)
+        _epoch_partials(spark, out_path, "seed int, bucket int, n long")
         .groupBy("seed", "bucket")
         .agg(F.sum("n").alias("n"))
     )
@@ -507,7 +520,7 @@ def finalize_hll(spark: SparkSession, out_path: str) -> DataFrame:
     bucket — the HLL merge operation. Bit-equal to hll_build over all
     rows at once (pinned by the streaming parity test)."""
     return (
-        spark.read.parquet(out_path)
+        _epoch_partials(spark, out_path, "bucket int, max_rho int")
         .groupBy("bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
@@ -574,7 +587,7 @@ def finalize_drift(
 
     total = F.sum(F.col("mx").cast(DEC)).cast("double") / F.lit(1e6)
     m = (
-        spark.read.parquet(out_path)
+        _epoch_partials(spark, out_path, "dim int, _n long, mx long")
         .groupBy("dim")
         .agg(F.sum("_n").alias("n"), total.alias("_total"))
         .select(

@@ -632,6 +632,18 @@ def test_stream_hll_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got, (len(got), len(want))
 
 
+def test_finalizers_survive_zero_epochs(spark, tmp_path):
+    """An availableNow stream over an empty landing dir triggers NO
+    batches, so the partial directory never exists; every finalizer
+    must answer 'nothing seen yet' as an empty typed frame, not an
+    AnalysisException from schema inference over nothing."""
+    missing = str(tmp_path / "never_written")
+    assert inc.finalize_cms(spark, missing).count() == 0
+    assert inc.finalize_hll(spark, missing).count() == 0
+    base = spark.createDataFrame([(0, 0.0)], "dim int, base_mean double")
+    assert inc.finalize_drift(spark, missing, base, eps=0.1).count() == 0
+
+
 def test_stream_drift_matches_batch(spark, sf_dir, tmp_path):
     """Streaming drift partials == the batch mean computation over the
     same rows, across REAL micro-batch boundaries: three forced epochs
