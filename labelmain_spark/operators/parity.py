@@ -124,6 +124,14 @@ def micro_units(col: Column) -> Column:
     bounded by maxPartitionBytes, ~1.3e6 rows ≈ 1.7e17 micro at
     worst-case 1.3e11-micro values, 50× headroom).
 
+    Input domain: FINITE doubles. On NaN/Inf the engines diverge
+    (Spark's long cast of NaN yields null and the sum silently skips
+    it; DuckDB's BIGINT cast throws) — the same class as the decimal
+    form's NaN behavior, acceptable because every consuming column is
+    fixture-validated finite (validate_constraints is the ingest
+    gate); a pipeline admitting NaN values must filter or fail them
+    BEFORE the aggregate, not rely on either engine's cast.
+
     SQL twin: :func:`sql_micro_units`."""
     return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
 

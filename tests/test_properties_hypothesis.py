@@ -312,7 +312,12 @@ def test_blocklist_suffix_chain_matches_reference(spark, hosts):
 @given(
     keys=st.lists(
         st.one_of(st.integers(-(10**12), 10**12), st.text(
-            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            # full unicode minus surrogates: the md5 parity claim is
+            # over UTF-8 BYTES, so non-ASCII is exactly where a
+            # Spark-UTF8String-vs-Python-encode mismatch would hide
+            alphabet=st.characters(
+                min_codepoint=32, blacklist_categories=("Cs",)
+            ),
             max_size=20,
         )),
         min_size=1,
@@ -353,7 +358,9 @@ def test_hll_registers_match_python_reference(spark, keys):
 @given(
     strings=st.lists(
         st.text(
-            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            alphabet=st.characters(
+                min_codepoint=32, blacklist_categories=("Cs",)
+            ),
             min_size=1,
             max_size=24,
         ),
