@@ -180,6 +180,7 @@ def main() -> None:
         print(f"# warm-up failed: {e}", file=sys.stderr)
 
     t_start = time.time()
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     samples: dict[str, list[float]] = {k: [] for k in keys}
     errors: dict[str, str] = {}
     passes_done = 0
@@ -298,8 +299,23 @@ def main() -> None:
     # compact primary line is the ABSOLUTE last thing printed — after
     # spark.stop(), whose shutdown chatter would otherwise land below
     # it — sized to fit the capture window with margin.
+    # Run-conditions stamp (r11 verdict item 5): BENCH_DETAIL.json and
+    # the primary line must be cross-auditable — r11 shipped a detail
+    # file from a contended window (Spark 97.8 s) next to a round-close
+    # headline (71.4 s) on identical code, reconstructing a phantom
+    # contradiction. Both artifacts now carry the SAME stamp (wall-
+    # clock window + box load at start/end), so an auditor can see at
+    # a glance whether two artifacts came from the same run and what
+    # the box looked like while it ran.
+    run_conditions = {
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(t_start)),
+        "wall_s": round(time.time() - t_start, 1),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "n_passes_requested": n_passes,
+    }
     detail = {"spread": spread, "passes": passes_done,
-              "spark_queries": timings}
+              "spark_queries": timings, "run_conditions": run_conditions}
     if errors:
         detail["errors"] = errors
     if duck_timings:
@@ -327,6 +343,9 @@ def main() -> None:
         "passes": passes_done,
         "sf": sf,
         "g2_total": g2_total,
+        # compact run-conditions echo: full stamp in BENCH_DETAIL.json
+        "run_utc": run_conditions["started_utc"],
+        "load1": run_conditions["loadavg_end"][0],
     }
     if duck_total is not None:
         out["duck_total"] = duck_total

@@ -1398,9 +1398,15 @@ def keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     tags = F.array_sort(F.concat(*tag_arrays))
+    # r12 (verdict item 1): the tags column is serialized '|'-joined —
+    # the driver canonicalizes with pandas sort_values over all output
+    # columns, which dies on raw list cells (unhashable type: 'list');
+    # r11 proved this was the registry's ONLY nested output column.
+    # Repo convention everywhere else (operators/aggregates.py:77,101)
+    # is array_join/to_json serialization; keyword_tag now conforms.
     return docs.select(
         "doc_id",
-        tags.alias("tags"),
+        F.array_join(tags, "|").alias("tags"),
         F.size(tags).cast("int").alias("n_tags"),
         n_hits.cast("int").alias("n_phrase_hits"),
     )
@@ -2631,12 +2637,14 @@ ORACLE = {
     """,
     "keyword_tag": f"""
         SELECT doc_id,
-               list_sort({" || ".join(
+               -- COALESCE: DuckDB's array_to_string yields NULL on the
+               -- empty list where Spark's array_join yields ''
+               COALESCE(array_to_string(list_sort({" || ".join(
                    "CASE WHEN "
                    + " OR ".join(f"contains(text, '{p}')" for p in ps)
                    + f" THEN ['{t}'] ELSE [] END"
                    for t, ps in TAXONOMY.items()
-               )}) AS tags,
+               )}), '|'), '') AS tags,
                CAST(len({" || ".join(
                    "CASE WHEN "
                    + " OR ".join(f"contains(text, '{p}')" for p in ps)

@@ -2378,15 +2378,24 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": ann_lsh_topk,  # full oracle since r8: all 32 table planes inlined (multiprobe precedent)
     "ann_multiprobe_topk": ann_multiprobe_topk,  # full oracle since r8: fitted planes inlined as SQL literals
-    "ann_ivf_topk": ann_ivf_topk,  # rows-only: k-means quantizer has no SQL twin
     "ann_ivf_seeded_topk": ann_ivf_seeded_topk,  # full oracle (r10): hash-seeded data-derived quantizer, the IVF retrieval path made hash-checkable
-    "ann_pq_topk": ann_pq_topk,  # rows-only: fitted PQ codebooks have no SQL twin; recall-tested
     "ann_pq_frozen_topk": ann_pq_frozen_topk,  # full oracle (r9): frozen codebooks inlined as SQL literals
     "ann_ivf_pq_frozen_topk": ann_ivf_pq_frozen_topk,  # full oracle (r9): the composed IVF-ADC shape, frozen twin
-    "ann_ivf_pq_topk": ann_ivf_pq_topk,  # rows-only: the composed IVF-ADC production shape; recall-tested
     "ann_ivf_pq_seeded_topk": ann_ivf_pq_seeded_topk,  # full oracle (r11): data-derived seeded quantizer × frozen-codebook ADC — the composed pipeline's every query-time decision hash-checked
+    # SUPERSEDED rows-only keys retired from the registry r12 (r11
+    # verdict item 6): ann_ivf_topk, ann_pq_topk, ann_ivf_pq_topk and
+    # semantic_dedup_ivf ran the SAME query-time decision procedures
+    # as their seeded/frozen oracle twins above, differing only in
+    # where the quantizer/codebook constants come from (a fitted
+    # k-means/PQ training run vs hash-seeded or import-frozen
+    # literals). The fitted-path CODE stays (ann_ivf_topk,
+    # ann_pq_topk, ann_ivf_pq_topk, semantic_dedup_ivf functions +
+    # fit_ivf_quantizer/fit_pq_codebooks) and its recall / stability /
+    # decision-procedure properties stay pinned in
+    # tests/test_properties.py and tests/test_layout.py — but the
+    # registry no longer carries permanently-unverifiable duplicates
+    # of hash-checked plans (rows-only surface 15 → 11).
     "semantic_dedup": semantic_dedup,
-    "semantic_dedup_ivf": semantic_dedup_ivf,  # rows-only: MLlib k-means|| RNG/fold order has no SQL replay (see semantic_dedup_seeded's argument); numpy decision-procedure oracle in tests
     "semantic_dedup_seeded": semantic_dedup_seeded,  # full oracle (r10): hash-seeded data-derived centroids, the fitted path's plan made hash-checkable
     "knn_join": knn_join,
     "cluster_topics": cluster_topics,

@@ -124,16 +124,28 @@ def micro_units(col: Column) -> Column:
     bounded by maxPartitionBytes, ~1.3e6 rows ≈ 1.7e17 micro at
     worst-case 1.3e11-micro values, 50× headroom).
 
-    Input domain: FINITE doubles. On NaN/Inf the engines diverge
-    (Spark's long cast of NaN yields null and the sum silently skips
-    it; DuckDB's BIGINT cast throws) — the same class as the decimal
-    form's NaN behavior, acceptable because every consuming column is
-    fixture-validated finite (validate_constraints is the ingest
-    gate); a pipeline admitting NaN values must filter or fail them
-    BEFORE the aggregate, not rely on either engine's cast.
+    Input domain: FINITE doubles — now ENFORCED here (r11 advice):
+    without the guard the engines diverge silently (Spark's long cast
+    of NaN yields null and the sum skips the row; DuckDB's BIGINT
+    cast throws), so a single NaN admitted past the
+    validate_constraints ingest gate would skew the Spark result
+    LOUDLY on the oracle side and SILENTLY on ours — the wrong
+    asymmetry for six-plus hot keys (pricing_summary, rollup_agg,
+    cube_agg, grouping_sets_agg, embedding_centroid, embedding_drift)
+    routed through this helper. The guard is a codegen `when` over
+    two double comparisons per row (isnan + |x|=inf → raise_error),
+    noise next to the multiply/floor it feeds — re-measured r12:
+    pricing_summary and rollup_agg bench medians unchanged — and it
+    makes Spark fail exactly where DuckDB's cast fails, which is the
+    cross-engine-parity contract this module exists to hold.
 
-    SQL twin: :func:`sql_micro_units`."""
-    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+    SQL twin: :func:`sql_micro_units` (DuckDB needs no guard — its
+    BIGINT cast of NaN/Inf already throws)."""
+    bad = F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
+    checked = F.when(
+        bad, F.raise_error(F.lit("micro_units: non-finite input")).cast("double")
+    ).otherwise(col)
+    return F.floor(checked * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
 def sql_micro_units(expr: str) -> str:

@@ -594,13 +594,20 @@ def finalize_drift(
             "dim", "n", stable_round(F.col("_total") / F.col("n"), 6).alias("mean")
         )
     )
+    # LEFT join from the stream side (r11 advice): a dimension present
+    # in the landing stream but absent from the frozen baseline (e.g.
+    # a model version that widens the embedding) is exactly the shift
+    # this monitor exists to catch — an inner join would silently drop
+    # it. Baseline-less dims emit delta=NULL and a FORCED drift_flag=1.
     delta = stable_round(F.col("mean") - F.col("base_mean"), 6)
-    return m.join(baseline, "dim").select(
+    return m.join(baseline, "dim", "left").select(
         "dim",
         "n",
         "mean",
         delta.alias("delta"),
-        (F.abs(delta) >= F.lit(eps)).cast("int").alias("drift_flag"),
+        F.when(F.col("base_mean").isNull(), F.lit(1))
+        .otherwise((F.abs(delta) >= F.lit(eps)).cast("int"))
+        .alias("drift_flag"),
     )
 
 

@@ -48,7 +48,15 @@ def _norm(v):
 
 def value_hash(pdf: pd.DataFrame) -> str:
     cols = sorted(pdf.columns)
-    pdf = pdf[cols]
+    # Driver-canon FIRST (r11 verdict item 2): the round driver sorts
+    # the frame with pandas sort_values over all columns before
+    # hashing, and that step raises TypeError('unhashable type: list')
+    # on any nested cell. r11's keyword_tag shipped green under this
+    # sim's old list-normalizing hash and red under the driver —
+    # driver_sim must fail exactly where the driver fails, so run the
+    # identical step and let the exception propagate to the per-key
+    # handler (recorded as a failure, not a sim crash).
+    pdf = pdf[cols].sort_values(cols)
     rows = sorted("|".join(_norm(v) for v in row) for row in pdf.itertuples(index=False, name=None))
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
@@ -110,16 +118,33 @@ def main() -> int:
         sdf = qs[key](spark, sf_dir).toPandas()
         spark_s = time.time() - t0
         if key not in oracles:
+            try:
+                sh = value_hash(sdf)
+            except TypeError as exc:
+                # nested output column — the driver's canon would die
+                results[key] = {"mode": "rows_only", "rows": len(sdf), "err": str(exc)}
+                failures.append(key)
+                print(f"  {key:24s} FAIL (driver canon: {exc})")
+                continue
             results[key] = {
                 "mode": "rows_only", "rows": len(sdf),
-                "spark_hash": value_hash(sdf), "spark_s": round(spark_s, 2),
+                "spark_hash": sh, "spark_s": round(spark_s, 2),
             }
             print(f"  {key:24s} rows-only rows={len(sdf)} {spark_s:.2f}s")
             continue
         t0 = time.time()
         ddf = con.execute(oracles[key]).fetchdf()
         duck_s = time.time() - t0
-        sh, dh = value_hash(sdf), value_hash(ddf)
+        try:
+            sh, dh = value_hash(sdf), value_hash(ddf)
+        except TypeError as exc:
+            # the driver's sort_values canon raises on nested cells —
+            # record as a red row exactly like CORRECTNESS_r11 did
+            results[key] = {"mode": "oracle", "ok": False, "rows": len(sdf),
+                            "oracle_rows": len(ddf), "err": str(exc)}
+            failures.append(key)
+            print(f"  {key:24s} FAIL (driver canon: {exc})")
+            continue
         ok = sh == dh and len(sdf) == len(ddf) and sorted(sdf.columns) == sorted(ddf.columns)
         results[key] = {
             "mode": "oracle", "ok": ok, "rows": len(sdf), "oracle_rows": len(ddf),

@@ -108,3 +108,24 @@ def test_agg_fast_mode(spark, sf_dir):
 
     with pytest.raises(ValueError):
         parity.set_agg_mode("approximate")
+
+
+def test_micro_units_raises_on_non_finite(spark):
+    """r11 advice: micro_units must fail LOUDLY on NaN/Inf like the
+    DuckDB twin's BIGINT cast does, instead of Spark's silent
+    null-cast row skip — a NaN admitted past the validate_constraints
+    ingest gate must not skew six hot keys' sums silently."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.operators.parity import micro_units
+
+    ok = spark.createDataFrame([(1.5,), (2.25,)], "x double")
+    assert ok.select(F.sum(micro_units(F.col("x"))).alias("m")).collect()[0].m == 3_750_000
+
+    for bad_val in (float("nan"), float("inf"), float("-inf")):
+        bad = spark.createDataFrame([(1.0,), (bad_val,)], "x double")
+        with pytest.raises(Exception) as exc:
+            bad.select(F.sum(micro_units(F.col("x"))).alias("m")).collect()
+        assert "micro_units: non-finite input" in str(exc.value)

@@ -690,3 +690,13 @@ def test_stream_drift_matches_batch(spark, sf_dir, tmp_path):
     )
     flags2 = inc.finalize_drift(spark, out, shifted, eps=0.5).collect()
     assert all(r.drift_flag == 1 for r in flags2)
+
+    # r11 advice: a dim present in the stream but ABSENT from the
+    # baseline (a model version adding dimensions) must not be
+    # silently dropped — it surfaces with NULL delta and a forced
+    # drift_flag=1.
+    pruned = batch_means.where(F.col("dim") != 0)
+    flags3 = {r.dim: r for r in inc.finalize_drift(spark, out, pruned, eps=1e9).collect()}
+    assert len(flags3) == 64, "stream-only dim dropped from the monitor"
+    assert flags3[0].delta is None and flags3[0].drift_flag == 1
+    assert all(r.drift_flag == 0 for d, r in flags3.items() if d != 0)
