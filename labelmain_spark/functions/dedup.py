@@ -804,6 +804,64 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+VAL_BP = 1000  # lowest 10% of the keyspace → validation
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: near-duplicate documents
+    must land on the SAME side of the split, or the validation set
+    silently contains paraphrases of training documents and every
+    eval number is contaminated (the reason The Pile, RedPajama and
+    FineWeb all split AFTER dedup or by url/cluster key, never by raw
+    doc id). A plain per-doc hash split (`split_train_val`) leaks by
+    construction: two near-dups hash independently, so ~2·p·(1-p) of
+    every near-dup cluster straddles the boundary.
+
+    Rule: each doc's split key is its near-dup CLUSTER id (min doc_id
+    of the connected component over verified MinHash-LSH pairs, the
+    `dedup_clusters` closure) when it has one, else its own doc_id —
+    then the standard hash split on that GROUP key. Docs in no cluster
+    keep exactly their `split_train_val` assignment (same hash, same
+    salt); clustered docs adopt their canonical member's draw, so the
+    split stays ~10% by mass while guaranteeing zero cluster
+    straddle (pinned in pytest).
+
+    Scale shape: everything upstream is the audited dedup_clusters
+    machinery (banded LSH — no all-pairs; hash-min closure =
+    O(diameter) partial-agg rounds on the pair-pruned label table,
+    tiny next to the corpus). New cost here is ONE left join of the
+    corpus against that bounded label table (doc_id-keyed, co-keyed
+    with the scan layout) and a narrow hash map — no extra shuffle of
+    the corpus beyond the join, nothing driver-side, and the split is
+    retry/partition-stable like every hash sample in
+    functions/sampling.py."""
+    from pyspark import StorageLevel
+
+    from labelmain_spark.functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs.count()  # prime before the bipartite union reads it twice
+    pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
+    )
+    cc = connected_components(edges)
+    labeled = docs.join(
+        cc.select(F.col("u").alias("doc_id"), F.col("component")), "doc_id", "left"
+    )
+    group_key = F.coalesce(F.col("component"), F.col("doc_id"))
+    split = F.when(
+        F.expr(_sampling_hash_bp_expr("group_key", "spark")) < VAL_BP, F.lit("val")
+    ).otherwise(F.lit("train"))
+    return (
+        labeled.withColumn("group_key", group_key)
+        .select("doc_id", "group_key", split.alias("split"))
+    )
+
+
 def _sql_shingles(src: str = "text") -> str:
     return f"""
         list_distinct(CASE WHEN len(string_split({src}, ' ')) >= 3
@@ -835,6 +893,7 @@ QUERIES = {
     "dedup_paragraph": dedup_paragraph,
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
+    "split_leakage_safe": split_leakage_safe,
     "dedup_incremental": dedup_incremental,
     "corpus_delta": corpus_delta,
     "dedup_incremental_near": dedup_incremental_near,
@@ -1113,6 +1172,33 @@ ORACLE = {
         SELECT comp.u AS doc_id, comp.cluster_id, sizes.cluster_size,
                (comp.u = comp.cluster_id) AS is_canonical
         FROM comp JOIN sizes USING (cluster_id)
+    """,
+    # the dedup_clusters closure + the sampling family's hash split on
+    # the GROUP key (same salt as split_train_val, so unclustered docs
+    # keep their plain-split assignment verbatim)
+    "split_leakage_safe": f"""
+        WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        comp AS (
+            WITH RECURSIVE r(u, comp) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.comp FROM edges e JOIN r ON r.u = e.v
+            )
+            SELECT u, MIN(comp) AS component FROM r GROUP BY u
+        ),
+        keyed AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+            FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+        )
+        SELECT doc_id, group_key,
+               CASE WHEN {_sampling_hash_bp_expr("group_key", "duck")} < {VAL_BP}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM keyed
     """,
     "ngram_jaccard": f"""
         WITH d AS (

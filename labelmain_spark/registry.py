@@ -259,7 +259,17 @@ PRIORITY = [
     # regexp_replace machinery plus the mod-10 Luhn fold in row-local
     # array expressions, full oracle including the false-positive
     # case; the hypothesis property suite stays.
-    "perplexity_buckets",
+    # perplexity_buckets moved out r12 after SIX green rows (r6-r11,
+    # the window's longest tenure): the discretized-histogram
+    # threshold shape keeps an in-window row via entropy_filter, and
+    # the freed slot funds split_leakage_safe — the r12-born
+    # full-oracle key windowed in its birth round per the standing
+    # rule. Leakage-safe train/val split: near-dup clusters (the
+    # dedup_clusters closure) must not straddle the split boundary —
+    # the eval-contamination guard every production corpus split
+    # needs; hash split on the cluster-else-doc group key, zero
+    # straddle pinned in pytest.
+    "split_leakage_safe",
     # never-driver-verified continuation-block text keys, promoted r8
     # (verdict item 1 list): the Jelinek-Mercer bigram LM tier, the χ²
     # corpus-report op, the Dolma tag-and-filter decision layer, and
@@ -594,6 +604,7 @@ PRIORITY = [
     # members (justifications inline at their old slots above).
     "bpe_train", "multimodal_cdc_dedup", "quality_fasttext_score",
     "cms_user_sketch", "join_range", "text_normalize",
+    "perplexity_buckets",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

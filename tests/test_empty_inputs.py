@@ -194,6 +194,8 @@ REPRESENTATIVE = [
     "hll_grouped",
     "bloom_decontaminate",
     "embedding_drift",
+    # round-12 additions
+    "split_leakage_safe",
 ]
 
 

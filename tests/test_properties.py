@@ -1431,3 +1431,56 @@ def test_hh_sketch_selectivity_estimate():
         cells(lambda s, b: HH_THRESHOLD if b < CMS_W // 2 else 0)
     )
     assert abs(half - 0.5 ** CMS_D) < 1e-12
+
+
+def test_split_leakage_safe_properties(spark, sf_dir):
+    """The r12 leakage guard, pinned three ways: (1) ZERO cluster
+    straddle — every group_key maps to exactly one split; (2) every
+    near-dup cluster member carries its cluster id as the group key
+    (so the guard actually routes through the dedup_clusters closure);
+    (3) refinement — docs in no cluster keep their plain
+    split_train_val assignment verbatim (same hash, same salt), so
+    adopting the guard re-splits ONLY the contaminated docs."""
+    from labelmain_spark.functions.dedup import dedup_clusters, split_leakage_safe
+    from labelmain_spark.functions.sampling import train_val_split
+    from labelmain_spark.sources.readers import load_table
+
+    out = split_leakage_safe(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(out) == docs.count(), "split must cover the whole corpus"
+
+    # (1) zero straddle
+    assert (out.groupby("group_key")["split"].nunique() == 1).all()
+
+    # (2) clustered docs: group_key == cluster_id
+    cc = dedup_clusters(spark, sf_dir).toPandas()
+    key_of = dict(zip(out.doc_id, out.group_key))
+    assert all(key_of[r.doc_id] == r.cluster_id for r in cc.itertuples())
+
+    # (3) singleton refinement: unclustered docs match the plain split
+    plain = {
+        r.doc_id: r.split
+        for r in train_val_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    clustered = set(cc.doc_id)
+    split_of = dict(zip(out.doc_id, out.split))
+    for d, s in split_of.items():
+        if d not in clustered:
+            assert s == plain[d], f"singleton {d} re-assigned"
+
+    # ...and the guard is not vacuous when the fixture provides a
+    # cluster whose members' PLAIN assignments disagree: those docs
+    # are exactly the leak the guard repairs.
+    leaked = [
+        r.doc_id
+        for r in cc.itertuples()
+        if plain[r.doc_id] != split_of[r.doc_id]
+    ]
+    straddled = (
+        cc.assign(pl=[plain[d] for d in cc.doc_id])
+        .groupby("cluster_id")["pl"]
+        .nunique()
+        > 1
+    )
+    if straddled.any():
+        assert leaked, "plain split straddles a cluster but guard changed nothing"
