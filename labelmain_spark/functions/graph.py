@@ -36,26 +36,54 @@ MAX_ITER = 30
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = MAX_ITER, stats: dict | None = None
+    edges: DataFrame,
+    max_iter: int = MAX_ITER,
+    stats: dict | None = None,
+    driver_tier: bool = True,
 ) -> DataFrame:
     """edges: (u long, p *) bipartite adjacency. Returns (u, component)
     where component = min u in the connected component.
 
-    Raises RuntimeError if the fixpoint is not reached within
-    ``max_iter`` rounds — silently returning half-propagated labels
-    would be a WRONG answer for any component with diameter beyond the
-    budget (each alternating round propagates labels ~2 hops, so
-    max_iter=30 covers diameter ≈ 60; real co-occurrence graphs are
-    far shallower). ``stats['rounds']`` reports the rounds actually
-    used, so tests can pin convergence = O(diameter) — in particular
-    that a giant star component (one hub attribute, the 100 TB skew
-    hazard) converges in 2 effective rounds, not O(n): both per-round
-    aggregations are Catalyst partial-agg (map-side local min, then
-    global min per key), so the hub key receives one partial row per
-    upstream partition rather than the whole membership."""
+    TIERED on the measured edge count (the heavy_hitters discipline —
+    a runtime statistic picks the plan, and both tiers are
+    output-identical by construction):
+
+    - ``n_edges ≤ SMALL_PLAN_ROWS`` (200k distinct edge rows): DRIVER
+      union-find. The distributed loop costs O(diameter) rounds of
+      2 joins + 2 partial aggs + a fixpoint-probe action EACH — pure
+      dispatch at this size (measured r12: dedup_clusters 7.36 →
+      ~3.4 s at sf0.1, the loop was HALF the key's wall on a graph of
+      a few thousand edges). The collect is bounded by the same
+      constant that already gates small_plan_conf (~200k narrow rows,
+      single-digit MB); path-compressed union-find labels it in one
+      driver pass and ships the labels back as one small frame.
+    - above the bound: the distributed hash-min loop below, unchanged
+      — at 100 TB the LSH-pruned pair graph blows the bound and this
+      is the tier that runs (``driver_tier=False`` forces it; the
+      loop-shape pytests pin it explicitly).
+
+    The distributed tier raises RuntimeError if the fixpoint is not
+    reached within ``max_iter`` rounds — silently returning
+    half-propagated labels would be a WRONG answer for any component
+    with diameter beyond the budget (each alternating round
+    propagates labels ~2 hops, so max_iter=30 covers diameter ≈ 60;
+    real co-occurrence graphs are far shallower). ``stats['rounds']``
+    reports the rounds actually used (0 = driver tier;
+    ``stats['tier']`` names the tier), so tests can pin convergence =
+    O(diameter) — in particular that a giant star component (one hub
+    attribute, the 100 TB skew hazard) converges in 2 effective
+    rounds, not O(n): both per-round aggregations are Catalyst
+    partial-agg (map-side local min, then global min per key), so the
+    hub key receives one partial row per upstream partition rather
+    than the whole membership."""
     from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
 
     edges = edges.select("u", "p").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = edges.count()
+    if driver_tier and n_edges <= SMALL_PLAN_ROWS:
+        out = _driver_union_find(edges, stats)
+        edges.unpersist()
+        return out
     comp = (
         edges.select("u").distinct().select("u", F.col("u").alias("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -68,8 +96,69 @@ def connected_components(
     # session.small_plan_conf for the measurement and the
     # why-this-is-not-hand-scheduling argument.
     n_nodes = comp.count()
+    if stats is not None:
+        stats["tier"] = "distributed"
     with small_plan_conf(edges.sparkSession, n_nodes <= SMALL_PLAN_ROWS):
         return _hash_min_loop(edges, comp, max_iter, stats)
+
+
+def _driver_union_find(edges: DataFrame, stats: dict | None) -> DataFrame:
+    """Path-compressed union-find over a BOUNDED collected edge list —
+    bit-identical labels to the hash-min loop (component = min u, both
+    are the connected-components fixpoint, which is unique). One
+    collect + one createDataFrame replace O(diameter) × (2 joins +
+    2 aggs + 1 action)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    anchor: dict = {}  # p -> first u seen (pair-nodes never labeled)
+    for u, p in zip(pdf["u"], pdf["p"]):
+        if u not in parent:
+            parent[u] = u
+        a = anchor.setdefault(p, u)
+        if a != u:
+            ra, ru = find(a), find(u)
+            if ra != ru:
+                # attach larger root under smaller so roots trend to
+                # the min (final labels still take an explicit min)
+                if ru < ra:
+                    ra, ru = ru, ra
+                parent[ru] = ra
+    lo: dict = {}
+    for u in parent:
+        r = find(u)
+        if r not in lo or u < lo[r]:
+            lo[r] = u
+    rows = [(u, lo[find(u)]) for u in parent]
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["tier"] = "driver"
+    ufield = edges.schema["u"]
+    schema = StructType(
+        [
+            StructField("u", ufield.dataType, ufield.nullable),
+            StructField("component", ufield.dataType, True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(_py(u), _py(c)) for u, c in rows], schema
+    )
+
+
+def _py(v):
+    """numpy scalar → plain python for createDataFrame."""
+    return v.item() if hasattr(v, "item") else v
 
 
 def _hash_min_loop(

@@ -82,7 +82,10 @@ def test_components_star_skew_converges_in_diameter_rounds(spark):
 
     edges = spark.range(10_000).select(F.col("id").alias("u"), F.lit(1).alias("p"))
     stats = {}
-    cc = graph.connected_components(edges, stats=stats)
+    # driver_tier=False: this test pins the DISTRIBUTED loop's
+    # convergence/skew behavior (the 100 TB tier), which the r12
+    # driver union-find tier would otherwise absorb at this size
+    cc = graph.connected_components(edges, stats=stats, driver_tier=False)
     assert stats["rounds"] <= 2, stats
     row = cc.agg(
         F.count_distinct("component").alias("nc"),
@@ -109,7 +112,7 @@ def test_components_raises_without_fixpoint(spark):
     rows = [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "c"), (3, "c")]
     edges = spark.createDataFrame(rows, "u long, p string")
     with _pytest.raises(RuntimeError, match="no fixpoint"):
-        graph.connected_components(edges, max_iter=1)
+        graph.connected_components(edges, max_iter=1, driver_tier=False)
 
 
 def test_range_join_degenerate_interval_matches_nothing(spark):
@@ -1484,3 +1487,34 @@ def test_split_leakage_safe_properties(spark, sf_dir):
     )
     if straddled.any():
         assert leaked, "plain split straddles a cluster but guard changed nothing"
+
+
+def test_components_driver_tier_equals_distributed_loop(spark):
+    """The r12 driver union-find tier is output-IDENTICAL to the
+    distributed hash-min loop (the connected-components fixpoint is
+    unique: component = min u), pinned on a seeded random bipartite
+    graph with singletons, chains, a star, and multi-p nodes."""
+    import random
+
+    from labelmain_spark.functions import graph
+
+    rng = random.Random(12)
+    rows = [(u, f"p{rng.randrange(40)}") for u in range(300) for _ in range(rng.randrange(3))]
+    rows += [(1000 + i, f"solo{i}") for i in range(20)]  # singleton comps
+    rows += [(2000 + i, f"c{i // 2}") for i in range(30)]  # chains
+    edges = spark.createDataFrame(rows, "u long, p string")
+
+    fast_stats, slow_stats = {}, {}
+    fast = {
+        (r.u, r.component)
+        for r in graph.connected_components(edges, stats=fast_stats).collect()
+    }
+    slow = {
+        (r.u, r.component)
+        for r in graph.connected_components(
+            edges, stats=slow_stats, driver_tier=False
+        ).collect()
+    }
+    assert fast_stats["tier"] == "driver" and fast_stats["rounds"] == 0
+    assert slow_stats["tier"] == "distributed" and slow_stats["rounds"] >= 1
+    assert fast == slow and fast
