@@ -147,10 +147,11 @@ HEADLINE2 = [
     "hll_grouped",
     "bloom_decontaminate",
     "embedding_drift",
-    # r12-born key — joins g2 at birth like the late-r11 keys did;
-    # r11→r12 g2 continuity comparisons must exclude it (PERF.md r12
+    # r12-born keys — join g2 at birth like the late-r11 keys did;
+    # r11→r12 g2 continuity comparisons must exclude them (PERF.md r12
     # reports both with/without)
     "split_leakage_safe",
+    "sample_token_budget",
 ]
 
 

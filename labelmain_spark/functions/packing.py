@@ -54,11 +54,22 @@ def exclusive_cumsum(
     out: str,
     width: int = PACK_PART_W,
     _level: int = 0,
+    prune_above: int | None = None,
 ) -> DataFrame:
     """df + column ``out`` = sum of ``val_col`` over all rows with a
     strictly smaller ``order_col`` (exclusive prefix sum). ``order_col``
     must be unique non-negative integers; gaps are fine (parts just
-    get fewer rows)."""
+    get fewer rows).
+
+    ``prune_above`` (r12, the token-budget sampler's lever): when the
+    caller only consumes rows with ``out < prune_above``, parts whose
+    OFFSET already exceeds the bound can never contribute one — the
+    per-level offsets table (tiny) is filtered before the join, so the
+    within-part sort/window runs only over the ~bound-covering prefix
+    of parts instead of the whole corpus. Rows with ``out ≥
+    prune_above`` MAY be absent from the result (they are exactly the
+    rows the caller filters); leave it None for the exact full-table
+    contract every packing key relies on."""
     if _level >= _MAX_LEVELS:
         raise RuntimeError("exclusive_cumsum: recursion depth exceeded")
     from pyspark import StorageLevel
@@ -91,7 +102,15 @@ def exclusive_cumsum(
     divisor = max(1, -(-(mx - mn + 1) // n_parts))
     rows = df.withColumn(p, F.expr(f"({order_col} - {mn}) div {divisor}"))
     totals = rows.groupBy(p).agg(F.sum(val_col).alias(t))
-    offs = exclusive_cumsum(totals, p, t, o, width, _level + 1)
+    # prune_above propagates down: a totals row's offset is a prefix of
+    # the same global sum, so the bound is sound at every level — at
+    # 10^12 rows the level-1 totals table is itself 10^9 rows and wants
+    # the same pruning
+    offs = exclusive_cumsum(totals, p, t, o, width, _level + 1, prune_above)
+    if prune_above is not None:
+        # inner join below drops every row of a pruned part — sound
+        # because part offset ≥ bound ⇒ every row's prefix ≥ bound
+        offs = offs.filter(F.col(o) < F.lit(prune_above))
     w_in = (
         W.partitionBy(p).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     )

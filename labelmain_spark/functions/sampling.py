@@ -274,6 +274,56 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TB_SALT = "tb:"  # independent draw from shuf:/smp: (same independence rule)
+TOKEN_BUDGET = 10_000
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling — mixture recipes specify TOKENS, not doc
+    counts ("300B tokens of web, 50B of code"), so the sampler must
+    take documents in a deterministic order until the cumulative token
+    count reaches the budget: every doc whose tokens START inside the
+    budget is kept (the shard_pack boundary rule), the order is the
+    corpus_shuffle construction under its own salt (reproducible from
+    the salt alone, retry/partition-stable, independent of the
+    sampling/mixing draws), and the output carries each kept doc's
+    exclusive prefix position so downstream exporters can cut exact
+    token spans.
+
+    Scale shape: the global prefix sum is packing.exclusive_cumsum's
+    two-level decomposition (NO un-partitioned window), and the budget
+    adds the r12 PRUNING lever: parts whose OFFSET already exceeds the
+    budget are dropped at the tiny offsets table — propagated down the
+    recursion — so the within-part sort/window runs only over the
+    ~budget-covering prefix of parts, not the corpus. Sampling 10k
+    tokens from 100 TB costs the token-count scan + per-part totals
+    (one partial agg) + a window over a handful of parts; only (okey,
+    n_tokens) pairs ever shuffle, payload text never moves.
+
+    Oracle: the naive global ``SUM() OVER (ORDER BY okey)`` window +
+    the same budget predicate — proving the pruned decomposition
+    exact."""
+    from labelmain_spark.functions.packing import exclusive_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    h = F.expr(_hash_hex_expr("doc_id", "spark", TB_SALT, SHUF_DIGITS))
+    keyed = docs.select(
+        "doc_id",
+        "n_tokens",
+        _checked_id_pack(h * F.lit(1 << 31) + F.col("doc_id")).alias("okey"),
+    )
+    c = exclusive_cumsum(
+        keyed, "okey", "n_tokens", "cum_before", prune_above=TOKEN_BUDGET
+    )
+    return c.filter(F.col("cum_before") < TOKEN_BUDGET).select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
 def _checked_id_pack(packed) -> "F.Column":
     """Evaluate a bit-packed order key, RAISING if doc_id breaks the
     [0, 2³¹) corpus-id contract the packing assumes — an out-of-range
@@ -423,6 +473,7 @@ QUERIES = {
     "corpus_shuffle": corpus_shuffle,
     "curriculum_order": curriculum_order,
     "split_train_val": split_train_val,
+    "sample_token_budget": sample_token_budget,
     "sample_stratified": sample_stratified,
     "mix_sources": mix_sources,
     "mix_temperature": mix_temperature,
@@ -504,6 +555,28 @@ ORACLE = {
                     THEN 'val' ELSE 'train' END AS split,
                lang, COUNT(*) AS n_docs
         FROM documents GROUP BY 1, 2
+    """,
+    # the naive global window the pruned two-level decomposition
+    # replaces — same okey construction, same budget predicate
+    "sample_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   ({_hash_hex_expr("doc_id", "duck", TB_SALT, SHUF_DIGITS)})
+                       * 2147483648 + doc_id AS okey
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY okey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_before AS BIGINT) AS cum_before
+        FROM c WHERE cum_before < {TOKEN_BUDGET}
     """,
     "sample_stratified": f"""
         SELECT doc_id, lang, n_chars FROM (

@@ -431,7 +431,15 @@ PRIORITY = [
     # gap_fill promoted r8 (never driver-verified): hourly-spine LOCF
     # — inherits window_running's driver coverage with a strictly
     # harder frame (see the W1-W3 rotation note above).
-    "gap_fill",
+    # gap_fill moved out r12 after four green rows (r8-r11): the
+    # event-time family keeps in-window rows via window_session and
+    # attribution_join_outer, and the LOCF spine keeps its property
+    # pytest. The slot funds the second r12-born full-oracle key,
+    # windowed at birth per the standing rule: token-budget sampling
+    # (mixture recipes specify tokens, not doc counts) — the
+    # corpus_shuffle order under its own salt, exclusive_cumsum with
+    # the new budget-pruning lever, naive-global-window oracle.
+    "sample_token_budget",
     # embeddings / similarity (§2.11) — similarity_topk out late-r5
     # (knn_join is its strict superset); embedding_neardup out r6
     # (both halves pinned in-window). ann_multiprobe_topk promoted r7
@@ -604,7 +612,7 @@ PRIORITY = [
     # members (justifications inline at their old slots above).
     "bpe_train", "multimodal_cdc_dedup", "quality_fasttext_score",
     "cms_user_sketch", "join_range", "text_normalize",
-    "perplexity_buckets",
+    "perplexity_buckets", "gap_fill",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -196,6 +196,7 @@ REPRESENTATIVE = [
     "embedding_drift",
     # round-12 additions
     "split_leakage_safe",
+    "sample_token_budget",
 ]
 
 

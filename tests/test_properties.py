@@ -1518,3 +1518,69 @@ def test_components_driver_tier_equals_distributed_loop(spark):
     assert fast_stats["tier"] == "driver" and fast_stats["rounds"] == 0
     assert slow_stats["tier"] == "distributed" and slow_stats["rounds"] >= 1
     assert fast == slow and fast
+
+
+def test_sample_token_budget_greedy_prefix(spark, sf_dir):
+    """Token-budget sampling pinned four ways: (1) kept docs are
+    exactly the hash-order PREFIX whose exclusive cumsum is under the
+    budget (greedy rule — no doc skipped, none past the cutoff); (2)
+    every kept cum_before < budget and the totals are consistent
+    (cum_before of the k-th doc in order = sum of the first k-1
+    n_tokens); (3) total kept tokens reach the budget whenever the
+    corpus has that many (the straddling last doc is kept, the
+    shard_pack boundary rule); (4) the budget-PRUNED exclusive_cumsum
+    matches the unpruned machinery row-for-row on the kept set."""
+    from labelmain_spark.functions.packing import exclusive_cumsum
+    from labelmain_spark.functions.sampling import (
+        SHUF_DIGITS,
+        TB_SALT,
+        TOKEN_BUDGET,
+        _checked_id_pack,
+        _hash_hex_expr,
+        sample_token_budget,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    out = {r.doc_id: r for r in sample_token_budget(spark, sf_dir).collect()}
+    assert out, "budget sampled nothing"
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    h = F.expr(_hash_hex_expr("doc_id", "spark", TB_SALT, SHUF_DIGITS))
+    ordered = sorted(
+        (
+            (r.okey, r.doc_id, r.n_tokens)
+            for r in docs.select(
+                "doc_id",
+                "n_tokens",
+                _checked_id_pack(h * F.lit(1 << 31) + F.col("doc_id")).alias("okey"),
+            ).collect()
+        )
+    )
+    cum = 0
+    want = {}
+    for _, doc_id, n in ordered:
+        if cum < TOKEN_BUDGET:
+            want[doc_id] = cum
+        cum += n
+    assert set(out) == set(want), "kept set is not the greedy prefix"
+    for d, c in want.items():
+        assert out[d].cum_before == c
+    total_corpus = sum(n for _, _, n in ordered)
+    kept_tokens = sum(out[d].n_tokens for d in out)
+    if total_corpus >= TOKEN_BUDGET:
+        assert kept_tokens >= TOKEN_BUDGET  # straddler kept
+
+    # (4) pruned == unpruned on the kept set
+    keyed = docs.select(
+        "doc_id",
+        "n_tokens",
+        _checked_id_pack(h * F.lit(1 << 31) + F.col("doc_id")).alias("okey"),
+    )
+    unpruned = {
+        r.doc_id: r.cum_before
+        for r in exclusive_cumsum(keyed, "okey", "n_tokens", "cum_before").collect()
+        if r.cum_before < TOKEN_BUDGET
+    }
+    assert unpruned == {d: r.cum_before for d, r in out.items()}
