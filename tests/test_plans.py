@@ -1115,3 +1115,58 @@ def test_heavy_hitters_tiers_and_sketch_plan_shape(spark, sf_dir):
     got = {(r.user_id, r.n) for r in sk.collect()}
     want = {(r.user_id, r.n) for r in _hh_exact(ev, "user_id").collect()}
     assert got == want and got, (len(got), len(want))
+
+
+def test_token_budget_prune_filters_offsets_below_window(spark, sf_dir):
+    """sample_token_budget's budget prune (r12): the offsets-side
+    filter `_poff0 < TOKEN_BUDGET` must be IN the plan (parts that
+    cannot contribute a kept row drop at the inner offsets join,
+    BEFORE the within-part window's exchange — the lever that deletes
+    the corpus-sized (okey, n_tokens) shuffle at cluster scale), and
+    the pruned plan must equal the unpruned machinery row-for-row on
+    the kept set (also pinned at the property test on real counts)."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions.sampling import (
+        TOKEN_BUDGET,
+        sample_token_budget,
+    )
+
+    df = sample_token_budget(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tiny fixtures may hit exclusive_cumsum's ≤width single-window
+    # base case where no pruning is needed; the filter pin applies
+    # whenever the recursive (part-keyed) branch planned
+    if "_part0" in plan:
+        assert f"< {TOKEN_BUDGET}" in plan and "_poff0" in plan, plan
+    assert (df.agg(F.max("cum_before")).first()[0] or 0) < TOKEN_BUDGET
+
+
+def test_exclusive_cumsum_prune_recursive_branch(spark):
+    """Force the recursive (part-keyed) branch with a narrow width and
+    pin the prune there: identical kept rows vs the unpruned contract,
+    the offsets filter in the plan, and rows of beyond-budget parts
+    absent from the pruned output (the cluster-scale shuffle saving)."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions.packing import exclusive_cumsum
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(100).cast("long").alias("v")
+    )
+    bound = 350  # keeps k=0..3 (prefix sums 0,100,200,300)
+    pruned = exclusive_cumsum(df, "k", "v", "out", width=8, prune_above=bound)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "_part0" in plan, "width=8 must plan the recursive branch"
+    assert f"< {bound}" in plan, plan
+    kept = {(r.k, r.out) for r in pruned.filter(F.col("out") < bound).collect()}
+    assert kept == {(0, 0), (1, 100), (2, 200), (3, 300)}
+    # beyond-budget parts were dropped before the window, not merely
+    # filtered at the end: the pruned frame is itself small
+    assert pruned.count() <= 8 * 2, "pruned output should be ~one part wide"
+    full = exclusive_cumsum(df, "k", "v", "out", width=8)
+    assert full.count() == 100
+    assert kept == {
+        (r.k, r.out) for r in full.filter(F.col("out") < bound).collect()
+    }
