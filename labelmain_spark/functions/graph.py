@@ -268,17 +268,36 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return integer_pagerank(spark, e)
 
 
-def integer_pagerank(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def integer_pagerank(
+    spark: SparkSession, edges: DataFrame, driver_tier: bool = True
+) -> DataFrame:
     """The integer-PageRank core over an arbitrary ``(src, dst)`` edge
     frame (node type free — longs for the event graph, domain strings
     for the web graph): the :func:`pagerank` contract (exact 1e-9-unit
     longs, fixed PR_ITERS, dangling mass dropped, small-graph
     iterations under the gated conf) factored out so every graph
-    source shares one verified loop."""
+    source shares one verified loop.
+
+    TIERED like connected_components (r12): below SMALL_PLAN_ROWS
+    distinct edges (bounded single-digit-MB collect) the five
+    iterations run as driver-side integer arithmetic — the SAME exact
+    math (floor-div contributions, integer damping ratio; integer
+    sums are order-free, so the result is bit-identical by
+    construction, pinned by a tier-equivalence pytest) — because at
+    this size each distributed iteration is one join + one agg + one
+    left join of pure dispatch. The returned frame still computes
+    ``pr`` with the Spark-side stable_round expression so the one
+    float in the output has a single engine spelling. Above the bound
+    the distributed loop below runs unchanged
+    (``driver_tier=False`` forces it)."""
     from labelmain_spark.operators.parity import stable_round
     from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
 
     e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    if driver_tier and e.count() <= SMALL_PLAN_ROWS:
+        out = _driver_pagerank(spark, e)
+        e.unpersist()
+        return out
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = e.join(outdeg, "src")
     nodes = (
@@ -326,6 +345,47 @@ def integer_pagerank(spark: SparkSession, edges: DataFrame) -> DataFrame:
     with small_plan_conf(spark, n_nodes <= SMALL_PLAN_ROWS):
         out.count()  # run the cached-graph iterations under the gated conf
     return out
+
+
+def _driver_pagerank(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """PR_ITERS of the integer-PageRank recurrence on a BOUNDED
+    collected edge list — every operation the distributed loop does
+    (r0 = SCALE DIV N, contribution = units DIV outdeg, damping =
+    85·Σ DIV 100, dangling mass dropped) as python ints, which are
+    exact and order-free, so the rank_units are bit-identical."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from labelmain_spark.operators.parity import stable_round
+
+    pdf = e.toPandas()
+    src = [_py(v) for v in pdf["src"]]
+    dst = [_py(v) for v in pdf["dst"]]
+    outdeg = Counter(src)
+    nodes = set(src) | set(dst)
+    r0 = PR_SCALE // len(nodes)
+    base = (r0 * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    units = dict.fromkeys(nodes, r0)
+    for _ in range(PR_ITERS):
+        s: dict = defaultdict(int)
+        for a, b in zip(src, dst):
+            s[b] += units[a] // outdeg[a]
+        units = {v: base + (PR_D_NUM * s[v]) // PR_D_DEN for v in nodes}
+    ntype = e.schema["src"].dataType
+    frame = spark.createDataFrame(
+        list(units.items()),
+        StructType(
+            [StructField("node", ntype, True), StructField("rank_units", LongType(), True)]
+        ),
+    )
+    # pr via the SAME Spark expression as the distributed tier — one
+    # engine spelling for the output's only float
+    return frame.select(
+        "node",
+        "rank_units",
+        stable_round(F.col("rank_units").cast("double") / F.lit(1e9), 9).alias("pr"),
+    )
 
 
 def _pagerank_oracle(

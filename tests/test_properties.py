@@ -1584,3 +1584,28 @@ def test_sample_token_budget_greedy_prefix(spark, sf_dir):
         if r.cum_before < TOKEN_BUDGET
     }
     assert unpruned == {d: r.cum_before for d, r in out.items()}
+
+
+def test_pagerank_driver_tier_equals_distributed(spark, sf_dir):
+    """The r12 integer-PageRank driver tier is bit-identical to the
+    distributed loop: integer arithmetic is exact and order-free, so
+    rank_units must match to the unit (and pr to the bit) on the real
+    event graph."""
+    from labelmain_spark.functions.graph import integer_pagerank
+    from labelmain_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    fast = {(r.node, r.rank_units, r.pr) for r in integer_pagerank(spark, e).collect()}
+    slow = {
+        (r.node, r.rank_units, r.pr)
+        for r in integer_pagerank(spark, e, driver_tier=False).collect()
+    }
+    assert fast == slow and fast
