@@ -47,6 +47,38 @@ def test_cumsum_matches_serial_model(spark, rows, width):
         acc += v
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=_ROWS,
+    width=st.sampled_from([2, 7, 1024]),
+    budget=st.integers(0, 30_000),
+)
+def test_cumsum_prune_matches_model_on_kept_set(spark, rows, width, budget):
+    """The r12 prune lever for arbitrary frames/widths/budgets: rows
+    with prefix < budget match the serial model exactly, and NO kept
+    row is missing (pruning may drop only beyond-budget rows) — the
+    soundness condition sample_token_budget rides on."""
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = dict(
+        exclusive_cumsum(df, "k", "v", "off", width=width, prune_above=budget)
+        .filter(F.col("off") < budget)
+        .select("k", "off")
+        .collect()
+    )
+    spark.catalog.clearCache()
+    acc = 0
+    want = {}
+    for k, v in sorted(rows):
+        if acc < budget:
+            want[k] = acc
+        acc += v
+    assert got == want, f"width={width} budget={budget}: {got} != {want}"
+
+
 def _interleave(a: int, b: int, bits: int = 16) -> int:
     z = 0
     for i in range(bits):
