@@ -136,6 +136,9 @@ def main() -> None:
                     ).save()
                     ts.append(round(time.time() - t0, 3))
                 row["spark"] = median(ts)
+                # Spark medians print BEFORE the duck phase (r12: a
+                # stalled oracle must not hold paid numbers hostage)
+                print(f"#   {key}: spark={row['spark']} (duck pending)", file=sys.stderr)
                 if row["spark"] > args.duck_budget:
                     too_slow.add(("spark", key))
             if key in oracle and ("duck", key) not in too_slow:

@@ -146,6 +146,11 @@ def main() -> None:
                     qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
                     ts.append(round(time.time() - t0, 3))
                 row["spark"] = median(ts)
+                # print the Spark medians BEFORE the DuckDB phase —
+                # r12 lesson: a duck CTE that stalls >20 min (or gets
+                # the whole run killed) must not hold the already-paid
+                # Spark numbers hostage
+                print(f"#   {key}: spark={row['spark']} (duck pending)", file=sys.stderr)
                 if row["spark"] > args.duck_budget:
                     too_slow.add(("spark", key))
             if ("duck", key) not in too_slow:
