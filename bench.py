@@ -152,6 +152,7 @@ HEADLINE2 = [
     # reports both with/without)
     "split_leakage_safe",
     "sample_token_budget",
+    "fim_transform",
 ]
 
 

@@ -1770,8 +1770,79 @@ def c4_clean(raw_docs: DataFrame) -> DataFrame:
     )
 
 
+# FIM (fill-in-the-middle) transform constants — Bavarian et al. 2022
+# ("Efficient Training of Language Models to Fill in the Middle"):
+# transform a hash-selected fraction of docs into PSM order
+# (prefix-suffix-middle with sentinels) so the model learns infilling;
+# the paper's headline result is that ~50% FIM rate costs no
+# left-to-right perplexity ("FIM-for-free"), hence FIM_BP = 5000.
+FIM_BP = 5000  # basis points of docs transformed
+FIM_MIN_TOKENS = 4  # below this a 3-way split has an empty span
+FIM_PRE, FIM_SUF, FIM_MID = "<PRE>", "<SUF>", "<MID>"
+
+
+def _fim_hash(salt: str, engine: str, ndigits: int = 8) -> str:
+    """First ``ndigits`` md5 hex digits of (salt || doc_id) as a
+    non-negative integer — Spark via conv(hex,16,10), DuckDB via the
+    '0x' cast (the dedup_simhash precedent); ≤8 digits = 32 bits,
+    sign-safe in both."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5(concat('{salt}', CAST(doc_id AS STRING))),"
+            f" 1, {ndigits}), 16, 10) AS BIGINT)"
+        )
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),"
+        f" 1, {ndigits}) AS BIGINT)"
+    )
+
+
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    a deterministic hash-selected FIM_BP fraction of documents is
+    split at two hash-derived token cuts 1 ≤ a < b ≤ n-1 (all three
+    spans non-empty) and re-emitted in PSM sentinel order
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the infilling objective
+    code models train on; the rest pass through untouched. Both the
+    apply/skip draw and the cut points are pure functions of doc_id
+    under distinct salts, so the transform is retry/partition-stable
+    and the oracle replays it exactly.
+
+    Scale shape: one narrow row-local codegen map — token split,
+    three integer hash folds, two slices, three joins — zero
+    shuffles, zero Python, linear in corpus bytes; the FIM rate and
+    cut entropy ride the hash, not an RNG, which is what makes the
+    transform reproducible across cluster re-runs (the property the
+    paper's data pipeline needs and ``df.sample``-style RNG cannot
+    give)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = _toks()
+    n = F.size(toks)
+    gate = F.expr(_fim_hash("fimg:", "spark")) % F.lit(10_000)
+    apply_ = (n >= FIM_MIN_TOKENS) & (gate < FIM_BP)
+    a = F.lit(1) + F.expr(_fim_hash("fima:", "spark")) % (n - F.lit(2)).cast("long")
+    b = a + F.lit(1) + F.expr(_fim_hash("fimb:", "spark")) % (n - F.lit(1) - a)
+    prefix = F.array_join(F.slice(toks, F.lit(1), a), " ")
+    middle = F.array_join(F.slice(toks, a + F.lit(1), b - a), " ")
+    suffix = F.array_join(F.slice(toks, b + F.lit(1), n - b), " ")
+    psm = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix, F.lit(FIM_MID), middle
+    )
+    return docs.select(
+        "doc_id",
+        F.when(apply_, F.lit(1)).otherwise(F.lit(0)).alias("fim_applied"),
+        F.when(apply_, a).otherwise(n).cast("long").alias("n_prefix"),
+        F.when(apply_, b - a).otherwise(F.lit(0)).cast("long").alias("n_middle"),
+        F.when(apply_, n - b).otherwise(F.lit(0)).cast("long").alias("n_suffix"),
+        F.when(apply_, psm).otherwise(F.col("text")).alias("psm"),
+    )
+
+
 QUERIES = {
     "c4_line_filter": c4_line_filter,
+    "fim_transform": fim_transform,
     "text_tokens": text_tokens,
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1810,6 +1881,38 @@ _BM25_CONTRIB = (
 )
 
 ORACLE = {
+    # same three hash folds, same integer cut arithmetic, same PSM
+    # sentinel order — the whole transform is a pure function of
+    # doc_id + text, so the oracle replays it token-for-token
+    "fim_transform": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   coalesce(text, '') AS text,
+                   string_split(coalesce(text, ''), ' ') AS toks,
+                   len(string_split(coalesce(text, ''), ' ')) AS n,
+                   ({_fim_hash("fimg:", "duck")}) % 10000 AS gate,
+                   {_fim_hash("fima:", "duck")} AS ha,
+                   {_fim_hash("fimb:", "duck")} AS hb
+            FROM documents
+        ), cut AS (
+            SELECT doc_id, text, toks, n,
+                   (n >= {FIM_MIN_TOKENS} AND gate < {FIM_BP}) AS apply,
+                   (1 + ha % (n - 2)) AS a,
+                   (1 + ha % (n - 2)) + 1 + hb % (n - 1 - (1 + ha % (n - 2))) AS b
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN apply THEN 1 ELSE 0 END AS INTEGER) AS fim_applied,
+               CAST(CASE WHEN apply THEN a ELSE n END AS BIGINT) AS n_prefix,
+               CAST(CASE WHEN apply THEN b - a ELSE 0 END AS BIGINT) AS n_middle,
+               CAST(CASE WHEN apply THEN n - b ELSE 0 END AS BIGINT) AS n_suffix,
+               CASE WHEN apply THEN
+                   '{FIM_PRE}' || array_to_string(list_slice(toks, 1, a), ' ')
+                   || '{FIM_SUF}' || array_to_string(list_slice(toks, b + 1, n), ' ')
+                   || '{FIM_MID}' || array_to_string(list_slice(toks, a + 1, b), ' ')
+               ELSE text END AS psm
+        FROM cut
+    """,
     "c4_line_filter": f"""
         WITH d AS (
             SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t

@@ -404,7 +404,16 @@ PRIORITY = [
     # recursive exclusive-cumsum core is shared with
     # pack_bins_harmonic, which keeps the packing family's row at the
     # harder whole-document granularity.
-    "pack_bins_harmonic",
+    # pack_bins_harmonic moved out r12 after four green rows (r8-r11,
+    # plus the ×400 0.58× crossover row on record): the packing /
+    # prefix-sum family keeps an in-window row via sample_token_budget
+    # (the same exclusive_cumsum machinery under the new budget-prune
+    # lever), and the Harmonic-K waste-bound property stays pinned.
+    # The slot funds the third r12-born full-oracle key, windowed at
+    # birth: the FIM (fill-in-the-middle) training transform —
+    # Bavarian et al. 2022's PSM reorder as a pure function of doc_id
+    # (hash gate + two hash cuts), row-local, zero shuffles.
+    "fim_transform",
     # funnel_match moved out r9 after green rows since r5: its
     # one-scan-one-shuffle ordered-sequence window keeps a dedicated
     # plan pin (tests/test_plans.py::test_funnel_match_one_scan_one_shuffle)
@@ -612,7 +621,7 @@ PRIORITY = [
     # members (justifications inline at their old slots above).
     "bpe_train", "multimodal_cdc_dedup", "quality_fasttext_score",
     "cms_user_sketch", "join_range", "text_normalize",
-    "perplexity_buckets", "gap_fill",
+    "perplexity_buckets", "gap_fill", "pack_bins_harmonic",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -197,6 +197,7 @@ REPRESENTATIVE = [
     # round-12 additions
     "split_leakage_safe",
     "sample_token_budget",
+    "fim_transform",
 ]
 
 
@@ -273,3 +274,30 @@ def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
     # and are simply absent; the 5-token doc scores at every rung
     assert {r["doc_id"] for r in rows} >= {5}
     spark.catalog.clearCache()
+
+
+def test_fim_transform_survives_short_docs(spark, tiny_docs_dir, duck_tiny=None):
+    """FIM's cut modulos divide by n-2 / n-1-a, which are ≤0 on 1-2
+    token docs (the r8 slice-hazard class). Both engines yield NULL
+    there and the apply gate (n >= FIM_MIN_TOKENS) keeps those rows on
+    the passthrough branch — pinned on the degenerate fixture in BOTH
+    engines (values equal, not just no-crash)."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sdf = _QUERIES["fim_transform"](spark, tiny_docs_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tiny_docs_dir}/documents.parquet')"
+    )
+    ddf = con.execute(em.oracle_sql()["fim_transform"]).fetchdf()
+    con.close()
+    from tests.oracle_utils import assert_parity
+
+    assert_parity(sdf, ddf, "fim_transform[tiny]")
+    by_id = {r.doc_id: r for r in sdf.itertuples()}
+    # empty text (n=1 after split) and 1/2-token docs must pass through
+    for d in (1, 2, 3):
+        assert by_id[d].fim_applied == 0

@@ -1609,3 +1609,51 @@ def test_pagerank_driver_tier_equals_distributed(spark, sf_dir):
         for r in integer_pagerank(spark, e, driver_tier=False).collect()
     }
     assert fast == slow and fast
+
+
+def test_fim_transform_round_trips_and_rates(spark, sf_dir):
+    """FIM transform pinned: (1) applied rows RECONSTRUCT the original
+    text exactly from the PSM string (prefix+middle+suffix in original
+    order — the transform loses nothing); (2) span token counts are
+    all non-empty and sum to the doc's count; (3) the hash gate lands
+    near FIM_BP (the paper's 50% rate); (4) passthrough rows carry the
+    text verbatim."""
+    import re
+
+    from labelmain_spark.functions.text import (
+        FIM_BP,
+        FIM_MID,
+        FIM_MIN_TOKENS,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    out = {r.doc_id: r for r in fim_transform(spark, sf_dir).collect()}
+    text = {
+        r.doc_id: (r.text or "")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(text)
+    pat = re.compile(
+        re.escape(FIM_PRE) + "(.*)" + re.escape(FIM_SUF) + "(.*)" + re.escape(FIM_MID) + "(.*)",
+        re.S,
+    )
+    n_applied = 0
+    for d, r in out.items():
+        n = len(text[d].split(" "))
+        if r.fim_applied:
+            n_applied += 1
+            m = pat.fullmatch(r.psm)
+            assert m, r.psm[:80]
+            pre, suf, mid = m.groups()
+            assert f"{pre} {mid} {suf}" == text[d], d
+            assert r.n_prefix >= 1 and r.n_middle >= 1 and r.n_suffix >= 1
+            assert r.n_prefix + r.n_middle + r.n_suffix == n
+        else:
+            assert r.psm == text[d]
+            assert (r.n_prefix, r.n_middle, r.n_suffix) == (n, 0, 0)
+    eligible = sum(1 for t in text.values() if len(t.split(" ")) >= FIM_MIN_TOKENS)
+    rate = n_applied / eligible
+    assert abs(rate - FIM_BP / 10_000) < 0.15, (n_applied, eligible)
