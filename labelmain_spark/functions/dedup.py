@@ -766,24 +766,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     this doc is the cluster's canonical survivor."""
     from pyspark import StorageLevel
 
-    from labelmain_spark.functions.graph import connected_components
     from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
 
-    # Persist + eagerly prime the verified pair set: the bipartite
-    # union reads it twice, and without the cache both branches
-    # re-evaluate the whole LSH-verify DAG (band join + 3-way jaccard
-    # join) concurrently against a cold cache — measured ~3 s of
-    # duplicated work at sf0.1. The pair table is tiny (near-dup pairs
-    # only), so this is the cheapest possible diamond point.
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_pairs = pairs.count()
-    pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
-    edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
-    )
-    cc = connected_components(edges)
+    n_pairs, cc = _pair_components(spark, sf_dir)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = cc.join(sizes, "component").select(
         F.col("u").alias("doc_id"),
@@ -802,6 +787,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()
     return out
+
+
+def _pair_components(spark: SparkSession, sf_dir: str):
+    """Verified near-dup pairs → connected-component labels — the
+    shared closure head of ``dedup_clusters`` and
+    ``split_leakage_safe`` (r12 self-review: one construction, one
+    maintenance point, so the two keys' cluster labels cannot drift —
+    their equality is pinned in pytest). Returns (n_pairs, cc) where
+    cc = (u, component), component = min doc_id of the component.
+
+    Persist + eagerly prime the verified pair set: the bipartite
+    union reads it twice, and without the cache both branches
+    re-evaluate the whole LSH-verify DAG (band join + 3-way jaccard
+    join) concurrently against a cold cache — measured ~3 s of
+    duplicated work at sf0.1. The pair table is tiny (near-dup pairs
+    only), so this is the cheapest possible diamond point; it is
+    RELEASED before returning (labels are materialized inside
+    connected_components in both tiers), so a long driver run does
+    not accumulate dead cached pair tables across keys."""
+    from pyspark import StorageLevel
+
+    from labelmain_spark.functions.graph import connected_components
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pairs = pairs.count()
+    pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
+    edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
+    )
+    cc = connected_components(edges)
+    pairs.unpersist()
+    return n_pairs, cc
 
 
 VAL_BP = 1000  # lowest 10% of the keyspace → validation
@@ -835,20 +854,8 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus beyond the join, nothing driver-side, and the split is
     retry/partition-stable like every hash sample in
     functions/sampling.py."""
-    from pyspark import StorageLevel
-
-    from labelmain_spark.functions.graph import connected_components
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    pairs.count()  # prime before the bipartite union reads it twice
-    pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
-    edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
-        pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
-    )
-    cc = connected_components(edges)
+    _, cc = _pair_components(spark, sf_dir)
     labeled = docs.join(
         cc.select(F.col("u").alias("doc_id"), F.col("component")), "doc_id", "left"
     )

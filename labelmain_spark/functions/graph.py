@@ -364,13 +364,10 @@ def _driver_pagerank(spark: SparkSession, e: DataFrame) -> DataFrame:
     dst = [_py(v) for v in pdf["dst"]]
     outdeg = Counter(src)
     nodes = set(src) | set(dst)
-    if not nodes:
-        # empty graph → empty typed frame, matching the distributed
-        # tier (whose DIV n never evaluates on zero rows)
-        units: dict = {}
-        r0 = 0
-    else:
-        r0 = PR_SCALE // len(nodes)
+    # empty graph → r0 irrelevant (no nodes to seed), empty typed
+    # frame below — matching the distributed tier whose DIV n never
+    # evaluates on zero rows
+    r0 = PR_SCALE // len(nodes) if nodes else 0
     base = (r0 * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
     units = dict.fromkeys(nodes, r0)
     for _ in range(PR_ITERS):

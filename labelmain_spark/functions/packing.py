@@ -61,9 +61,15 @@ def exclusive_cumsum(
     must be unique non-negative integers; gaps are fine (parts just
     get fewer rows).
 
-    ``prune_above`` (r12, the token-budget sampler's lever): when the
-    caller only consumes rows with ``out < prune_above``, parts whose
-    OFFSET already exceeds the bound can never contribute one — the
+    ``prune_above`` (r12, the token-budget sampler's lever): REQUIRES
+    ``val_col ≥ 0`` — the part-offset bound is monotone only for
+    non-negative values (a negative value downstream of a pruned part
+    could pull a later row's true prefix back under the bound, and the
+    inner offsets join would silently drop it). Every current caller
+    sums token counts; a signed-delta caller must leave this None.
+    When the caller only consumes rows with ``out < prune_above``,
+    parts whose OFFSET already exceeds the bound can never contribute
+    one — the
     per-level offsets table (tiny) is filtered before the join, so the
     within-part sort/window runs only over the ~bound-covering prefix
     of parts instead of the whole corpus. Rows with ``out ≥

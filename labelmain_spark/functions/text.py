@@ -1785,7 +1785,15 @@ def _fim_hash(salt: str, engine: str, ndigits: int = 8) -> str:
     """First ``ndigits`` md5 hex digits of (salt || doc_id) as a
     non-negative integer — Spark via conv(hex,16,10), DuckDB via the
     '0x' cast (the dedup_simhash precedent); ≤8 digits = 32 bits,
-    sign-safe in both."""
+    sign-safe in both.
+
+    Same VALUE as ``sampling._hash_hex_expr`` (the digit-fold sum IS
+    the hex-prefix integer — equality pinned in pytest), but it cannot
+    delegate: this helper runs at text-module import (the ORACLE
+    literal), and sampling's own import-time ORACLE reads
+    ``text.ORACLE`` back (``_curriculum_oracle``) — the documented
+    one-directional constraint there ("text.py never imports sampling
+    at module level") is what keeps that cycle un-deadlocked."""
     if engine == "spark":
         return (
             f"CAST(conv(substr(md5(concat('{salt}', CAST(doc_id AS STRING))),"

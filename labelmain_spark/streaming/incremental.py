@@ -594,18 +594,21 @@ def finalize_drift(
             "dim", "n", stable_round(F.col("_total") / F.col("n"), 6).alias("mean")
         )
     )
-    # LEFT join from the stream side (r11 advice): a dimension present
-    # in the landing stream but absent from the frozen baseline (e.g.
-    # a model version that widens the embedding) is exactly the shift
-    # this monitor exists to catch — an inner join would silently drop
-    # it. Baseline-less dims emit delta=NULL and a FORCED drift_flag=1.
+    # FULL OUTER join (r11 advice + r12 self-review): a dimension
+    # present on only ONE side is exactly the shift this monitor
+    # exists to catch — stream-only dims (a model version widening the
+    # embedding) AND baseline-only dims (a narrowed embedding, or an
+    # ingest bug zeroing a dim's partials) both surface with NULL on
+    # the missing side and a FORCED drift_flag=1, instead of being
+    # silently dropped by an inner (or one-sided left) join.
     delta = stable_round(F.col("mean") - F.col("base_mean"), 6)
-    return m.join(baseline, "dim", "left").select(
+    one_sided = F.col("base_mean").isNull() | F.col("mean").isNull()
+    return m.join(baseline, "dim", "full_outer").select(
         "dim",
         "n",
         "mean",
         delta.alias("delta"),
-        F.when(F.col("base_mean").isNull(), F.lit(1))
+        F.when(one_sided, F.lit(1))
         .otherwise((F.abs(delta) >= F.lit(eps)).cast("int"))
         .alias("drift_flag"),
     )

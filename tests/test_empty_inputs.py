@@ -276,7 +276,7 @@ def test_nll_ladder_survives_short_docs(spark, tiny_docs_dir, key):
     spark.catalog.clearCache()
 
 
-def test_fim_transform_survives_short_docs(spark, tiny_docs_dir, duck_tiny=None):
+def test_fim_transform_survives_short_docs(spark, tiny_docs_dir):
     """FIM's cut modulos divide by n-2 / n-1-a, which are ≤0 on 1-2
     token docs (the r8 slice-hazard class). Both engines yield NULL
     there and the apply gate (n >= FIM_MIN_TOKENS) keeps those rows on

@@ -1657,3 +1657,29 @@ def test_fim_transform_round_trips_and_rates(spark, sf_dir):
     eligible = sum(1 for t in text.values() if len(t.split(" ")) >= FIM_MIN_TOKENS)
     rate = n_applied / eligible
     assert abs(rate - FIM_BP / 10_000) < 0.15, (n_applied, eligible)
+
+
+def test_fim_hash_equals_sampling_hash_family(spark, duck):
+    """_fim_hash (hex-prefix via conv / '0x' cast) must equal
+    sampling._hash_hex_expr (the digit-fold sum) for the same salt and
+    width in BOTH engines — two spellings of one audited construction;
+    a divergence would silently change which docs FIM transforms."""
+    from labelmain_spark.functions.sampling import _hash_hex_expr
+    from labelmain_spark.functions.text import _fim_hash
+
+    ids = spark.createDataFrame([(i,) for i in (0, 1, 7, 123456789)], "doc_id long")
+    rows = ids.selectExpr(
+        "doc_id",
+        f"{_fim_hash('fimg:', 'spark')} AS a",
+        f"{_hash_hex_expr('doc_id', 'spark', 'fimg:', 8)} AS b",
+    ).collect()
+    assert all(r.a == r.b for r in rows), [(r.doc_id, r.a, r.b) for r in rows]
+
+    got = duck.execute(
+        "SELECT doc_id, "
+        f"{_fim_hash('fimg:', 'duck')} AS a, "
+        f"{_hash_hex_expr('doc_id', 'duck', 'fimg:', 8)} AS b "
+        "FROM (SELECT UNNEST([0, 1, 7, 123456789]) AS doc_id)"
+    ).fetchall()
+    assert all(a == b for _, a, b in got), got
+    assert {r.a for r in rows} == {a for _, a, _ in got}

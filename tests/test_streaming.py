@@ -700,3 +700,15 @@ def test_stream_drift_matches_batch(spark, sf_dir, tmp_path):
     assert len(flags3) == 64, "stream-only dim dropped from the monitor"
     assert flags3[0].delta is None and flags3[0].drift_flag == 1
     assert all(r.drift_flag == 0 for d, r in flags3.items() if d != 0)
+
+    # ...and the reverse (r12 self-review): a dim present in the
+    # BASELINE but absent from the stream (narrowed embedding, ingest
+    # bug zeroing a dim's partials) must also surface — NULL stream
+    # mean, forced drift_flag=1 — not vanish in a one-sided join.
+    widened = batch_means.unionByName(
+        spark.createDataFrame([(99, 0.0)], "dim int, base_mean double")
+    )
+    flags4 = {r.dim: r for r in inc.finalize_drift(spark, out, widened, eps=1e9).collect()}
+    assert 99 in flags4, "baseline-only dim dropped from the monitor"
+    assert flags4[99].mean is None and flags4[99].drift_flag == 1
+    assert all(r.drift_flag == 0 for d, r in flags4.items() if d != 99)
