@@ -600,10 +600,15 @@ def finalize_drift(
     # embedding) AND baseline-only dims (a narrowed embedding, or an
     # ingest bug zeroing a dim's partials) both surface with NULL on
     # the missing side and a FORCED drift_flag=1, instead of being
-    # silently dropped by an inner (or one-sided left) join.
+    # silently dropped by an inner (or one-sided left) join. The one
+    # legitimate empty case stays empty: a monitor that has seen ZERO
+    # epochs has nothing to compare — "nothing seen yet" is an empty
+    # typed frame (the zero-epoch finalizer contract), not an alarm on
+    # every baseline dim. The guard is one count over the ≤ n_dims
+    # merged-moment rows, not a corpus pass.
     delta = stable_round(F.col("mean") - F.col("base_mean"), 6)
     one_sided = F.col("base_mean").isNull() | F.col("mean").isNull()
-    return m.join(baseline, "dim", "full_outer").select(
+    out = m.join(baseline, "dim", "full_outer").select(
         "dim",
         "n",
         "mean",
@@ -612,6 +617,9 @@ def finalize_drift(
         .otherwise((F.abs(delta) >= F.lit(eps)).cast("int"))
         .alias("drift_flag"),
     )
+    if m.count() == 0:
+        return out.where(F.col("mean").isNotNull())  # empty, same schema
+    return out
 
 
 def run_release_sink(
