@@ -153,6 +153,10 @@ HEADLINE2 = [
     "split_leakage_safe",
     "sample_token_budget",
     "fim_transform",
+    # r12-continuation keys — same join-at-birth rule
+    "chat_sft_render",
+    "dedup_prefix",
+    "shard_manifest",
 ]
 
 

@@ -869,6 +869,115 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_W = 4  # blocking prefix width (tokens); the skew/recall lever
+PREFIX_TWIN_MOD = 13  # 1/PREFIX_TWIN_MOD of long docs get a truncated twin
+PREFIX_TWIN_BASE = 1_000_000_000
+PREFIX_MIN_TOKENS = 8  # twin eligibility: the half-doc must clear PREFIX_W
+
+
+def _prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table plus deterministic truncated re-crawl
+    twins: every (doc_id % PREFIX_TWIN_MOD = 0) doc of >= 8 tokens
+    re-appears as (doc_id + PREFIX_TWIN_BASE, first half of its
+    tokens) — the crawl artifact dedup_prefix exists to catch
+    (content-length-capped WARC captures, paywall teasers, RSS
+    summaries of full pages). Injected row-locally from doc_id (the
+    c4_line_filter fixture convention) so the operator fires on real
+    rows in BOTH engines; one scan, a 2-element array explode, no
+    second pass over documents."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return (
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"""array(
+                    struct(doc_id, text),
+                    CASE WHEN doc_id % {PREFIX_TWIN_MOD} = 0
+                              AND size(split(text, ' ')) >= {PREFIX_MIN_TOKENS}
+                         THEN struct(
+                             doc_id + {PREFIX_TWIN_BASE} AS doc_id,
+                             array_join(slice(split(text, ' '), 1,
+                                              size(split(text, ' ')) DIV 2), ' ') AS text)
+                         ELSE NULL END)"""
+                )
+            ).alias("r")
+        )
+        .filter(F.col("r").isNotNull())
+        .select("r.doc_id", "r.text")
+    )
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection — a doc is a PREFIX DUP when a
+    strictly longer doc exists whose text starts with it at a token
+    boundary (other.text startswith self.text || ' '). The crawl
+    failure mode exact dedup misses: re-fetches cut short by
+    content-length caps, teaser/summary pages, partial API pages —
+    the short capture carries no new tokens and training on both
+    double-counts the shared prefix. Exact-equal texts are NOT
+    flagged (that is ``dedup_exact``'s job; strict > keeps the two
+    keys disjoint).
+
+    Shape: block on the md5 of the first PREFIX_W tokens — a prefix
+    of length >= PREFIX_W shares its victim's first PREFIX_W tokens
+    by construction, so blocking loses nothing (docs under PREFIX_W
+    tokens are ineligible, documented) — then one digest-keyed
+    equi-join verifies startswith via substr equality. The shuffle
+    carries 16-byte block digests + the candidate texts; per-block
+    cost is quadratic, so the skew lever at 100 TB is W itself
+    (boilerplate openings -> raise W; recall is unchanged for dups
+    longer than W). The join-free alternative for pathological
+    blocks — sort within block and test only each row's
+    lexicographic successor, valid over space-delimited all-above-
+    space alphabets — is one window over the same exchange.
+
+    Output: one row per augmented-corpus doc (doc_id, n_tokens,
+    is_prefix_dup, dup_of) with dup_of = the smallest strictly-longer
+    superstring doc's id, -1 when none."""
+    return prefix_dups(_prefix_corpus(spark, sf_dir))
+
+
+def prefix_dups(aug: DataFrame) -> DataFrame:
+    """The dedup_prefix detection core over any (doc_id, text) frame
+    (text non-null) — separated so the boundary/strictness rules are
+    unit-testable on engineered frames."""
+    toks = F.split(F.col("text"), " ")
+    keyed = aug.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.slice(toks, 1, PREFIX_W), " ")).alias("block"),
+    ).filter(F.col("n_tokens") >= PREFIX_W)
+    hits = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("b.n_tokens") > F.col("a.n_tokens"))
+            & (F.expr("substr(b.text, 1, length(a.text) + 1) = concat(a.text, ' ')")),
+            "inner",
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).cast("long").alias("dup_of"))
+    )
+    return (
+        aug.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("dup_of").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_prefix_dup"
+            ),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
 def _sql_shingles(src: str = "text") -> str:
     return f"""
         list_distinct(CASE WHEN len(string_split({src}, ' ')) >= 3
@@ -900,6 +1009,7 @@ QUERIES = {
     "dedup_paragraph": dedup_paragraph,
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
+    "dedup_prefix": dedup_prefix,
     "split_leakage_safe": split_leakage_safe,
     "dedup_incremental": dedup_incremental,
     "corpus_delta": corpus_delta,
@@ -976,6 +1086,41 @@ def _sql_incr_hb() -> str:
 
 
 ORACLE = {
+    # same twin injection, same blocking digest, same substr verify —
+    # the blocked join replayed naively
+    "dedup_prefix": f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), aug AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {PREFIX_TWIN_BASE} AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       len(string_split(text, ' ')) // 2), ' ') AS text
+            FROM base
+            WHERE doc_id % {PREFIX_TWIN_MOD} = 0
+              AND len(string_split(text, ' ')) >= {PREFIX_MIN_TOKENS}
+        ), keyed AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(array_to_string(list_slice(string_split(text, ' '), 1,
+                       {PREFIX_W}), ' ')) AS block
+            FROM aug
+            WHERE len(string_split(text, ' ')) >= {PREFIX_W}
+        ), hits AS (
+            SELECT a.doc_id AS doc_id, MIN(b.doc_id) AS dup_of
+            FROM keyed a JOIN keyed b
+              ON a.block = b.block AND b.n_tokens > a.n_tokens
+             AND substr(b.text, 1, length(a.text) + 1) = a.text || ' '
+            GROUP BY a.doc_id
+        )
+        SELECT g.doc_id,
+               CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN h.dup_of IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_prefix_dup,
+               CAST(coalesce(h.dup_of, -1) AS BIGINT) AS dup_of
+        FROM aug g LEFT JOIN hits h USING (doc_id)
+    """,
     "dedup_exact": """
         SELECT sha256(lower(trim(text))) AS h,
                MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups

@@ -147,6 +147,57 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-manifest over ``shard_pack``'s assignment — the
+    integrity index a streaming dataloader consumes (WebDataset /
+    MosaicML-streaming style): one row per shard with doc/token
+    totals, the id span, and ``content_fp`` — the md5 of the shard's
+    member-document fingerprints joined '|' in doc_id order. A reader
+    that re-hashes a downloaded shard and mismatches the manifest
+    detects corruption/drift BEFORE training consumes it; the id span
+    gives random access without opening shards.
+
+    Scale shape: the same one-pass two-level ``exclusive_cumsum``
+    (the per-doc md5 rides the cached projection — ~50 bytes/row,
+    still narrow), then ONE groupBy(shard_id) whose collect_list is
+    bounded by the budget constant itself (a shard spans SHARD_TOKENS
+    offset units and every doc carries >= 1 token, so <=
+    SHARD_TOKENS + 1 members — the ordered in-shard digest concat is
+    O(budget), never O(corpus)). The manifest output is
+    corpus_tokens/SHARD_TOKENS rows — trivially collectable at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    packed = exclusive_cumsum(docs, "doc_id", "n_tokens", "start_offset")
+    return (
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            "fp",
+            F.expr(f"start_offset div {SHARD_TOKENS}").cast("long").alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(doc_id, fp))),"
+                        " x -> x.fp)"
+                    ),
+                    "|",
+                )
+            ).alias("content_fp"),
+        )
+    )
+
+
 SEQ_LEN = 512
 
 
@@ -290,11 +341,36 @@ def pack_bins_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "shard_pack": shard_pack,
+    "shard_manifest": shard_manifest,
     "pack_sequences": pack_sequences,
     "pack_bins_harmonic": pack_bins_harmonic,
 }
 
 ORACLE = {
+    # same assignment as shard_pack's naive global window, same
+    # ordered in-shard digest concat via string_agg ORDER BY
+    "shard_manifest": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   md5(coalesce(text, '')) AS fp
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens, fp,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // {SHARD_TOKENS} AS shard_id
+            FROM t
+        )
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc,
+               md5(string_agg(fp, '|' ORDER BY doc_id)) AS content_fp
+        FROM c GROUP BY shard_id
+    """,
     "pack_bins_harmonic": f"""
         WITH d AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

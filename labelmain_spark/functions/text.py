@@ -1848,9 +1848,75 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SFT chat-template constants. Single-turn instruction tuning renders
+# each (instruction, response) pair into one training string with role
+# sentinels and trains ONLY on the response span — every open recipe
+# (Alpaca, FLAN, Tülu) masks the prompt tokens out of the loss, so the
+# pipeline must emit the mask boundaries WITH the rendered text (a
+# trainer cannot re-derive them after tokenization without re-parsing
+# sentinels). The instruction is the doc's first k tokens under a
+# hash-derived cut, capped at SFT_MAX_INSTR (prompts are short; the
+# response carries the gradient).
+SFT_MIN_TOKENS = 2  # below this one of the two spans is empty
+SFT_MAX_INSTR = 32
+SFT_USER, SFT_ASST, SFT_END = "<|user|>", "<|assistant|>", "<|end|>"
+
+
+def chat_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-turn SFT chat-template render with loss-mask offsets —
+    the supervised-fine-tuning sibling of ``fim_transform``: each doc
+    splits at a hash-derived cut k = 1 + h % min(n-1, SFT_MAX_INSTR)
+    into (instruction, response), renders as
+    ``<|user|> instr <|assistant|> resp <|end|>`` (space-joined, so
+    the rendered string is exactly n + 3 whitespace tokens), and emits
+    the 1-indexed loss-mask token span [loss_start, loss_end] =
+    [k + 3, n + 3] — the response plus the <|end|> token, everything
+    before it (role sentinels + prompt) masked out, the standard SFT
+    objective. Docs under SFT_MIN_TOKENS pass through untouched with a
+    zeroed mask (one span would be empty).
+
+    The cut is a pure function of doc_id (``_fim_hash`` under its own
+    salt), so the render is retry/partition-stable and the oracle
+    replays it token-for-token.
+
+    Scale shape: one narrow row-local codegen map — token split, one
+    integer hash fold, two slices, one concat — zero shuffles, zero
+    Python, linear in corpus bytes; the multi-turn extension is the
+    same expression iterated over a conversation array, still
+    row-local. Composes with scan pruning (only doc_id + text read)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    toks = _toks()
+    n = F.size(toks)
+    apply_ = n >= SFT_MIN_TOKENS
+    # divisor least(n-1, cap) is 0 on 1-token docs -> NULL in BOTH
+    # engines (the fim_transform %-by-zero contract, value-pinned on
+    # the degenerate fixture); the gate keeps those rows on the
+    # passthrough branch so the NULL is never consumed.
+    k = F.lit(1) + F.expr(_fim_hash("sftk:", "spark")) % F.least(
+        n - F.lit(1), F.lit(SFT_MAX_INSTR)
+    ).cast("long")
+    instr = F.array_join(F.slice(toks, F.lit(1), k), " ")
+    resp = F.array_join(F.slice(toks, k + F.lit(1), n - k), " ")
+    rendered = F.concat_ws(
+        " ", F.lit(SFT_USER), instr, F.lit(SFT_ASST), resp, F.lit(SFT_END)
+    )
+    return docs.select(
+        "doc_id",
+        F.when(apply_, F.lit(1)).otherwise(F.lit(0)).alias("sft_applied"),
+        n.cast("long").alias("n_tokens"),
+        F.when(apply_, k).otherwise(F.lit(0)).cast("long").alias("k_instr"),
+        F.when(apply_, k + F.lit(3)).otherwise(F.lit(0)).cast("long").alias("loss_start"),
+        F.when(apply_, n + F.lit(3)).otherwise(F.lit(0)).cast("long").alias("loss_end"),
+        F.when(apply_, rendered).otherwise(F.col("text")).alias("rendered"),
+    )
+
+
 QUERIES = {
     "c4_line_filter": c4_line_filter,
     "fim_transform": fim_transform,
+    "chat_sft_render": chat_sft_render,
     "text_tokens": text_tokens,
     "lang_id": lang_id,
     "text_quality": text_quality,
@@ -1889,9 +1955,36 @@ _BM25_CONTRIB = (
 )
 
 ORACLE = {
-    # same three hash folds, same integer cut arithmetic, same PSM
-    # sentinel order — the whole transform is a pure function of
-    # doc_id + text, so the oracle replays it token-for-token
+    # same hash fold, same cut arithmetic, same sentinel render — the
+    # whole transform is a pure function of doc_id + text, so the
+    # oracle replays it token-for-token (the fim_transform contract)
+    "chat_sft_render": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   coalesce(text, '') AS text,
+                   string_split(coalesce(text, ''), ' ') AS toks,
+                   len(string_split(coalesce(text, ''), ' ')) AS n,
+                   {_fim_hash("sftk:", "duck")} AS hk
+            FROM documents
+        ), c AS (
+            SELECT doc_id, text, toks, n,
+                   (n >= {SFT_MIN_TOKENS}) AS apply,
+                   1 + hk % least(n - 1, {SFT_MAX_INSTR}) AS k
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN apply THEN 1 ELSE 0 END AS INTEGER) AS sft_applied,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN apply THEN k ELSE 0 END AS BIGINT) AS k_instr,
+               CAST(CASE WHEN apply THEN k + 3 ELSE 0 END AS BIGINT) AS loss_start,
+               CAST(CASE WHEN apply THEN n + 3 ELSE 0 END AS BIGINT) AS loss_end,
+               CASE WHEN apply THEN
+                   '{SFT_USER} ' || array_to_string(list_slice(toks, 1, k), ' ')
+                   || ' {SFT_ASST} ' || array_to_string(list_slice(toks, k + 1, n), ' ')
+                   || ' {SFT_END}'
+               ELSE text END AS rendered
+        FROM c
+    """,
     "fim_transform": f"""
         WITH d AS (
             SELECT doc_id,

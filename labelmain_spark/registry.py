@@ -555,9 +555,21 @@ PRIORITY = [
     # (b) never-driver-verified promotions (r9 verdict item 7 list,
     # verbatim): the three r9 ladder rungs, the composed frozen
     # IVF-ADC twin, and six full-oracle pipeline keys.
-    "quality_4gram_nll", "quality_5gram_nll", "quality_kn3_nll",
+    # quality_5gram_nll and quality_kn3_nll moved out r12-cont after
+    # two green rows each (r10-r11): the NLL ladder keeps THREE
+    # in-window members — quality_4gram_nll (staying), plus the
+    # strictly harder interpolated-KN rungs quality_kn4_nll and
+    # quality_kn5_nll (both staying, both with deep-tier
+    # DuckDB-kernel-OOM rows) — so the n-gram LM family retains
+    # multiple driver rows through its hardest members.
+    # blocklist_filter moved out r12-cont after two green rows
+    # (r10-r11): domain_rank (staying) keeps the web family's driver
+    # row through the strictly harder member (same URL-host extract +
+    # the integer-PageRank loop), and the size-gated broadcast anti
+    # join shape stays plan-pinned in tests/test_plans.py.
+    "quality_4gram_nll",
     "ann_ivf_pq_frozen_topk", "dedup_simhash", "domain_rank",
-    "sample_group", "blocklist_filter", "contamination_matrix",
+    "sample_group", "contamination_matrix",
     "dataset_card",
     # (c) new r10 keys: interpolated KN at CCNet's production 5-gram
     # order (verdict item 4 — kn4 holds mirror + driver_sim rows) and
@@ -598,6 +610,16 @@ PRIORITY = [
     # decontamination, and per-dimension embedding drift.
     "ann_ivf_pq_seeded_topk", "heavy_hitters", "hll_registers",
     "hll_grouped", "bloom_decontaminate", "embedding_drift",
+    # ---- r12 continuation: three new full-oracle keys, windowed at
+    # birth per the standing rule (slots funded by quality_5gram_nll,
+    # quality_kn3_nll and blocklist_filter — justifications inline at
+    # their old slots above): the SFT chat-template render with
+    # loss-mask offsets (fim_transform's supervised sibling),
+    # truncation-duplicate detection via blocked prefix join (the
+    # crawl artifact exact dedup misses), and the shard export
+    # manifest with per-shard content checksums (the integrity index
+    # a streaming dataloader consumes).
+    "chat_sft_render", "dedup_prefix", "shard_manifest",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
@@ -622,6 +644,7 @@ PRIORITY = [
     "bpe_train", "multimodal_cdc_dedup", "quality_fasttext_score",
     "cms_user_sketch", "join_range", "text_normalize",
     "perplexity_buckets", "gap_fill", "pack_bins_harmonic",
+    "quality_5gram_nll", "quality_kn3_nll", "blocklist_filter",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -198,6 +198,9 @@ REPRESENTATIVE = [
     "split_leakage_safe",
     "sample_token_budget",
     "fim_transform",
+    "chat_sft_render",
+    "dedup_prefix",
+    "shard_manifest",
 ]
 
 
@@ -301,3 +304,30 @@ def test_fim_transform_survives_short_docs(spark, tiny_docs_dir):
     # empty text (n=1 after split) and 1/2-token docs must pass through
     for d in (1, 2, 3):
         assert by_id[d].fim_applied == 0
+
+
+def test_chat_sft_render_survives_short_docs(spark, tiny_docs_dir):
+    """The SFT cut's divisor least(n-1, cap) is 0 on 1-token docs —
+    NULL in both engines (the fim %-by-zero contract) — and the apply
+    gate keeps those rows on the passthrough branch; the 2-token doc
+    is the smallest applied case (k=1, one-token response). Parity
+    value-compared on the degenerate fixture in BOTH engines."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sdf = _QUERIES["chat_sft_render"](spark, tiny_docs_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tiny_docs_dir}/documents.parquet')"
+    )
+    ddf = con.execute(em.oracle_sql()["chat_sft_render"]).fetchdf()
+    con.close()
+    from tests.oracle_utils import assert_parity
+
+    assert_parity(sdf, ddf, "chat_sft_render[tiny]")
+    by_id = {r.doc_id: r for r in sdf.itertuples()}
+    for d in (1, 2):  # '' -> n=1, 'one' -> n=1: passthrough
+        assert by_id[d].sft_applied == 0
+    assert by_id[3].sft_applied == 1 and by_id[3].k_instr == 1

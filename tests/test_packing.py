@@ -82,6 +82,41 @@ def test_shard_pack_boundaries(spark, sf_dir):
         acc += r.n_tokens
 
 
+def test_shard_manifest_consistent_and_recomputable(spark, sf_dir):
+    """The manifest must agree with shard_pack's assignment row-for-row
+    (counts, token totals, id spans) and every content_fp must be
+    RECOMPUTABLE from the member docs — the integrity contract a
+    dataloader relies on. Also pins the boundedness claim: no shard
+    holds more than SHARD_TOKENS + 1 docs."""
+    import hashlib
+
+    from labelmain_spark.functions.packing import SHARD_TOKENS, shard_manifest
+    from labelmain_spark.sources.readers import load_table
+
+    got = {r.shard_id: r for r in shard_manifest(spark, sf_dir).collect()}
+    packed = shard_pack(spark, sf_dir).collect()
+    text = {
+        r.doc_id: (r.text or "")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert set(got) == set(by_shard)
+    for sid, members in by_shard.items():
+        m = got[sid]
+        members.sort(key=lambda r: r.doc_id)
+        assert m.n_docs == len(members) <= SHARD_TOKENS + 1
+        assert m.total_tokens == sum(r.n_tokens for r in members)
+        assert (m.first_doc, m.last_doc) == (members[0].doc_id, members[-1].doc_id)
+        fp = hashlib.md5(
+            "|".join(
+                hashlib.md5(text[r.doc_id].encode()).hexdigest() for r in members
+            ).encode()
+        ).hexdigest()
+        assert m.content_fp == fp, sid
+
+
 def test_pack_sequences_tiles_exactly(spark, sf_dir):
     """Segment map invariants: (1) every sequence except the last
     carries exactly SEQ_LEN tokens; (2) per doc, segments are

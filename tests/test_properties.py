@@ -1659,6 +1659,103 @@ def test_fim_transform_round_trips_and_rates(spark, sf_dir):
     assert abs(rate - FIM_BP / 10_000) < 0.15, (n_applied, eligible)
 
 
+def test_dedup_prefix_flags_verified_against_corpus(spark, sf_dir):
+    """Corpus-level: (1) every injected truncated twin is flagged (it
+    IS a strict token-boundary prefix of its base by construction);
+    (2) every flagged doc's claimed dup_of is verified against the
+    corpus — strictly longer and startswith at a token boundary;
+    (3) unflagged docs carry dup_of = -1."""
+    from labelmain_spark.functions.dedup import (
+        PREFIX_TWIN_BASE,
+        _prefix_corpus,
+        dedup_prefix,
+    )
+
+    out = {r.doc_id: r for r in dedup_prefix(spark, sf_dir).collect()}
+    text = {r.doc_id: r.text for r in _prefix_corpus(spark, sf_dir).collect()}
+    assert set(out) == set(text)
+    assert any(d >= PREFIX_TWIN_BASE for d in out)  # fixture fires
+    for d, r in out.items():
+        if d >= PREFIX_TWIN_BASE:
+            assert r.is_prefix_dup == 1, d
+        if r.is_prefix_dup:
+            t, o = text[d], text[r.dup_of]
+            assert len(o.split(" ")) > len(t.split(" ")) and o.startswith(t + " "), d
+        else:
+            assert r.dup_of == -1
+
+
+def test_prefix_dups_token_boundary_and_strictness(spark):
+    """Engineered frame pinning the two rules the corpus cannot
+    isolate: a CHARACTER-level superstring that is not a TOKEN-level
+    one must not match ('a b c d ef…' shares the 4-token block with
+    'a b c d e' but extends its last token), and exact-equal texts are
+    never flagged (strict length inequality — dedup_exact's turf)."""
+    from labelmain_spark.functions.dedup import prefix_dups
+
+    aug = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # glued extension in 2 must NOT match
+            (2, "a b c d ef g h"),   # same block as 1, not a token superstring
+            (3, "a b c d e"),        # exact dup of 1 — not flagged either way
+            (4, "a b c d e x"),      # true superstring of 1 and 3
+            (5, "a b"),              # under PREFIX_W — ineligible, still in output
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in prefix_dups(aug).collect()}
+    assert got[1].is_prefix_dup == 1 and got[1].dup_of == 4
+    assert got[3].is_prefix_dup == 1 and got[3].dup_of == 4
+    assert got[2].is_prefix_dup == 0 and got[2].dup_of == -1
+    assert got[4].is_prefix_dup == 0
+    assert got[5].is_prefix_dup == 0 and got[5].n_tokens == 2
+
+
+def test_chat_sft_render_mask_and_round_trip(spark, sf_dir):
+    """SFT render pinned: (1) applied rows RECONSTRUCT the original
+    text from the rendered string (instr + ' ' + resp); (2) the
+    rendered string is exactly n + 3 whitespace tokens and the
+    1-indexed slice [loss_start, loss_end] is the response plus the
+    <|end|> token — the exact span a trainer would unmask; (3) k is in
+    [1, min(n-1, SFT_MAX_INSTR)]; (4) passthrough rows (< 2 tokens)
+    carry the text verbatim with a zeroed mask."""
+    from labelmain_spark.functions.text import (
+        SFT_ASST,
+        SFT_END,
+        SFT_MAX_INSTR,
+        SFT_MIN_TOKENS,
+        SFT_USER,
+        chat_sft_render,
+    )
+    from labelmain_spark.sources.readers import load_table
+
+    out = {r.doc_id: r for r in chat_sft_render(spark, sf_dir).collect()}
+    text = {
+        r.doc_id: (r.text or "")
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(text)
+    for d, r in out.items():
+        toks = text[d].split(" ")
+        n = len(toks)
+        if r.sft_applied:
+            assert n >= SFT_MIN_TOKENS and r.n_tokens == n
+            assert 1 <= r.k_instr <= min(n - 1, SFT_MAX_INSTR)
+            rt = r.rendered.split(" ")
+            assert len(rt) == n + 3
+            assert rt[0] == SFT_USER and rt[-1] == SFT_END
+            assert rt[r.k_instr + 1] == SFT_ASST
+            # reconstruction: strip sentinels, rejoin
+            assert rt[1 : r.k_instr + 1] + rt[r.k_instr + 2 : -1] == toks, d
+            # the loss span (1-indexed) is response + <|end|>
+            assert (r.loss_start, r.loss_end) == (r.k_instr + 3, n + 3)
+            assert rt[r.loss_start - 1 : r.loss_end] == toks[r.k_instr :] + [SFT_END]
+        else:
+            assert n < SFT_MIN_TOKENS
+            assert r.rendered == text[d]
+            assert (r.k_instr, r.loss_start, r.loss_end) == (0, 0, 0)
+
+
 def test_fim_hash_equals_sampling_hash_family(spark, duck):
     """_fim_hash (hex-prefix via conv / '0x' cast) must equal
     sampling._hash_hex_expr (the digit-fold sum) for the same salt and
