@@ -1883,10 +1883,20 @@ def chat_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hash fold, two slices, one concat — zero shuffles, zero
     Python, linear in corpus bytes; the multi-turn extension is the
     same expression iterated over a conversation array, still
-    row-local. Composes with scan pruning (only doc_id + text read)."""
+    row-local. Composes with scan pruning (only doc_id + text read),
+    and — like ``c4_clean`` — runs UNCHANGED on a readStream (pure
+    per-row expression work, no foreachBatch shim; pinned by
+    test_stream_chat_sft_render_matches_batch)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
+    return sft_render(docs)
+
+
+def sft_render(docs: DataFrame) -> DataFrame:
+    """The SFT render projection over an arbitrary (doc_id, text)
+    frame (text non-null) — batch or streaming. See
+    ``chat_sft_render``."""
     toks = _toks()
     n = F.size(toks)
     apply_ = n >= SFT_MIN_TOKENS

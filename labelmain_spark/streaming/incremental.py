@@ -731,3 +731,98 @@ def finalize_release(
         F.sum("tok_cur").alias("tok_cur"),
     )
     return delta, drift_report(prev_agg, cur_agg)
+
+
+def run_shard_sink(
+    docs: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Streaming shard-frontier assignment — ``shard_pack`` for an
+    APPEND-ONLY corpus: a crawl lands documents continuously, and the
+    export layer wants each doc's global shard assignment without
+    ever re-scanning the corpus. The stream's only state is the token
+    FRONTIER (one number): each micro-batch computes its in-batch
+    exclusive prefix sums (the same two-level
+    ``packing.exclusive_cumsum``, doc_id order within the batch),
+    offsets them by the frontier, assigns
+    shard = offset div SHARD_TOKENS, and advances the frontier by its
+    own token total. Corpus order is (arrival epoch, doc_id) — for an
+    append-only landing zone arrival order IS corpus order, and when
+    files land in doc_id order the stream reproduces the batch
+    ``shard_pack`` row-for-row (the parity pin).
+
+    Idempotency: foreachBatch is at-least-once, so the frontier must
+    be REPLAY-STABLE — each epoch writes its own token total under
+    ``frontier/epoch=<id>`` and reads only epochs STRICTLY BELOW
+    itself when rebasing (its own stale directory from a crashed
+    attempt is thereby excluded), making a replayed epoch recompute
+    the byte-identical assignment. The frontier read is one tiny
+    summary row per prior epoch — O(epochs), never O(corpus) — which
+    is what keeps the rebase constant-cost at 100 TB where re-summing
+    landed docs would be a full manifest scan per batch. Same
+    fresh-checkpoint-clears-stale-epochs rule as run_release_sink."""
+    from labelmain_spark.functions.packing import SHARD_TOKENS, exclusive_cumsum
+
+    if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
+        for sub in ("assign", "frontier"):
+            shutil.rmtree(os.path.join(out_path, sub), ignore_errors=True)
+
+    def assign_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_l = batch.sparkSession
+        prior = _epoch_partials(
+            spark_l,
+            os.path.join(out_path, "frontier"),
+            "batch_tokens long, epoch int",
+        ).filter(F.col("epoch") < epoch_id)
+        frontier = prior.agg(
+            F.coalesce(F.sum("batch_tokens"), F.lit(0))
+        ).first()[0]
+        counts = batch.select(
+            "doc_id",
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        assigned = (
+            exclusive_cumsum(counts, "doc_id", "n_tokens", "_rel")
+            .select(
+                "doc_id",
+                "n_tokens",
+                (F.col("_rel") + F.lit(frontier)).cast("long").alias("start_offset"),
+            )
+            .withColumn(
+                "shard_id",
+                F.expr(f"start_offset div {SHARD_TOKENS}").cast("long"),
+            )
+        )
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(out_path, "assign", f"epoch={epoch_id}")
+        )
+        assigned.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("batch_tokens")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, "frontier", f"epoch={epoch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(assign_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def finalize_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """The stream's accumulated shard assignment — the same
+    (doc_id, n_tokens, start_offset, shard_id) contract as the batch
+    ``shard_pack`` (bit-equal to it when arrival order matches doc_id
+    order; pinned by the streaming parity test). Feeding this to the
+    ``shard_manifest`` aggregation yields the incremental export
+    manifest without re-scanning any document text."""
+    return _epoch_partials(
+        spark,
+        os.path.join(out_path, "assign"),
+        "doc_id long, n_tokens long, start_offset long, shard_id long",
+    )

@@ -401,6 +401,33 @@ def test_stream_c4_line_filter_matches_batch(spark, sf_dir):
     assert got == want and got, (len(got), len(want))
 
 
+def test_stream_chat_sft_render_matches_batch(spark, sf_dir):
+    """The SFT chat-template render is pure per-row expression work
+    (hash cut + slices + concat), so the IDENTICAL projection
+    (sft_render) must run on a readStream with no foreachBatch shim
+    and reproduce the batch key row-for-row — same
+    expression-only-class pin as c4_clean."""
+    from pyspark.sql import functions as F
+
+    from labelmain_spark.functions.text import chat_sft_render, sft_render
+
+    out = sft_render(
+        inc.stream_documents(spark, sf_dir).select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        )
+    )
+    _run_to_memory(out, "stream_sft")
+    got = {
+        (r.doc_id, r.sft_applied, r.k_instr, r.loss_start, r.loss_end, r.rendered)
+        for r in spark.sql("SELECT * FROM stream_sft").collect()
+    }
+    want = {
+        (r.doc_id, r.sft_applied, r.k_instr, r.loss_start, r.loss_end, r.rendered)
+        for r in chat_sft_render(spark, sf_dir).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+
+
 def test_stream_blocklist_matches_batch(spark, sf_dir, tmp_path):
     """Streaming blocklist gate == the batch key on the same docs:
     blocklist_docs is row-local (no cross-batch state), shared
@@ -712,3 +739,74 @@ def test_stream_drift_matches_batch(spark, sf_dir, tmp_path):
     assert 99 in flags4, "baseline-only dim dropped from the monitor"
     assert flags4[99].mean is None and flags4[99].drift_flag == 1
     assert all(r.drift_flag == 0 for d, r in flags4.items() if d != 99)
+
+
+def test_stream_shard_frontier_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming shard assignment == batch shard_pack across REAL
+    micro-batch boundaries: the corpus lands as three contiguous
+    doc_id-range files (mtimes staggered so the file source triggers
+    them in corpus order), each epoch rebases on the persisted token
+    frontier, and the accumulated assignment must reproduce the batch
+    key row-for-row — the one-number-of-state property that makes
+    shard packing incremental. A crash-resume re-run on the same
+    checkpoint must be a no-op (availableNow replays nothing; the
+    assignment is already committed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from labelmain_spark.functions.packing import shard_pack
+    from labelmain_spark.sources.readers import load_table
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    n = len(docs)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    t0 = 1_700_000_000
+    for i in range(3):
+        part = docs[cuts[i] : cuts[i + 1]]
+        p = str(land / f"d{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in part], pa.int64()),
+                    "text": pa.array([r.text for r in part], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    out, ckpt = str(tmp_path / "shards"), str(tmp_path / "ckpt")
+    inc.run_shard_sink(stream, out, ckpt)
+    epochs = os.listdir(os.path.join(out, "assign"))
+    assert len([d for d in epochs if d.startswith("epoch=")]) >= 2, epochs
+    want = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.shard_id)
+        for r in shard_pack(spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.shard_id)
+        for r in inc.finalize_shards(spark, out).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+    # crash-resume: same checkpoint, no new files -> nothing replays,
+    # the committed assignment is unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    inc.run_shard_sink(stream2, out, ckpt)
+    got2 = {
+        (r.doc_id, r.n_tokens, r.start_offset, r.shard_id)
+        for r in inc.finalize_shards(spark, out).collect()
+    }
+    assert got2 == want
