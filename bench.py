@@ -157,6 +157,7 @@ HEADLINE2 = [
     "chat_sft_render",
     "dedup_prefix",
     "shard_manifest",
+    "ann_recall_audit",
 ]
 
 

@@ -2371,8 +2371,43 @@ _SQL_KNN_JOIN = f"""
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the seeded-IVF retrieval against exact brute
+    force — the index-QA report every ANN deployment runs before
+    serving from it (recall at the operating point is THE number that
+    decides nprobe/k). Composes two already-hash-checked decision
+    procedures verbatim: ``ann_ivf_seeded_topk`` (the candidate set)
+    and ``similarity_topk`` (the ground truth), so the audit itself
+    gets a full oracle by nesting their SQL twins. Output is one row —
+    (k, n_ann, n_exact, n_hits, recall_bp) — with recall in exact
+    integer basis points (count * 10000 DIV k): no float surface.
+
+    Scale shape: both sub-plans are TOP_K-row results (persisted here
+    so the hit-join does not re-run the underlying scans); the audit
+    adds one broadcast join over k rows and three 1-row aggregates —
+    free at any corpus size. Run per query batch, the same composition
+    audits recall continuously as the corpus grows — the drift signal
+    that tells an operator the quantizer needs refitting."""
+    ann = ann_ivf_seeded_topk(spark, sf_dir).select("vec_id").persist()
+    exact = similarity_topk(spark, sf_dir).select("vec_id").persist()
+    hits = ann.join(F.broadcast(exact), "vec_id", "inner")
+    return (
+        ann.agg(F.count(F.lit(1)).cast("long").alias("n_ann"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .select(
+            F.lit(TOP_K).cast("int").alias("k"),
+            "n_ann",
+            "n_exact",
+            "n_hits",
+            F.expr(f"n_hits * 10000 DIV {TOP_K}").cast("long").alias("recall_bp"),
+        )
+    )
+
+
 QUERIES = {
     "similarity_topk": similarity_topk,
+    "ann_recall_audit": ann_recall_audit,
     "embedding_centroid": embedding_centroid,
     "embedding_drift": embedding_drift,
     "embedding_neardup": embedding_neardup,
@@ -2401,6 +2436,21 @@ QUERIES = {
     "cluster_topics": cluster_topics,
 }
 
+# brute-force cosine top-k twin — shared by similarity_topk and the
+# recall audit's ground-truth CTE
+_SQL_SIM_TOPK = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}
+        )
+        SELECT vec_id,
+               (FLOOR((list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
+        FROM e, q WHERE vec_id != {QUERY_VEC_ID}
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """
+
 ORACLE = {
     "ann_ivf_seeded_topk": _sql_ann_ivf_seeded(),
     "semantic_dedup": _sql_semantic_dedup(),
@@ -2412,17 +2462,22 @@ ORACLE = {
     "ann_lsh_topk": _sql_ann_lsh(),
     "cluster_topics": _sql_cluster_topics(),
     "knn_join": _SQL_KNN_JOIN,
-    "similarity_topk": f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), q AS (
-            SELECT v AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}
+    "similarity_topk": _SQL_SIM_TOPK,
+    # the recall audit nests the two already-checked twins verbatim —
+    # integer basis points, no float surface of its own
+    "ann_recall_audit": f"""
+        WITH ann AS (
+            SELECT vec_id FROM ({_sql_ann_ivf_seeded()})
+        ), exact AS (
+            SELECT vec_id FROM ({_SQL_SIM_TOPK})
         )
-        SELECT vec_id,
-               (FLOOR((list_dot_product(v, qv)
-                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))) * 10000.0 + 0.5) / 10000.0) AS cos_sim
-        FROM e, q WHERE vec_id != {QUERY_VEC_ID}
-        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+        SELECT CAST({TOP_K} AS INTEGER) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM ann) AS n_ann,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+               (SELECT CAST(count(*) AS BIGINT)
+                  FROM ann JOIN exact USING (vec_id)) AS n_hits,
+               (SELECT CAST(count(*) * 10000 // {TOP_K} AS BIGINT)
+                  FROM ann JOIN exact USING (vec_id)) AS recall_bp
     """,
     "embedding_centroid": f"""
         SELECT label, CAST(dim - 1 AS INTEGER) AS dim,

@@ -567,8 +567,14 @@ PRIORITY = [
     # row through the strictly harder member (same URL-host extract +
     # the integer-PageRank loop), and the size-gated broadcast anti
     # join shape stays plan-pinned in tests/test_plans.py.
+    # dedup_simhash moved out r12-cont after two green rows (r10-r11):
+    # the near-dup family keeps FOUR in-window rows (dedup_incremental,
+    # doc_fingerprint, dedup_prefix, split_leakage_safe — the last
+    # composing the full MinHash-LSH closure), and the 60-bit bit-vote
+    # oracle stays green in the mirror at both SFs. The slot funds
+    # ann_recall_audit, windowed at birth (below).
     "quality_4gram_nll",
-    "ann_ivf_pq_frozen_topk", "dedup_simhash", "domain_rank",
+    "ann_ivf_pq_frozen_topk", "domain_rank",
     "sample_group", "contamination_matrix",
     "dataset_card",
     # (c) new r10 keys: interpolated KN at CCNet's production 5-gram
@@ -620,6 +626,11 @@ PRIORITY = [
     # manifest with per-shard content checksums (the integrity index
     # a streaming dataloader consumes).
     "chat_sft_render", "dedup_prefix", "shard_manifest",
+    # ...and the fourth: the seeded-IVF recall@k audit — two
+    # already-hash-checked decision procedures composed under one
+    # nested oracle, recall in exact integer basis points (the
+    # index-QA report an ANN deployment runs before serving).
+    "ann_recall_audit",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
@@ -645,6 +656,7 @@ PRIORITY = [
     "cms_user_sketch", "join_range", "text_normalize",
     "perplexity_buckets", "gap_fill", "pack_bins_harmonic",
     "quality_5gram_nll", "quality_kn3_nll", "blocklist_filter",
+    "dedup_simhash",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -201,6 +201,7 @@ REPRESENTATIVE = [
     "chat_sft_render",
     "dedup_prefix",
     "shard_manifest",
+    "ann_recall_audit",
 ]
 
 
