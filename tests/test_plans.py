@@ -1170,3 +1170,31 @@ def test_exclusive_cumsum_prune_recursive_branch(spark):
     assert kept == {
         (r.k, r.out) for r in full.filter(F.col("out") < bound).collect()
     }
+
+
+def test_dedup_prefix_blocked_join_shape(spark, sf_dir):
+    """dedup_prefix's candidate generation must be a DIGEST-KEYED
+    equi-join (the block column reaches the join as a key, so the
+    shuffle carries 16-byte md5 digests, never an all-pairs product)
+    — the startswith verify rides the join condition, it must not
+    degrade the join to a nested-loop."""
+    from labelmain_spark.functions.dedup import dedup_prefix
+
+    plan = checks.physical_plan(dedup_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "block" in plan, plan[:1500]
+
+
+def test_ann_recall_audit_joins_are_bounded_broadcasts(spark, sf_dir):
+    """The recall audit's hit-join and the three 1-row aggregate
+    crossJoins must all be broadcasts over k-bounded frames — no
+    exchange keyed on anything unbounded enters above the sub-plans'
+    own (already-audited) shapes."""
+    from labelmain_spark.functions.vectors import ann_recall_audit
+
+    df = ann_recall_audit(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    df.sparkSession.catalog.clearCache()
