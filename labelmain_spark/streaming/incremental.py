@@ -778,12 +778,16 @@ def run_shard_sink(
         frontier = prior.agg(
             F.coalesce(F.sum("batch_tokens"), F.lit(0))
         ).first()[0]
+        # Persist the narrow projection OURSELVES (same plan object
+        # exclusive_cumsum re-persists — a no-op) so the batch's cache
+        # entry can be released after the writes; a long-running
+        # stream must not accumulate one pinned frame per epoch.
         counts = batch.select(
             "doc_id",
             F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
             .cast("long")
             .alias("n_tokens"),
-        )
+        ).persist()
         assigned = (
             exclusive_cumsum(counts, "doc_id", "n_tokens", "_rel")
             .select(
@@ -799,11 +803,15 @@ def run_shard_sink(
         assigned.write.mode("overwrite").parquet(
             os.path.join(out_path, "assign", f"epoch={epoch_id}")
         )
-        assigned.agg(
+        # frontier advance from the cached NARROW counts, not from
+        # `assigned` — summing the assignment frame would re-run the
+        # whole cumsum/offsets plan a second time per epoch
+        counts.agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("batch_tokens")
         ).write.mode("overwrite").parquet(
             os.path.join(out_path, "frontier", f"epoch={epoch_id}")
         )
+        counts.unpersist()
 
     q = (
         docs.writeStream.foreachBatch(assign_batch)
