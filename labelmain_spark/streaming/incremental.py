@@ -762,56 +762,12 @@ def run_shard_sink(
     is what keeps the rebase constant-cost at 100 TB where re-summing
     landed docs would be a full manifest scan per batch. Same
     fresh-checkpoint-clears-stale-epochs rule as run_release_sink."""
-    from labelmain_spark.functions.packing import SHARD_TOKENS, exclusive_cumsum
-
     if not os.path.exists(os.path.join(checkpoint_path, "offsets")):
         for sub in ("assign", "frontier"):
             shutil.rmtree(os.path.join(out_path, sub), ignore_errors=True)
 
     def assign_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark_l = batch.sparkSession
-        prior = _epoch_partials(
-            spark_l,
-            os.path.join(out_path, "frontier"),
-            "batch_tokens long, epoch int",
-        ).filter(F.col("epoch") < epoch_id)
-        frontier = prior.agg(
-            F.coalesce(F.sum("batch_tokens"), F.lit(0))
-        ).first()[0]
-        # Persist the narrow projection OURSELVES (same plan object
-        # exclusive_cumsum re-persists — a no-op) so the batch's cache
-        # entry can be released after the writes; a long-running
-        # stream must not accumulate one pinned frame per epoch.
-        counts = batch.select(
-            "doc_id",
-            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
-            .cast("long")
-            .alias("n_tokens"),
-        ).persist()
-        assigned = (
-            exclusive_cumsum(counts, "doc_id", "n_tokens", "_rel")
-            .select(
-                "doc_id",
-                "n_tokens",
-                (F.col("_rel") + F.lit(frontier)).cast("long").alias("start_offset"),
-            )
-            .withColumn(
-                "shard_id",
-                F.expr(f"start_offset div {SHARD_TOKENS}").cast("long"),
-            )
-        )
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(out_path, "assign", f"epoch={epoch_id}")
-        )
-        # frontier advance from the cached NARROW counts, not from
-        # `assigned` — summing the assignment frame would re-run the
-        # whole cumsum/offsets plan a second time per epoch
-        counts.agg(
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("batch_tokens")
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_path, "frontier", f"epoch={epoch_id}")
-        )
-        counts.unpersist()
+        _shard_assign_epoch(batch, out_path, epoch_id)
 
     q = (
         docs.writeStream.foreachBatch(assign_batch)
@@ -820,6 +776,58 @@ def run_shard_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def _shard_assign_epoch(batch: DataFrame, out_path: str, epoch_id: int) -> None:
+    """One epoch of the shard sink — module-level so the replay
+    contract is directly testable: invoking the SAME epoch twice (the
+    at-least-once failure mode: a crash after the writes but before
+    the checkpoint commit) must rewrite byte-identical output, because
+    the frontier rebase reads only epochs STRICTLY below epoch_id and
+    both writes overwrite the epoch's own directories."""
+    from labelmain_spark.functions.packing import SHARD_TOKENS, exclusive_cumsum
+
+    spark_l = batch.sparkSession
+    prior = _epoch_partials(
+        spark_l,
+        os.path.join(out_path, "frontier"),
+        "batch_tokens long, epoch int",
+    ).filter(F.col("epoch") < epoch_id)
+    frontier = prior.agg(F.coalesce(F.sum("batch_tokens"), F.lit(0))).first()[0]
+    # Persist the narrow projection OURSELVES (same plan object
+    # exclusive_cumsum re-persists — a no-op) so the batch's cache
+    # entry can be released after the writes; a long-running
+    # stream must not accumulate one pinned frame per epoch.
+    counts = batch.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    ).persist()
+    assigned = (
+        exclusive_cumsum(counts, "doc_id", "n_tokens", "_rel")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_rel") + F.lit(frontier)).cast("long").alias("start_offset"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"start_offset div {SHARD_TOKENS}").cast("long"),
+        )
+    )
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(out_path, "assign", f"epoch={epoch_id}")
+    )
+    # frontier advance from the cached NARROW counts, not from
+    # `assigned` — summing the assignment frame would re-run the
+    # whole cumsum/offsets plan a second time per epoch
+    counts.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("batch_tokens")
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_path, "frontier", f"epoch={epoch_id}")
+    )
+    counts.unpersist()
 
 
 def finalize_shards(spark: SparkSession, out_path: str) -> DataFrame:

@@ -810,3 +810,42 @@ def test_stream_shard_frontier_matches_batch(spark, sf_dir, tmp_path):
         for r in inc.finalize_shards(spark, out).collect()
     }
     assert got2 == want
+
+
+def test_shard_epoch_replay_is_byte_identical(spark, sf_dir, tmp_path):
+    """The at-least-once failure mode, invoked directly: re-running
+    the SAME epoch (a crash after the writes but before the checkpoint
+    commit) must rewrite byte-identical output and leave the
+    accumulated assignment unchanged — the frontier rebase reads only
+    epochs strictly below the replayed one, so its own stale
+    directories cannot feed back into it."""
+    from labelmain_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    a = docs.filter(F.col("doc_id") < 100)
+    b = docs.filter(F.col("doc_id") >= 100)
+    out = str(tmp_path / "shards")
+    inc._shard_assign_epoch(a, out, 0)
+    inc._shard_assign_epoch(b, out, 1)
+    before = sorted(
+        (r.doc_id, r.n_tokens, r.start_offset, r.shard_id)
+        for r in inc.finalize_shards(spark, out).collect()
+    )
+    # replay epoch 1 (and then epoch 0) — both must be no-ops
+    inc._shard_assign_epoch(b, out, 1)
+    inc._shard_assign_epoch(a, out, 0)
+    after = sorted(
+        (r.doc_id, r.n_tokens, r.start_offset, r.shard_id)
+        for r in inc.finalize_shards(spark, out).collect()
+    )
+    assert before == after and before
+    # and the frontier table holds exactly one row per epoch
+    fr = inc._epoch_partials(
+        spark, os.path.join(out, "frontier"), "batch_tokens long, epoch int"
+    ).collect()
+    assert sorted(r.epoch for r in fr) == [0, 1]
