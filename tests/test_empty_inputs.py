@@ -202,6 +202,7 @@ REPRESENTATIVE = [
     "dedup_prefix",
     "shard_manifest",
     "ann_recall_audit",
+    "lsh_recall_audit",
 ]
 
 

@@ -1711,6 +1711,49 @@ def test_prefix_dups_token_boundary_and_strictness(spark):
     assert got[5].is_prefix_dup == 0 and got[5].n_tokens == 2
 
 
+def test_lsh_recall_audit_invariants(spark, sf_dir):
+    """Audit-row invariants: (1) precision is 10000 bp by construction
+    (dedup_minhash verifies with the exact Jaccard the ground truth
+    uses); (2) the counterfactual 2×6 banding's candidates are a
+    PROVABLE SUBSET of the production 4×3's (a 6-row band equality is
+    the conjunction of its two constituent 3-row band equalities), so
+    recall_b2 <= recall; (3) hits bounded by both sides; (4) the
+    fixture fires (n_true > 0)."""
+    from labelmain_spark.functions.dedup import lsh_recall_audit
+
+    r = lsh_recall_audit(spark, sf_dir).collect()[0]
+    assert r.n_true > 0
+    assert r.precision_bp == 10000
+    assert r.n_hits <= min(r.n_true, r.n_lsh)
+    assert r.recall_b2_bp <= r.recall_bp
+    spark.catalog.clearCache()
+
+
+def test_band_pairs_coarser_banding_is_subset(spark):
+    """The subset claim itself, pinned on the candidate level over an
+    engineered signature frame: every 2-band candidate pair is a
+    4-band candidate pair (never vice versa — the frame includes a
+    pair agreeing on one 3-row band only)."""
+    from labelmain_spark.functions.dedup import MINHASH_K, _band_pairs
+
+    rows = []
+    # doc 1/2: identical first 6 hashes (2-band AND 4-band collide);
+    # doc 3/4: identical first 3 only (4-band band0 collides, 2-band
+    # band0 needs 6 — must NOT collide)
+    for d, pref in ((1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "bbb")):
+        h = [f"{pref}{i}" if (d in (1, 2) and i < 6) or (d in (3, 4) and i < 3)
+             else f"u{d}_{i}" for i in range(MINHASH_K)]
+        rows.append((d, *h))
+    sig = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"h{i} string" for i in range(MINHASH_K))
+    )
+    p4 = {(r.doc_a, r.doc_b) for r in _band_pairs(sig, 4).collect()}
+    p2 = {(r.doc_a, r.doc_b) for r in _band_pairs(sig, 2).collect()}
+    assert p2 <= p4
+    assert (1, 2) in p2 and (1, 2) in p4
+    assert (3, 4) in p4 and (3, 4) not in p2
+
+
 def test_chat_sft_render_mask_and_round_trip(spark, sf_dir):
     """SFT render pinned: (1) applied rows RECONSTRUCT the original
     text from the rendered string (instr + ' ' + resp); (2) the
