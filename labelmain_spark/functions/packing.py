@@ -172,29 +172,36 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
     )
     packed = exclusive_cumsum(docs, "doc_id", "n_tokens", "start_offset")
-    return (
+    return manifest_agg(
         packed.select(
             "doc_id",
             "n_tokens",
             "fp",
             F.expr(f"start_offset div {SHARD_TOKENS}").cast("long").alias("shard_id"),
         )
-        .groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-            F.max("doc_id").cast("long").alias("last_doc"),
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(doc_id, fp))),"
-                        " x -> x.fp)"
-                    ),
-                    "|",
-                )
-            ).alias("content_fp"),
-        )
+    )
+
+
+def manifest_agg(assigned: DataFrame) -> DataFrame:
+    """The manifest aggregation over any (doc_id, n_tokens, fp,
+    shard_id) assignment — shared VERBATIM by the batch key and the
+    streaming sink's ``finalize_shard_manifest`` so their parity
+    holds by construction. Per-group state bounded by
+    SHARD_TOKENS + 1 members (see ``shard_manifest``)."""
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(doc_id, fp))),"
+                    " x -> x.fp)"
+                ),
+                "|",
+            )
+        ).alias("content_fp"),
     )
 
 

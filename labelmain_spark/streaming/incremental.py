@@ -803,12 +803,17 @@ def _shard_assign_epoch(batch: DataFrame, out_path: str, epoch_id: int) -> None:
         F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
         .cast("long")
         .alias("n_tokens"),
+        # the doc fingerprint rides the narrow projection (the
+        # shard_manifest one-pass pattern) so the INCREMENTAL manifest
+        # needs no second pass over document text
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
     ).persist()
     assigned = (
         exclusive_cumsum(counts, "doc_id", "n_tokens", "_rel")
         .select(
             "doc_id",
             "n_tokens",
+            "fp",
             (F.col("_rel") + F.lit(frontier)).cast("long").alias("start_offset"),
         )
         .withColumn(
@@ -831,14 +836,27 @@ def _shard_assign_epoch(batch: DataFrame, out_path: str, epoch_id: int) -> None:
 
 
 def finalize_shards(spark: SparkSession, out_path: str) -> DataFrame:
-    """The stream's accumulated shard assignment — the same
-    (doc_id, n_tokens, start_offset, shard_id) contract as the batch
-    ``shard_pack`` (bit-equal to it when arrival order matches doc_id
-    order; pinned by the streaming parity test). Feeding this to the
-    ``shard_manifest`` aggregation yields the incremental export
-    manifest without re-scanning any document text."""
+    """The stream's accumulated shard assignment — the batch
+    ``shard_pack`` contract plus the per-doc fingerprint (bit-equal to
+    the batch key when arrival order matches doc_id order; pinned by
+    the streaming parity test)."""
     return _epoch_partials(
         spark,
         os.path.join(out_path, "assign"),
-        "doc_id long, n_tokens long, start_offset long, shard_id long",
+        "doc_id long, n_tokens long, fp string, start_offset long, shard_id long",
     )
+
+
+def finalize_shard_manifest(spark: SparkSession, out_path: str) -> DataFrame:
+    """The INCREMENTAL export manifest: the batch ``shard_manifest``
+    aggregation (``packing.manifest_agg``, shared verbatim) over the
+    stream's accumulated assignment — per-shard totals, id spans and
+    content checksums WITHOUT re-scanning any document text (the
+    fingerprints landed with the assignment). Only shards whose
+    offsets are already covered are final; the LAST shard of the
+    frontier keeps extending until the token total crosses its
+    boundary — the parity test closes the stream first, which is when
+    every shard is final."""
+    from labelmain_spark.functions.packing import manifest_agg
+
+    return manifest_agg(finalize_shards(spark, out_path))

@@ -810,6 +810,20 @@ def test_stream_shard_frontier_matches_batch(spark, sf_dir, tmp_path):
         for r in inc.finalize_shards(spark, out).collect()
     }
     assert got2 == want
+    # the INCREMENTAL manifest over the closed stream must equal the
+    # batch shard_manifest row-for-row — checksums included, no
+    # re-scan of document text (fingerprints landed with the epochs)
+    from labelmain_spark.functions.packing import shard_manifest
+
+    mgot = {
+        (r.shard_id, r.n_docs, r.total_tokens, r.first_doc, r.last_doc, r.content_fp)
+        for r in inc.finalize_shard_manifest(spark, out).collect()
+    }
+    mwant = {
+        (r.shard_id, r.n_docs, r.total_tokens, r.first_doc, r.last_doc, r.content_fp)
+        for r in shard_manifest(spark, sf_dir).collect()
+    }
+    assert mgot == mwant and mgot
 
 
 def test_shard_epoch_replay_is_byte_identical(spark, sf_dir, tmp_path):
