@@ -1198,3 +1198,16 @@ def test_ann_recall_audit_joins_are_bounded_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
     df.sparkSession.catalog.clearCache()
+
+
+def test_chat_sft_render_zero_shuffles(spark, sf_dir):
+    """The SFT render's zero-shuffles claim, pinned: the whole plan is
+    scan → project (one row-local codegen map) — no Exchange of any
+    kind may appear (same class as fim_transform/c4_clean)."""
+    from labelmain_spark.functions.text import chat_sft_render, fim_transform
+
+    for fn in (chat_sft_render, fim_transform):
+        plan = checks.physical_plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, (fn.__name__, plan[:1200])
+        # "*(n)" is the whole-stage-codegen marker in simpleString form
+        assert "*(1)" in plan, (fn.__name__, plan[:1200])

@@ -1711,6 +1711,43 @@ def test_prefix_dups_token_boundary_and_strictness(spark):
     assert got[5].is_prefix_dup == 0 and got[5].n_tokens == 2
 
 
+def test_prefix_window_equals_join(spark, sf_dir):
+    """The join-free successor-scan path must emit the SAME flags as
+    the blocked candidate join — on the real corpus (injected twins +
+    natural prefix pairs) AND on a hostile single-block frame (many
+    same-block texts, exact duplicates between a prefix and its
+    extension, a glued non-boundary extension). The witness (dup_of)
+    is intentionally not compared: the window path emits flags only."""
+    from labelmain_spark.functions.dedup import (
+        _prefix_corpus,
+        prefix_dup_flags_window,
+        prefix_dups,
+    )
+
+    aug = _prefix_corpus(spark, sf_dir)
+    jf = {r.doc_id: r.is_prefix_dup for r in prefix_dups(aug).collect()}
+    wf = {r.doc_id: r.is_prefix_dup for r in prefix_dup_flags_window(aug).collect()}
+    assert jf == wf and sum(jf.values()) > 0
+
+    hostile = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # prefix of 3/4 — dup of both
+            (2, "a b c d"),          # exact duplicate of 1 — also flagged
+            (3, "a b c d e"),        # prefix of 4 via "a b c d e f"? no: 4 is "a b c d e f"
+            (4, "a b c d e f"),
+            (5, "a b c d ef"),       # glued — superstring of NOTHING at boundary
+            (6, "a b c d x"),        # sorts after "a b c d e f" — tests non-adjacent
+            (7, "z z z z"),          # lone block
+        ],
+        "doc_id long, text string",
+    )
+    jh = {r.doc_id: r.is_prefix_dup for r in prefix_dups(hostile).collect()}
+    wh = {r.doc_id: r.is_prefix_dup for r in prefix_dup_flags_window(hostile).collect()}
+    assert jh == wh, (jh, wh)
+    assert jh[1] == 1 and jh[2] == 1 and jh[3] == 1
+    assert jh[5] == 0 and jh[7] == 0
+
+
 def test_lsh_recall_audit_invariants(spark, sf_dir):
     """Audit-row invariants: (1) precision is 10000 bp by construction
     (dedup_minhash verifies with the exact Jaccard the ground truth
