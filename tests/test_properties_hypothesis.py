@@ -421,3 +421,51 @@ def test_bloom_candidates_never_drop_members(spark, strings):
     members = {(i, s) for i, s in enumerate(strings) if s in set(bench)}
     assert members <= got, sorted(members - got)
     spark.catalog.clearCache()
+
+
+_PREFIX_TEXTS = st.lists(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3), min_size=1, max_size=8
+    ).map(" ".join),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_PREFIX_TEXTS)
+def test_prefix_paths_agree_and_match_model(spark, texts):
+    """The blocked-join and successor-window prefix-dup paths must
+    agree with each other AND with the O(n²) Python reference on
+    arbitrary token-boundary corpora over a 2-letter alphabet —
+    randomized inputs hit the classes a fixture never does (shared
+    blocks with interleaved non-extensions, duplicate texts, chains
+    a-prefix-of-b-prefix-of-c, sub-W docs)."""
+    from labelmain_spark.functions.dedup import (
+        PREFIX_W,
+        prefix_dup_flags_window,
+        prefix_dups,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    aug = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {}
+    for i, t in rows:
+        flag = 0
+        if len(t.split(" ")) >= PREFIX_W:
+            flag = int(
+                any(
+                    o.startswith(t + " ") and len(o.split(" ")) > len(t.split(" "))
+                    and len(o.split(" ")) >= PREFIX_W
+                    for _, o in rows
+                )
+            )
+        want[i] = flag
+    jf = {r.doc_id: r.is_prefix_dup for r in prefix_dups(aug).collect()}
+    wf = {r.doc_id: r.is_prefix_dup for r in prefix_dup_flags_window(aug).collect()}
+    assert jf == want, (jf, want, texts)
+    assert wf == want, (wf, want, texts)
