@@ -1038,17 +1038,25 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dups(_prefix_corpus(spark, sf_dir))
 
 
-def prefix_dups(aug: DataFrame) -> DataFrame:
-    """The dedup_prefix detection core over any (doc_id, text) frame
-    (text non-null) — separated so the boundary/strictness rules are
-    unit-testable on engineered frames."""
+def _prefix_keyed(df: DataFrame) -> DataFrame:
+    """(doc_id, text, n_tokens, block) with the first-PREFIX_W-token
+    blocking digest — shared by the join path, the successor-window
+    path and the incremental stream probe. Rows under PREFIX_W tokens
+    are already filtered (ineligible by the blocking contract)."""
     toks = F.split(F.col("text"), " ")
-    keyed = aug.select(
+    return df.select(
         "doc_id",
         "text",
         F.size(toks).cast("long").alias("n_tokens"),
         F.md5(F.array_join(F.slice(toks, 1, PREFIX_W), " ")).alias("block"),
     ).filter(F.col("n_tokens") >= PREFIX_W)
+
+
+def prefix_dups(aug: DataFrame) -> DataFrame:
+    """The dedup_prefix detection core over any (doc_id, text) frame
+    (text non-null) — separated so the boundary/strictness rules are
+    unit-testable on engineered frames."""
+    keyed = _prefix_keyed(aug)
     hits = (
         keyed.alias("a")
         .join(
