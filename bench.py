@@ -159,6 +159,7 @@ HEADLINE2 = [
     "shard_manifest",
     "ann_recall_audit",
     "lsh_recall_audit",
+    "containment_dedup",
 ]
 
 

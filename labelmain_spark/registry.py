@@ -579,8 +579,14 @@ PRIORITY = [
     # the plain join by the no-false-negatives argument, windowed
     # r12), and the matrix report's Expand shape stays plan-pinned.
     # The slot funds lsh_recall_audit, windowed at birth (below).
+    # domain_rank moved out r12-cont after two green rows (r10-r11):
+    # the web family keeps its in-window row through pagerank (the
+    # strictly harder member — same host extract, the full
+    # integer-PageRank loop with its driver tier), and domain_rank's
+    # plan stays green in the mirror at both SFs. The slot funds
+    # containment_dedup, windowed at birth (below).
     "quality_4gram_nll",
-    "ann_ivf_pq_frozen_topk", "domain_rank",
+    "ann_ivf_pq_frozen_topk",
     "sample_group",
     "dataset_card",
     # (c) new r10 keys: interpolated KN at CCNet's production 5-gram
@@ -643,6 +649,12 @@ PRIORITY = [
     # config-comparison form the audit exists for; the 2×6 column
     # reads 9200/9765 bp where the production 4×3 certifies 10000).
     "lsh_recall_audit",
+    # ...and the sixth: asymmetric containment dedup — the measure
+    # Jaccard structurally misses (short doc embedded in long:
+    # quotes, aggregators, truncations); 42 of its 68 sf0.01 pairs
+    # sit below the Jaccard-0.5 gate, so the key covers a pair class
+    # no other dedup member can.
+    "containment_dedup",
     # ---- driver window boundary (50) ----
     # Beyond-window keys stay registered and locally oracle-tested;
     # ordered most-valuable-first in case the driver checks more.
@@ -668,7 +680,7 @@ PRIORITY = [
     "cms_user_sketch", "join_range", "text_normalize",
     "perplexity_buckets", "gap_fill", "pack_bins_harmonic",
     "quality_5gram_nll", "quality_kn3_nll", "blocklist_filter",
-    "dedup_simhash", "contamination_matrix",
+    "dedup_simhash", "contamination_matrix", "domain_rank",
     # r11 rotated-out keys next (first checked if the
     # driver window ever widens) — every one retired green-last with
     # its justification inline at its old window slot above.

@@ -203,6 +203,7 @@ REPRESENTATIVE = [
     "shard_manifest",
     "ann_recall_audit",
     "lsh_recall_audit",
+    "containment_dedup",
 ]
 
 

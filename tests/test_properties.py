@@ -1748,6 +1748,39 @@ def test_prefix_window_equals_join(spark, sf_dir):
     assert jh[5] == 0 and jh[7] == 0
 
 
+def test_containment_dedup_catches_what_jaccard_misses(spark, sf_dir):
+    """The asymmetry claim, pinned: (1) every injected truncation twin
+    pair is flagged with containment ~1 (the twin's shingles are a
+    subset of its base's up to the cut boundary); (2) a non-empty
+    subset of flagged pairs sits BELOW the Jaccard threshold the rest
+    of the dedup family gates on — the pair class only this key
+    covers; (3) scores are consistent (containment >= jaccard always,
+    both in (0, 1])."""
+    from labelmain_spark.functions.dedup import (
+        CONTAIN_T,
+        JACCARD_THRESHOLD,
+        PREFIX_TWIN_BASE,
+        containment_dedup,
+    )
+
+    rows = containment_dedup(spark, sf_dir).collect()
+    assert rows
+    twin_pairs = [
+        r for r in rows
+        if r.doc_b - PREFIX_TWIN_BASE == r.doc_a or r.doc_a - PREFIX_TWIN_BASE == r.doc_b
+    ]
+    assert twin_pairs, "no truncation twin pair flagged"
+    assert all(r.containment >= 0.95 for r in twin_pairs)
+    assert any(r.jaccard < JACCARD_THRESHOLD for r in rows), (
+        "every flagged pair also clears the Jaccard gate — "
+        "the key is not discriminating"
+    )
+    for r in rows:
+        assert CONTAIN_T <= r.containment <= 1.0
+        assert 0.0 < r.jaccard <= r.containment
+    spark.catalog.clearCache()
+
+
 def test_lsh_recall_audit_invariants(spark, sf_dir):
     """Audit-row invariants: (1) precision is 10000 bp by construction
     (dedup_minhash verifies with the exact Jaccard the ground truth
