@@ -1102,28 +1102,55 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-based family. Output carries both scores so a consumer
     sees which family caught each pair.
 
-    Shape: identical machinery to ngram_jaccard — df-pruned inverted
-    index candidates (one boilerplate shingle cannot k²-explode the
-    join), exact verification counts on the UNPRUNED index via three
-    scalar-keyed hash joins, no array payloads across any join; the
-    one new expression is min() in the denominator. Same 100 TB
-    argument as that key, shingle-df skew lever included."""
+    Shape: candidate generation is PREFIX FILTERING (the AllPairs /
+    PPJoin family, Bayardo-Ma-Srikant 2007, public algorithm): a pair
+    with containment >= t over its smaller set S can miss at most
+    (1-t)·|S| of S's shingles, so ANY floor((1-t)·|S|)+1-subset of S
+    — in particular S's globally RAREST shingles — must intersect the
+    other doc. Candidates therefore join each doc's rarest-(1-t)
+    prefix postings against the full index, never full×full: hot
+    shingles almost never appear in a prefix (they are by definition
+    common), so the per-shingle candidate product is
+    |prefix postings| × |full postings| with a structurally tiny left
+    factor — the lever that holds where a df-threshold prune does not
+    (a uniform-df synthetic corpus defeats the threshold entirely;
+    measured in PERF.md). Verification counts stay exact on the
+    unpruned index via three scalar-keyed hash joins; the filter is
+    LOSSLESS for containment >= t, so the oracle keeps its naive
+    candidate generation and the value hash pins the equivalence."""
     aug = _prefix_corpus(spark, sf_dir)
     sh = aug.select(
         "doc_id",
         _shingles_from_tokens(F.split(F.col("text"), " ")).alias("shingles"),
     )
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    n_docs = aug.count()
-    ep = _pruned_index(e, _max_df(n_docs))
-    a = ep.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ep.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    df_tbl = e.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        e.join(df_tbl, "s")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "s")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("_rk") <= F.floor((1.0 - CONTAIN_T) * F.col("sz")) + 1
+    ).select("doc_id", "s")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     cand = (
-        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b")
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") != F.col("doc_b")))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
-    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
     eb = e.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
