@@ -413,6 +413,33 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFra
     return e
 
 
+def _exploded_shingles_of(docs: DataFrame) -> DataFrame:
+    """Persisted postings (doc_id, s) for an ARBITRARY (doc_id, text)
+    corpus — the `_exploded_shingles` discipline (repartition the raw
+    text by doc_id before the CPU-bound shingling; project the token
+    array so the lambda never re-tokenizes; persist the diamond and
+    prime it eagerly) for callers whose corpus is not the bare
+    documents table (containment_dedup runs over the `_prefix_corpus`
+    augmented view). r13 origin: containment_dedup inlined this and
+    lost all three properties — split() inside the transform lambda
+    (O(len²) per doc), no repartition (single-split scan → one core),
+    no persist (the plan scanned documents.parquet 16× for the five
+    downstream consumers)."""
+    from pyspark import StorageLevel
+
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    e = (
+        docs.select("doc_id", "text")
+        .repartition(n, F.col("doc_id"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .select("doc_id", _shingles_from_tokens(F.col("t")).alias("shingles"))
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    return e
+
+
 def _pair_jaccard(e: DataFrame, pairs: DataFrame) -> DataFrame:
     """Jaccard for given (doc_a, doc_b) pairs from the inverted index.
 
@@ -911,22 +938,50 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over a hash-sampled slice (the same sampling-family predicate
     every *_audit consumer composes upstream); the audit's own joins
     past the index are pair-keyed scalar hash joins, and the output is
-    one row."""
+    one row.
+
+    Cache lifetime (advisor r12): true_pairs / lsh / lsh_b2 stay
+    persisted after the returned aggregate materializes (unpersisting
+    inside this function would evict them before the caller's action
+    runs). Long-lived sessions invoking the audit repeatedly should
+    `spark.catalog.clearCache()` between invocations — the bench and
+    the test suite already do."""
     n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir)
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
     eb = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    cand = (
+    # Ground truth, FUSED (r13, guide §2.3/§2.4): the unpruned
+    # inverted-index self-join emits each co-occurring pair once PER
+    # SHARED SHINGLE, so count(*) per pair over that join IS |A∩B| —
+    # the r12 form discarded that information (distinct), then
+    # re-joined the full postings table twice via _pair_jaccard to
+    # recount it. Partial (map-side) aggregation collapses the pair
+    # stream before the exchange; two full-postings joins and the
+    # pair-distinct shuffle disappear from the plan. The jaccard
+    # expression is _pair_jaccard's verbatim, so the emitted pair set
+    # is identical.
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
         ea.join(
             eb,
             (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     true_pairs = (
-        _pair_jaccard(e, cand)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            stable_round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            )
+            >= JACCARD_THRESHOLD
+        )
         .select("doc_a", "doc_b")
         .persist()
     )
@@ -1116,31 +1171,38 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a uniform-df synthetic corpus defeats the threshold entirely;
     measured in PERF.md). Verification counts stay exact on the
     unpruned index via three scalar-keyed hash joins; the filter is
-    LOSSLESS for containment >= t, so the oracle keeps its naive
-    candidate generation and the value hash pins the equivalence."""
+    LOSSLESS for containment >= t, and the oracle's candidates are the
+    naive unpruned self-join (lossless by construction — the
+    lsh_recall_audit ground-truth shape), so the value hash pins the
+    pruned plan against a provably complete one.
+
+    r13 plan (guide §1/§2.4/§5): postings are built ONCE via
+    `_exploded_shingles_of` (persisted diamond — the r12 inline form
+    re-scanned parquet 16× across its five downstream consumers and
+    re-tokenized inside the transform lambda, O(len²) per doc), and
+    the prefix selection is a min-k struct aggregate per doc —
+    `slice(array_sort(collect_list(struct(_df, s))), 1,
+    floor((1-t)*cnt)+1)` — one hash aggregate on the doc_id exchange,
+    replacing a row_number() window that shuffle-sorted the ENTIRE
+    df-joined postings table to pick ~(1-t)·|S|+1 rows per doc."""
     aug = _prefix_corpus(spark, sf_dir)
-    sh = aug.select(
-        "doc_id",
-        _shingles_from_tokens(F.split(F.col("text"), " ")).alias("shingles"),
-    )
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    e = _exploded_shingles_of(aug)
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_tbl = e.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    from pyspark.sql.window import Window
-
-    ranked = (
+    prefix = (
         e.join(df_tbl, "s")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("_df", "s")
-            ),
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_df", "s"))),
+                F.lit(1),
+                (F.floor(F.lit(1.0 - CONTAIN_T) * F.count(F.lit(1))) + 1).cast(
+                    "int"
+                ),
+            ).alias("pre")
         )
-        .join(sizes, "doc_id")
+        .select("doc_id", F.explode(F.col("pre.s")).alias("s"))
     )
-    prefix = ranked.filter(
-        F.col("_rk") <= F.floor((1.0 - CONTAIN_T) * F.col("sz")) + 1
-    ).select("doc_id", "s")
     a = prefix.select(F.col("doc_id").alias("doc_a"), "s")
     b = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     cand = (
@@ -1431,8 +1493,12 @@ ORACLE = {
         JOIN f ON n.h = f.h
     """,
     "dedup_minhash": _MINHASH_PAIRS_SQL,
-    # same augmentation, same df-pruned candidates, same exact counts;
-    # containment = common / least(sz) beside the jaccard twin
+    # same augmentation, NAIVE UNPRUNED candidates (lossless by
+    # construction, the lsh_recall_audit ground-truth shape — the r12
+    # df-pruned candidates could in principle miss a true pair whose
+    # shared shingles are all hot, so parity against Spark's lossless
+    # AllPairs prefix filter held only per-fixture; advisor r12),
+    # same exact counts; containment = common / least(sz)
     "containment_dedup": f"""
         WITH base AS (
             SELECT doc_id, coalesce(text, '') AS text FROM documents
@@ -1449,14 +1515,9 @@ ORACLE = {
             SELECT doc_id, {_sql_shingles()} AS shingles FROM aug
         ), e AS (
             SELECT doc_id, unnest(shingles) AS s FROM sh
-        ), keep AS (
-            SELECT s FROM (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
-            WHERE df <= {_sql_max_df('sh')}
-        ), ep AS (
-            SELECT doc_id, s FROM e JOIN keep USING (s)
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM ep a JOIN ep b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
         ), sz AS (
             SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id
         ), com AS (
