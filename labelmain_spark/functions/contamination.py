@@ -105,70 +105,94 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_N = 8  # benchmark n-gram length; power of two → clean doubling
 
 
-def _doc_positions(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, tok) for an arbitrary (doc_id, text) frame."""
-    return docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    )
-
-
 def benchmark_ngrams(bench_docs: DataFrame) -> DataFrame:
-    """The benchmark's distinct DECON_N-gram hash set (h1, h2) — the
-    model artifact of decontamination. Built once from the eval suite
-    and probed by every batch (and every micro-batch of the streaming
-    twin); its size is bounded by the BENCHMARK, not the corpus."""
-    from labelmain_spark.functions.substrings import _position_hashes
+    """The benchmark's distinct DECON_N-gram digest set (gram_md5) —
+    the model artifact of decontamination. Built once from the eval
+    suite and probed by every batch (and every micro-batch of the
+    streaming twin); its size is bounded by the BENCHMARK, not the
+    corpus. r13: identity switched from the dual-lane xxhash64
+    doubling chain to the fused in-scan md5 span map — the form the
+    duplicate-span family already measured 3.5× cheaper at ×100
+    (substrings._md5_spans history: the doubling chain's lead()
+    windows force a full exchange+sort of every token row, which is
+    exactly what the probe side pays per batch). md5 of the actual
+    n-gram text is the ORACLE's own group identity, so the two-engine
+    independence argument only gets stronger."""
+    from labelmain_spark.functions.substrings import _md5_span_map
 
     return (
-        _position_hashes(_doc_positions(bench_docs), DECON_N)
-        .select("h1", "h2")
+        _md5_span_map(
+            bench_docs.select("doc_id", F.split(F.col("text"), " ").alias("toks")),
+            DECON_N,
+        )
+        .select("gram_md5")
         .distinct()
     )
 
 
 def decontaminate_docs(docs: DataFrame, bench: DataFrame) -> DataFrame:
     """Core span cleaner: cut every DECON_N-gram of ``docs`` whose
-    hash pair appears in ``bench``, merge overlapping cuts, reassemble
-    in position order. Per-document given the benchmark set — no
+    md5 appears in ``bench``, merge overlapping cuts, reassemble in
+    position order. Per-document given the benchmark set — no
     cross-document state — which is what makes the streaming twin
     (streaming/incremental.py::run_decontaminate_sink) batch-exact.
-    Output: (doc_id, n_tokens, n_removed, clean_text) per input doc."""
+    Output: (doc_id, n_tokens, n_removed, clean_text) per input doc.
+
+    r13 re-plan (guide §2.3/§2.4; before/after in
+    plans/r13/corpus_incremental_*.txt and OPTIMIZATION_r13.md §3).
+    The r12 plan posexploded every token, ran the xxhash64 doubling
+    chain (a full exchange+sort of all token rows for its lead()
+    windows), anti-joined covered positions against the exploded
+    tokens, and re-collected every kept token per doc — four
+    corpus-token-sized shuffles. Now: the fused in-scan md5 span map
+    generates candidate cuts with ZERO shuffle, the benchmark semi
+    join broadcasts (benchmark-bounded build side), islands merge runs
+    over CUT rows only, and reassembly is array surgery on the
+    persisted token arrays — `array_except(sequence(0, n-1), cut_pos)`
+    keeps position order by construction, so no per-token explode,
+    no anti-join, no collect_list of the corpus. The only
+    corpus-sized exchange left is the one repartition that keys the
+    token arrays by doc_id for the (small) cut-side join."""
     from pyspark import StorageLevel
 
     from labelmain_spark.functions.substrings import (
         _covered_positions,
-        _position_hashes,
+        _md5_span_map,
     )
 
-    # Both diamonds persist (the _spans_and_groups discipline): toks
-    # feeds the n-gram chain AND the reassembly anti-join; covered
-    # feeds the anti-join AND the per-doc removal count. Without the
-    # persist each action re-runs the corpus explode and the whole
-    # hash-chain + semi-join + islands subtree twice.
-    toks = _doc_positions(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    tarr = (
+        docs.select("doc_id", "text")
+        .repartition(n_part, F.col("doc_id"))
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cuts = (
-        _position_hashes(toks, DECON_N)
-        .join(bench, ["h1", "h2"], "left_semi")
+        _md5_span_map(tarr, DECON_N)
+        .join(bench, "gram_md5", "left_semi")
         .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + DECON_N).alias("e"))
     )
-    covered = _covered_positions(cuts).persist(StorageLevel.MEMORY_AND_DISK)
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
-        ).alias("clean_text"),
-    )
-    cov = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_removed")
-    )
-    return out.join(cov, "doc_id", "full_outer").select(
+    # islands are disjoint after the merge, so their sequences
+    # concatenate to the exact covered-position set (each position
+    # exactly once — the old explode's invariant, kept array-side).
+    cov = _covered_positions(cuts, as_array=True)
+    return tarr.join(cov, "doc_id", "left").select(
         "doc_id",
-        (F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0)))
-        .cast("long")
-        .alias("n_tokens"),
-        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cut_pos"), F.lit(0)).cast("long").alias("n_removed"),
+        F.when(F.col("cut_pos").isNull(), F.array_join("toks", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size("toks") - 1), F.col("cut_pos")
+                    ),
+                    lambda i: F.element_at("toks", i + 1),
+                ),
+                " ",
+            )
+        )
+        .alias("clean_text"),
     )
 
 
@@ -186,24 +210,24 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_tokens, n_removed, clean_text) for every TRAIN
     document — the decontaminated corpus plus its audit columns.
 
-    Scale shape: n-gram identity is the dual-lane xxhash64
-    prefix-doubling chain shared with the duplicate-span family
-    (substrings._position_hashes — ONE shuffle keyed by doc_id, then
-    log2(N) stacked windows over the same sort; 16 bytes/position,
-    never text). The benchmark n-gram set is `distinct` over the
-    (small by construction) eval split's positions; membership is a
-    LEFT SEMI join on the hash pair — the benchmark set never
-    materializes per document, and the semi join's build side is
-    benchmark-bounded, not corpus-bounded. Islands merge + anti-join
-    reassembly are the remove_duplicate_spans shapes
-    (substrings._covered_positions). Nothing is quadratic; every
-    shuffle key is a scalar or (long, long).
+    Scale shape (r13 re-plan, OPTIMIZATION_r13.md §3): n-gram identity
+    is the fused in-scan md5 span map shared with the duplicate-span
+    family (substrings._md5_span_map — zero shuffle, whole-stage
+    codegen; the r5-r12 xxhash64 doubling chain forced a full
+    exchange+sort of every token row for its lead() windows, the exact
+    cost the duplicate-span family's r9 ×100 A/B measured at 25.3 s vs
+    7.3 s). The benchmark n-gram set is `distinct` over the (small by
+    construction) eval split's grams; membership is a LEFT SEMI join
+    on the digest — the benchmark set never materializes per document,
+    and the semi join's build side is benchmark-bounded, not
+    corpus-bounded. Islands merge runs over CUT rows only; reassembly
+    is per-doc array surgery on the repartition-keyed token arrays
+    (decontaminate_docs). Nothing is quadratic; the one corpus-sized
+    exchange is the doc_id repartition of the token arrays.
 
-    Two-engine independence: Spark decides membership on the xxhash64
-    lane pair; the DuckDB oracle re-derives it from md5 over the
-    actual n-gram TEXT — agreement on the full value hash means two
-    independent algorithms produced identical cuts (the
-    duplicate_spans oracle discipline)."""
+    Two-engine identity: both engines decide membership on the md5 of
+    the actual n-gram TEXT (the duplicate_spans oracle discipline) —
+    group identity needs no collision argument on either side."""
     from labelmain_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -135,8 +135,16 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens straddle a budget boundary lands in the shard its FIRST
     token falls in (standard doc-granular packing; token-granular
     splitting reuses the same offsets with one extra explode)."""
+    # coalesce BEFORE tokenizing (advisor r12): a NULL text must count
+    # as the streaming twin's 1 empty token, not a NULL n_tokens that
+    # silently shifts every later doc's offset — batch/stream shard ids
+    # stay bit-equal on corpora with NULL rows (fixtures have none, so
+    # output is unchanged; both engines changed together).
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
     )
     packed = exclusive_cumsum(docs, "doc_id", "n_tokens", "start_offset")
     return packed.select(
@@ -166,9 +174,13 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(budget), never O(corpus)). The manifest output is
     corpus_tokens/SHARD_TOKENS rows — trivially collectable at any
     corpus size."""
+    # NULL-text handling aligned with fp and the streaming
+    # _shard_assign_epoch (advisor r12): coalesce first, 1 empty token.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("n_tokens"),
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
     )
     packed = exclusive_cumsum(docs, "doc_id", "n_tokens", "start_offset")
@@ -359,7 +371,7 @@ ORACLE = {
     "shard_manifest": f"""
         WITH t AS (
             SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
+                   len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
                    md5(coalesce(text, '')) AS fp
             FROM documents
         ), c AS (
@@ -422,7 +434,7 @@ ORACLE = {
     """,
     "shard_pack": f"""
         WITH t AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n_tokens
             FROM documents
         ), c AS (
             SELECT doc_id, n_tokens,

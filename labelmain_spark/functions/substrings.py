@@ -23,11 +23,13 @@ form's O(n·L) bytes, but it demanded a full-corpus exchange+sort of
 every TOKEN row before hashing could begin, plus a digest-group
 aggregate AND a representative back-fill join to produce the
 output's md5 column: 25.3 s vs 6.5 s at ×100 (13.3M positions). The
-doubling form survives on the decontamination path
-(:func:`_position_hashes`, L=8) where the input is already
-positional rows and spans are probed, not grouped. The crossover it
-keeps waiting for is L ≫ 10² (long-span dedup), where O(n·L) join
-bytes finally dominate a shuffle.
+doubling form survived r9-r12 on the decontamination path (L=8) on
+the theory that pre-exploded positional input changed the trade — it
+does not (the lead() windows still exchange+sort every token row),
+so r13 moved decontamination onto the fused map too
+(contamination.py, via :func:`_md5_span_map`) and the doubling form
+is retired. The crossover it kept waiting for is L ≫ 10² (long-span
+dedup), where O(n·L) join bytes finally dominate a shuffle.
 
 The DuckDB oracle computes the SAME output by the same-identity
 naive algorithm (explode every window, md5 the joined string,
@@ -43,54 +45,6 @@ from pyspark.sql import functions as F
 from labelmain_spark.sources.readers import load_table
 
 DUP_SPAN_L = 32  # tokens per span; power of two → clean doubling
-
-
-def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, tok) for every token; 0-based pos."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    return docs.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
-
-
-def _position_hashes(positions: DataFrame, L: int) -> DataFrame:
-    """(doc_id, pos, h1, h2) where (h1, h2) identifies the L-token
-    substring opening at pos — the dual-lane xxhash64 prefix-doubling
-    chain: log2(L) stacked ``lead`` windows over ONE per-doc sort
-    (Catalyst stacks same-spec Window operators with no re-exchange).
-    Positions without a full L-token span (doc tail) are dropped.
-    L must be a power of two. Shared by the corpus-wide duplicate-span
-    family (L=32) and span decontamination (contamination.py, L=8)."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy("pos")
-    df = positions.select(
-        "doc_id",
-        "pos",
-        F.xxhash64("tok").alias("h1"),
-        F.xxhash64(F.lit(1), "tok").alias("h2"),
-    )
-    k = 1
-    while k < L:
-        # null lead at the doc tail → null h: the position has no full
-        # L-token span and drops at the filter below. (xxhash64 SKIPS
-        # null inputs rather than propagating them, so the guard must
-        # be explicit.)
-        n1, n2 = F.lead("h1", k).over(w), F.lead("h2", k).over(w)
-        df = df.select(
-            "doc_id",
-            "pos",
-            F.when(n1.isNull(), F.lit(None).cast("long"))
-            .otherwise(F.xxhash64("h1", n1))
-            .alias("h1"),
-            F.when(n2.isNull(), F.lit(None).cast("long"))
-            .otherwise(F.xxhash64(F.lit(1), "h2", n2))
-            .alias("h2"),
-        )
-        k *= 2
-    return df.filter(F.col("h1").isNotNull())
 
 
 def _md5_spans(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
@@ -121,12 +75,22 @@ def _md5_spans(spark: SparkSession, sf_dir: str, L: int) -> DataFrame:
     The O(n·L) vs O(n·log L) trade flips only when L grows past the
     join+md5 cost of ~2·log L interpreted hash evals (L≫10²,
     long-span dedup); at Lee et al.'s L=50-token operating point the
-    fused form wins and the doubling form remains on the
-    pre-exploded contamination path (:func:`_position_hashes`) where
-    the input is already positional rows."""
+    fused form wins, and since r13 the contamination path (L=8) rides
+    it too (:func:`_md5_span_map`; the doubling form is retired —
+    see the module docstring)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
+    return _md5_span_map(docs, L)
+
+
+def _md5_span_map(docs: DataFrame, L: int) -> DataFrame:
+    """The fused span map over an arbitrary (doc_id, toks) frame —
+    extracted r13 so the decontamination path (contamination.py) rides
+    the same measured-winner shape as the duplicate-span family
+    instead of the window-chain form (see :func:`_md5_spans` history).
+    ``toks`` must be a projected column (the no-CSE-inside-lambda
+    rule, functions/dedup.py::_shingles_from_tokens)."""
     n = F.size("toks")
     grams = F.when(
         n >= L,
@@ -193,14 +157,19 @@ def _cuts_agg(spans: DataFrame, L: int) -> DataFrame:
     )
 
 
-def _covered_positions(cuts: DataFrame) -> DataFrame:
+def _covered_positions(cuts: DataFrame, as_array: bool = False) -> DataFrame:
     """Merge per-doc cut intervals (doc_id, s, e) with the classic
     gaps-and-islands pattern (running max of ends over a per-doc
     ordered window; a span starting past that max opens a new island)
-    and explode to (doc_id, pos) — each covered position generated
-    exactly ONCE, where the raw interval explode would emit a run of
-    overlapping spans up to span-length times. Shared by
-    remove_duplicate_spans and decontaminate_spans."""
+    — each covered position generated exactly ONCE, where the raw
+    interval explode would emit a run of overlapping spans up to
+    span-length times. Shared by remove_duplicate_spans and
+    decontaminate_docs. Default output is exploded (doc_id, pos);
+    ``as_array=True`` returns one (doc_id, cut_pos) row per doc with
+    the sorted covered-position array (merged islands are disjoint, so
+    flatten(collect of per-island sequences) + array_sort is the same
+    set) — the shape the r13 array-surgery reassembly consumes without
+    an explode + re-aggregate round trip."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("s")
@@ -217,6 +186,12 @@ def _covered_positions(cuts: DataFrame) -> DataFrame:
         .groupBy("doc_id", "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
     )
+    if as_array:
+        return islands.groupBy("doc_id").agg(
+            F.array_sort(
+                F.flatten(F.collect_list(F.sequence(F.col("s"), F.col("e") - 1)))
+            ).alias("cut_pos")
+        )
     return islands.select(
         "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
     )
@@ -270,11 +245,11 @@ def remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Overlapping cut spans are merged per document with the classic
     gaps-and-islands pattern (running max of span ends over a per-doc
     ordered window; a span starting past that max opens a new island),
-    so each covered token position is generated exactly ONCE by the
-    interval explode — without the merge, a run of duplicated text
-    emits every position up to L times. Reassembly is the paragraph-
-    dedup shape: LEFT ANTI join of token positions against the covered
-    set, regroup per doc in position order.
+    so each covered token position is generated exactly ONCE —
+    without the merge, a run of duplicated text emits every position
+    up to L times. Reassembly (r13) is per-doc array surgery over the
+    covered-position arrays (:func:`_reassemble_after_cuts`), not a
+    per-token anti-join + regroup.
 
     Output: (doc_id, n_tokens, n_removed, clean_text) for every doc.
 
@@ -324,32 +299,40 @@ def _remove_duplicate_spans_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _reassemble_after_cuts(
     spark: SparkSession, sf_dir: str, cuts: DataFrame
 ) -> DataFrame:
-    """Shared tail of the removal key: merge cut intervals, anti-join
-    token positions, regroup per doc (docstring of
-    :func:`remove_duplicate_spans`)."""
-    covered = _covered_positions(cuts)
-    toks = _positions(spark, sf_dir)
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"
-        ).alias("clean_text"),
+    """Shared tail of the removal key: merge cut intervals, then
+    per-doc ARRAY SURGERY on the token arrays (r13 re-plan, guide
+    §2.3/§2.4 — before/after in plans/r13/remove_duplicate_spans_*).
+    The r12 tail posexploded every token, LEFT ANTI joined the covered
+    set (a corpus-token exchange), re-collected every kept token per
+    doc (another), and full-outer joined the counts — three
+    corpus-token-sized shuffles to delete a few positions. Now the
+    merged covered positions come back as one per-doc array
+    (:func:`_covered_positions` ``as_array``), join the token arrays
+    on doc_id (cut side is cuts-bounded, so AQE broadcasts it in the
+    common case — ZERO corpus shuffle), and
+    ``array_except(sequence(0, n-1), cut_pos)`` keeps position order
+    by construction."""
+    cov = _covered_positions(cuts, as_array=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    # n_tokens = kept + covered (islands never extend past the last
-    # full span start + L ≤ doc length) — no third corpus scan for a
-    # per-doc total.
-    cov = covered.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
-    return (
-        out.join(cov, "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            (
-                F.coalesce("n_kept", F.lit(0)) + F.coalesce("n_removed", F.lit(0))
-            ).cast("long").alias("n_tokens"),
-            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    return docs.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cut_pos"), F.lit(0)).cast("long").alias("n_removed"),
+        F.when(F.col("cut_pos").isNull(), F.array_join("toks", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.array_except(
+                        F.sequence(F.lit(0), F.size("toks") - 1), F.col("cut_pos")
+                    ),
+                    lambda i: F.element_at("toks", i + 1),
+                ),
+                " ",
+            )
         )
+        .alias("clean_text"),
     )
 
 

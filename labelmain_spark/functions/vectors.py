@@ -2380,7 +2380,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``similarity_topk`` (the ground truth), so the audit itself
     gets a full oracle by nesting their SQL twins. Output is one row —
     (k, n_ann, n_exact, n_hits, recall_bp) — with recall in exact
-    integer basis points (count * 10000 DIV k): no float surface.
+    integer basis points (n_hits * 10000 DIV n_exact, 10000 when the
+    exact set is empty): no float surface, and correct even when the
+    corpus holds fewer than TOP_K vectors (advisor r12).
 
     Scale shape: both sub-plans are TOP_K-row results (persisted here
     so the hit-join does not re-run the underlying scans); the audit
@@ -2400,7 +2402,18 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ann",
             "n_exact",
             "n_hits",
-            F.expr(f"n_hits * 10000 DIV {TOP_K}").cast("long").alias("recall_bp"),
+            # recall over the TRUE result size, not the nominal k
+            # (advisor r12): with fewer than TOP_K corpus vectors the
+            # exact set is shorter than k and dividing by k understates
+            # recall even at perfect retrieval. n_exact = TOP_K on
+            # every fixture, so the emitted value is unchanged there;
+            # both engines changed together.
+            F.expr(
+                "CASE WHEN n_exact = 0 THEN 10000"
+                " ELSE n_hits * 10000 DIV n_exact END"
+            )
+            .cast("long")
+            .alias("recall_bp"),
         )
     )
 
@@ -2476,7 +2489,11 @@ ORACLE = {
                (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
                (SELECT CAST(count(*) AS BIGINT)
                   FROM ann JOIN exact USING (vec_id)) AS n_hits,
-               (SELECT CAST(count(*) * 10000 // {TOP_K} AS BIGINT)
+               (SELECT CASE WHEN (SELECT count(*) FROM exact) = 0
+                            THEN CAST(10000 AS BIGINT)
+                            ELSE CAST(count(*) * 10000
+                                      // (SELECT count(*) FROM exact)
+                                      AS BIGINT) END
                   FROM ann JOIN exact USING (vec_id)) AS recall_bp
     """,
     "embedding_centroid": f"""

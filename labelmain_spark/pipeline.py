@@ -305,7 +305,21 @@ def corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 4. history-fitted unigram model + terciles, applied to the batch.
     hterms = prev.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    freq = hterms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # freq is VOCABULARY-bounded (the broadcast_if_bounded gate's own
+    # argument) and consumed by three branches — tot, the history
+    # scoring probe, and the batch scoring probe — which without a
+    # persist each re-ran the full history term explode + aggregation
+    # (r13, guide §5: reused AND expensive; eager prime per the
+    # _exploded_shingles discipline so concurrent first-action branches
+    # don't each recompute it).
+    from pyspark import StorageLevel
+
+    freq = (
+        hterms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq.count()
     tot = freq.agg(F.sum("cnt").alias("total"))
     hscored = (
         hterms.join(broadcast_if_bounded(freq.crossJoin(F.broadcast(tot))), "term")
