@@ -637,11 +637,25 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidate generation by identical
-    top-16-bit bucket, verified by Hamming distance ≤ 6."""
+    top-16-bit bucket, verified by Hamming distance ≤ 6.
+
+    r13 (guide §5): the signature table is persisted before the
+    bucket self-join — the a/b sides are differently-keyed consumers,
+    so exchange reuse never fires and each side re-ran the full
+    scan→token-explode→60-vote aggregation (two `Scan parquet` +
+    two vote aggregates in the before plan). The persisted table is
+    one (doc_id, simhash, bucket) row per document — signature-sized,
+    not corpus-sized, safe to cache at any scale."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     sig = simhash(docs)
     bucket = F.shiftright(F.col("simhash"), SIMHASH_BITS - 16)
-    s = sig.select("doc_id", "simhash", bucket.alias("bucket"))
+    s = (
+        sig.select("doc_id", "simhash", bucket.alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s.count()  # prime: both join sides must read the cache, not race it
     a, b = s.alias("a"), s.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
