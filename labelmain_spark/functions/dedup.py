@@ -284,10 +284,20 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the new doc — no windows, no all-pairs, nothing rescans history
     text beyond its candidates."""
     from labelmain_spark.functions.sampling import _hash_bp_expr
+    from pyspark import StorageLevel
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir)
-    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
+    # r13 (guide §5): persist + prime the signatures — the nb/hb
+    # batch/history filters below are differently-keyed consumers, so
+    # without the persist BOTH sides re-ran the pruned-index anti-join
+    # + 12-window min-aggregate over the full postings (two sig
+    # subtrees in plans/r13/dedup_incremental_near_before.txt). One
+    # signature row per doc; same cache entry as dedup_minhash's.
+    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig.count()
 
     rows_per_band = MINHASH_K // BANDS
     band_cols = []
@@ -505,10 +515,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures (and therefore candidates) are computed over the
     df-PRUNED shingle index — boilerplate shingles cannot form a hot
     band bucket; verification scores full-set Jaccard on the original
-    shingles. The n_docs count is parquet-metadata only (no scan)."""
+    shingles. The n_docs count is parquet-metadata only (no scan).
+
+    r13 (guide §5, the dedup_simhash fix applied here): the signature
+    table is persisted + primed before the band self-join — the a/b
+    sides of `_band_pairs` are differently-keyed consumers, so
+    exchange reuse never fires and each side re-ran the pruned-index
+    anti-join + 12-window min-aggregate over the full postings (two
+    copies of the sig subtree in the before plan, plans/r13/). One
+    (doc_id, 12×16-hex) row per document — signature-sized, never
+    corpus-sized; lsh_recall_audit's counterfactual banding reads the
+    same cache entry (CacheManager keys by canonical plan)."""
+    from pyspark import StorageLevel
+
     n_docs = load_table(spark, sf_dir, "documents").count()
     e = _exploded_shingles(spark, sf_dir)
-    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
+    sig = minhash_signatures(_pruned_index(e, _max_df(n_docs))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig.count()  # prime: both self-join sides must read the cache, not race it
     cand = _band_pairs(sig, BANDS)
     return _pair_jaccard(e, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 

@@ -819,7 +819,21 @@ def _kn_rung(
     (``broadcast_if_bounded``); the scalar type count is a 1-row
     broadcast. Per-doc pre-agg collapses Zipf-hot repeats map-side;
     per-transition NLL in exact integer micro-units × multiplicity,
-    the family discipline."""
+    the family discipline.
+
+    r13 (guide §2.3 "aggregate before you shuffle" / §2.4): every
+    middle-order `mid` statistic is DERIVED from its `pred` table —
+    over the distinct-(j+1)-gram type table, Σ n_pred and COUNT(*) of
+    pred groups per shorter key ARE n_mid and n_sm exactly — and the
+    scalar types2 is Σ cont. The r12 form re-ran each type table's
+    corpus scan → n-gram explode → aggregate once per statistic (22
+    `Scan parquet` nodes in the kn5 before plan, 18 in kn4 —
+    plans/r13/); deriving the rollup removes one full type-table
+    execution per middle order and lets the t2/cont exchange be
+    reused for types2. PERSISTING the type tables instead was
+    A/B-rejected this round (kn5 6.2 → 7.5 s idle median):
+    materializing distinct-n-gram string tables loses to recomputing
+    a codegen explode — the quality_bigram_nll ×100 lesson again."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _toks().alias("toks"))
     W = [f"w{i}" for i in range(1, order + 1)]
@@ -852,7 +866,9 @@ def _kn_rung(
         .agg(F.count(F.lit(1)).alias("n_pred_1"))
         .select(F.col(last2).alias(W[-1]), "n_pred_1")
     )
-    types2 = t2.agg(F.count(F.lit(1)).alias("n_types2"))
+    # N₁₊(··) = Σ_w N₁₊(·w): derived from cont, not a second pass
+    # over t2 (exact long sum of exact long counts).
+    types2 = cont.agg(F.sum("n_pred_1").alias("n_types2"))
     p = F.col("n_pred_1").cast("double") / F.col("n_types2")
     stats: list[tuple[DataFrame, list[str]]] = []
     for j in range(2, order):
@@ -866,16 +882,13 @@ def _kn_rung(
                 *[F.col(c).alias(k) for c, k in zip(tail, keys)], f"n_pred_{j}"
             )
         )
-        mid = (
-            t.groupBy(*tail[:-1])
-            .agg(
-                F.count(F.lit(1)).alias(f"n_mid_{j}"),
-                F.count_distinct(tail[-1]).alias(f"n_sm_{j}"),
-            )
-            .select(
-                *[F.col(c).alias(k) for c, k in zip(tail[:-1], keys[:-1])],
-                f"n_mid_{j}", f"n_sm_{j}",
-            )
+        # Rollup of pred, not a second pass over t: per shorter key,
+        # Σ n_pred = COUNT(*) of t rows = n_mid, and COUNT(*) of pred
+        # groups = COUNT(DISTINCT last-token) = n_sm — exact integer
+        # identities over the distinct-gram type table.
+        mid = pred.groupBy(*keys[:-1]).agg(
+            F.sum(f"n_pred_{j}").alias(f"n_mid_{j}"),
+            F.count(F.lit(1)).alias(f"n_sm_{j}"),
         )
         stats += [(pred, keys), (mid, keys[:-1])]
         p = (
@@ -1645,12 +1658,19 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests is one DuckDB reproduces exactly (a numeric conversion has
     no DuckDB twin — that's why dedup_simhash is rows-only).
 
-    Plan shape: two narrow projections with a repartition barrier
-    between hashing and window-min so the hash array materializes once
-    (Catalyst would otherwise inline the md5 transform into every
-    slice() of the window pass — the same O(len·w) blowup
-    _shingles_from_tokens documents); then explode + distinct. One
-    shuffle total (the distinct), scales linearly in corpus bytes.
+    Plan shape (r13, guide §2.3/§2.5): the repartition moved BELOW
+    the hashing and keys on doc_id — the old form hashed on the scan
+    side (ONE task for a single-split input: every md5 on one core)
+    and then round-robin-shuffled the hash ARRAY, which is ~15× the
+    text bytes (one 15-hex string per character position). Now the
+    raw TEXT shuffles once (1× bytes) and the CPU-bound hashing runs
+    above the exchange on all cores. The hash projection stays its
+    own Project between the exchange and the window-min Generate —
+    CollapseProject refuses to merge it because `h` is referenced
+    more than once and the transform is non-cheap (SPARK-36718, the
+    _shingle_df discipline; asserted on the plan: md5 appears once,
+    above the exchange). Then explode + distinct — still one wide
+    shuffle (the distinct), linear in corpus bytes.
     """
     docs = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
@@ -1660,7 +1680,11 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.col("text").substr(i, F.lit(k)),
     )
     hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 15))
-    hashed = docs.select("doc_id", hashes.alias("h")).repartition(n)
+    hashed = (
+        docs.select("doc_id", "text")
+        .repartition(n, F.col("doc_id"))
+        .select("doc_id", hashes.alias("h"))
+    )
     nwin = F.greatest(F.lit(1), F.size(F.col("h")) - (w - 1))
     mins = F.transform(
         F.sequence(F.lit(1), nwin), lambda j: F.array_min(F.slice(F.col("h"), j, w))
