@@ -116,8 +116,14 @@ def test_dedup_candidate_broadcast_strategy_flexible(spark, sf_dir):
     from labelmain_spark.functions.dedup import dedup_minhash
 
     df = dedup_minhash(spark, sf_dir)
-    optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "ResolvedHint" not in optimized and "broadcast" not in optimized.lower(), (
+    # Assert on the ANALYZED plan: hints surface there as
+    # ResolvedHint(strategy=broadcast), and it predates cache
+    # substitution — the r13 signature persist embeds the cached
+    # relation's PHYSICAL plan text (whose size-gated broadcasts are
+    # legitimate) into optimizedPlan().toString(), which a blunt
+    # substring check would false-positive on.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower(), (
         "forced broadcast hint survives in the logical plan"
     )
 
@@ -1211,3 +1217,40 @@ def test_chat_sft_render_zero_shuffles(spark, sf_dir):
         assert "Exchange" not in plan, (fn.__name__, plan[:1200])
         # "*(n)" is the whole-stage-codegen marker in simpleString form
         assert "*(1)" in plan, (fn.__name__, plan[:1200])
+
+
+def test_doc_winnow_hashes_above_text_exchange(spark, sf_dir):
+    """r13: the per-char-gram md5 transform must sit ABOVE the
+    doc_id-keyed exchange (hashing parallelized over all cores, the
+    1x-byte raw text shuffled — not the ~15x-byte hash array on the
+    unparallelized scan side), and must be evaluated exactly once
+    (CollapseProject must not inline it into the window-min slices)."""
+    from labelmain_spark.functions.text import doc_winnow
+
+    plan = checks.physical_plan(doc_winnow(spark, sf_dir))
+    assert plan.count("md5") == 1, plan[:2000]
+    # the text exchange hashes on doc_id, never round-robin
+    assert "hashpartitioning(doc_id" in plan, plan[:2000]
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]
+    # md5 must be computed above (before in text order) the exchange:
+    # in explain output, upstream operators print BELOW downstream
+    # ones, so the exchange's text offset must come after md5's.
+    assert plan.index("md5") < plan.rindex("hashpartitioning(doc_id"), plan[:2000]
+
+
+def test_minhash_signature_diamond_is_cached(spark, sf_dir):
+    """r13: dedup_minhash and dedup_incremental_near persist the
+    signature table before their differently-keyed double-consumers
+    (band self-join a/b; batch/history split) — the plan must read
+    the 12-window min-aggregate from an InMemoryRelation, not run it
+    twice (the dedup_simhash disease, fixed across the family)."""
+    from labelmain_spark.functions.dedup import (
+        dedup_incremental_near,
+        dedup_minhash,
+    )
+
+    for fn in (dedup_minhash, dedup_incremental_near):
+        spark.catalog.clearCache()
+        plan = checks.physical_plan(fn(spark, sf_dir))
+        assert "InMemoryRelation" in plan, (fn.__name__, plan[:1500])
+        spark.catalog.clearCache()
