@@ -459,10 +459,26 @@ def _pair_jaccard(e: DataFrame, pairs: DataFrame) -> DataFrame:
     jaccard = common / (|A| + |B| - common). At 100 TB this is the only
     viable shape — per-pair array materialization is O(pairs × doclen)
     memory, while this is three hash joins on scalar keys.
+
+    r13 (guide §3.2, reduce the big side before shuffling it): the
+    verification's b-side exchange used to move the FULL postings
+    table keyed (doc_b, s) even though only candidate docs can match.
+    The pair set is persisted + primed (it is the LSH-pruned
+    candidate table — structurally small; also stops the two
+    consumers re-running the band join) and the b-side is left-semi
+    pruned on doc_b before the wide exchange — lossless for the
+    following inner join, and the semi's build side broadcasts under
+    AQE whenever it fits (no forced hint, same rationale as below).
     """
+    from pyspark import StorageLevel
+
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()  # prime: both consumers must read the cache, not race it
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = e.select(F.col("doc_id").alias("doc_b"), "s")
+    eb = e.select(F.col("doc_id").alias("doc_b"), "s").join(
+        pairs.select("doc_b"), "doc_b", "left_semi"
+    )
     # No forced broadcast on the pair set: LSH keeps it small in the
     # expected case, but a pathological corpus (pre-pruning) could blow
     # past executor memory with a forced hint. AQE picks broadcast-hash
