@@ -163,6 +163,35 @@ HEADLINE2 = [
 ]
 
 
+# r14 (VERDICT #3, the phantom dropped_from_bench fix): when the
+# primary line outgrows the driver's ~2000-char capture window and the
+# per-key map must shrink, the selection used to be "top-40 slowest" —
+# so each round's timing shifts changed WHICH ~0.7-0.9 s keys fell out,
+# and the driver's round-over-round PERF diff reported keys that ran
+# fine as dropped_from_bench (4 phantom rows each way in r13). The
+# reported set is now PINNED: every key below (the union of r13's
+# reported 40 and the 4 keys its truncation dropped) is always in the
+# primary line, and remaining space is filled slowest-first from the
+# rest. Additions-only: keys never leave this list; HEADLINE/HEADLINE2
+# unchanged; the full record still lands in BENCH_DETAIL.json.
+REPORT_PIN = [
+    "ann_ivf_pq_frozen_topk", "ann_ivf_pq_seeded_topk", "ann_recall_audit",
+    "bloom_decontaminate", "bm25_topk", "cluster_topics",
+    "containment_dedup", "contamination_check", "contamination_matrix",
+    "corpus_incremental", "corpus_pipeline", "dedup_clusters",
+    "dedup_incremental_near", "dedup_minhash", "dedup_paragraph",
+    "dedup_simhash", "doc_winnow", "domain_rank", "dsir_weights",
+    "duplicate_spans", "embedding_drift", "filter_null", "gap_fill",
+    "group_quantiles", "label_consolidate", "lsh_recall_audit",
+    "ngram_jaccard", "pack_bins_harmonic", "pagerank",
+    "parse_html_reports", "pricing_summary", "quality_bigram_nll",
+    "quality_kn4_nll", "quality_kn5_nll", "region_revenue",
+    "remove_duplicate_spans", "sample_token_budget", "semantic_dedup",
+    "semantic_dedup_seeded", "shard_manifest", "shipping_priority",
+    "split_leakage_safe", "time_rollup", "top_supplier",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -382,12 +411,27 @@ def main() -> None:
         out.pop("dqv", None)
         line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:
-        out["queries"] = {
-            k: round(timings[k], 2)
-            for k in sorted(timings, key=timings.get, reverse=True)[:40]
-        }
+        # STABLE truncation (see REPORT_PIN): pinned continuity keys
+        # always report; the rest join slowest-first while the line
+        # still fits the capture window.
         out["queries_truncated"] = True
-        line = json.dumps(out, separators=(",", ":"))
+        keep = [k for k in REPORT_PIN if k in timings]
+        rest = sorted(
+            (k for k in timings if k not in set(REPORT_PIN)),
+            key=timings.get,  # type: ignore[arg-type]
+            reverse=True,
+        )
+        def _render(ks: list[str]) -> str:
+            out["queries"] = {k: round(timings[k], 2) for k in ks}
+            return json.dumps(out, separators=(",", ":"))
+        for k in rest:
+            if len(_render(keep + [k])) > 1900:
+                break
+            keep = keep + [k]
+        line = _render(keep)
+        while len(line) > 1900 and keep:  # paranoia: never overflow
+            keep = sorted(keep, key=timings.get, reverse=True)[:-1]  # type: ignore[arg-type]
+            line = _render(keep)
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 — shutdown noise must not cost the artifact

@@ -621,11 +621,24 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "lang", "source")
         .distinct()
     )
+    # r14 (VERDICT #4 — _pair_jaccard's r13 discipline applied to this
+    # key's inline verification, guide §3.2/§5): the candidate table is
+    # persisted + primed (its two consumers — the a-side verify join
+    # and the b-side semi prune — would otherwise each re-run the
+    # index self-join + distinct), and the verification b-side is
+    # LEFT SEMI pruned on candidate doc_b before its wide (doc_b2, s)
+    # exchange — lossless for the following inner join.
+    from pyspark import StorageLevel
+
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()  # prime: both consumers must read the cache, not race it
 
     # Full-set verification over the unpruned index.
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = e.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
+    eb = e.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b")).join(
+        cand.select(F.col("doc_b").alias("doc_b2")), "doc_b2", "left_semi"
+    )
     common = (
         ea.join(cand, "doc_a")
         .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))

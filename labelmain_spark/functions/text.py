@@ -833,48 +833,170 @@ def _kn_rung(
     reused for types2. PERSISTING the type tables instead was
     A/B-rejected this round (kn5 6.2 → 7.5 s idle median):
     materializing distinct-n-gram string tables loses to recomputing
-    a codegen explode — the quality_bigram_nll ×100 lesson again."""
+    a codegen explode — the quality_bigram_nll ×100 lesson again.
+
+    r14 (VERDICT #1, the driver-flat kn5 repayment). The r13 shape
+    attached every statistic by a SHUFFLE JOIN onto the per-doc gram
+    stream — 7 multi-token-keyed joins for kn5, each measured ~0.5-0.7 s
+    of exchange+dispatch at sf0.1 (scripts/ A/B: dq→+c_top→+ctx steps
+    0.9 → 1.6 → 2.3 s), with the c_top/dq build subtrees duplicated
+    under every consumer because differently-projected children defeat
+    exchange reuse. Three output-identical structural changes
+    (guide §2.3/§2.4), each an exact integer identity:
+
+    1. Statistics whose keys are SUFFIX PREFIXES of their own type
+       table become WINDOW aggregates over that table instead of
+       groupBy+join-back: over the distinct top-gram table, ctx_top /
+       n_succ_top are sum(cnt)/count(*) per W[:-1] partition, the
+       top-order n_pred is count(*) per W[1:] partition, its n_mid
+       is count(*) per W[1:-1] and n_sm the per-partition count of
+       distinct suffixes (sum of first-row flags). A window pays one
+       exchange+sort of the table it annotates — the join paid the
+       same exchange of the PROBE stream plus a separate aggregate
+       subtree plus the join itself. kn5's probe chain drops from 7
+       multi-token shuffle joins to 2.
+    2. Each middle order's pred/mid pair merges into ONE table
+       (n_mid/n_sm are window rollups over pred keyed by its own key
+       prefix) — one join per middle order instead of two.
+    3. The per-doc pre-agg `dq` is GONE: top-order gram repeats
+       within one doc are rare (its map-side collapse bought ~nothing
+       at any order — the c_top partial aggregate collapses the same
+       repeats anyway) while its (doc_id, W) exchange moved the whole
+       occurrence stream once for nothing. The raw occurrence stream
+       joins the annotated gram table once on W (micro is a function
+       of the gram alone) and aggregates per doc: count(*) = Σ m and
+       sum(micro) = Σ m·micro exactly.
+
+    4. The per-order type tables no longer each pay their own corpus
+       explode + exchange: ONE null-padded max-order gram aggregate
+       (`cnt_pad` — every token position emits its order-length
+       window right-padded with NULLs, so every position appears
+       exactly once) is built with one corpus exchange, and every
+       lower-order count/type table is a CASCADING ROLLUP of it —
+       the m-gram count is Σ over the (m+1)-th column of the padded
+       (m+1)-gram counts, exactly, because each position contributes
+       one padded tuple. order−1 corpus explode+exchange passes
+       become 1 (guide §2.3 aggregate before you shuffle).
+
+    Single-token-keyed statistics (cont; ctx at order 2) keep the
+    r9 size-gated broadcast joins — a broadcast costs no exchange,
+    so the window form would only add one. Measured (idle steady
+    state, sf0.1): kn5 ~5.5 → ~4.0 s, kn4 ~4.0 → ~2.9 s, kn_nll
+    ~2.3 → ~1.2 s; plans/r14 before/after: kn5 Exchange nodes
+    27 → 16, HashAggregate 54 → 22, corpus scan subtrees 11 → 2
+    (doc-keyed probe + the persisted pad table — the RUNTIME final
+    plan `quality_kn5_nll_after_runtime.txt` pins Scan=2, and the
+    unpersisted variant's runtime plan showed AQE exchange reuse
+    NOT firing across the cascade, which is why the persist is
+    structural, not optional)."""
+    from pyspark.sql import Window
+
+    W = [f"w{i}" for i in range(1, order + 1)]
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _toks().alias("toks"))
-    W = [f"w{i}" for i in range(1, order + 1)]
-    dq = (
-        _ngrams_from(base, order, W, with_doc=True)
-        .groupBy("doc_id", *W)
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    c_top = dq.groupBy(*W).agg(F.sum("m").alias("cnt_top"))
-    ctx = c_top.groupBy(*W[:-1]).agg(
-        F.sum("cnt_top").alias("ctx_top"),
-        F.count(F.lit(1)).alias("n_succ_top"),
-    )
-    # (j+1)-gram TYPE tables feed middle order j; the top table itself
-    # serves j = order-1, lower ones are built fresh from the tokens.
-    type_tables: dict[int, DataFrame] = {order: c_top.select(*W)}
-    for m in range(2, order):
-        names = [f"g{i}" for i in range(1, m + 1)]
-        type_tables[m] = (
-            _ngrams_from(base, m, names)
-            .groupBy(*names)
+    occ = _ngrams_from(base, order, W, with_doc=True)
+    if order >= 3:
+        # padded occurrence tuples: slice j is the suffix starting at
+        # offset j; arrays_zip zips to the LONGEST slice, right-padding
+        # the shorter ones with NULL, so position i yields
+        # (t_i, ..., t_{i+order-1}) with NULLs past the doc end.
+        n_t = F.size("toks")
+        pad_occ = base.select(
+            F.explode(
+                F.arrays_zip(
+                    *[
+                        F.slice(
+                            "toks", j + 1, F.greatest(n_t - j, F.lit(0))
+                        ).alias(W[j])
+                        for j in range(order)
+                    ]
+                )
+            ).alias("g")
+        ).select(*[F.col(f"g.{w}").alias(w) for w in W])
+        # PERSIST + prime the one padded top table: its consumers
+        # (c_top, one rollup per lower order, cont twice) are
+        # differently-keyed aggregates, and the r14 runtime-plan
+        # check (plans/r14/quality_kn5_nll_after_runtime.txt with the
+        # unpersisted form) showed AQE exchange reuse does NOT fire
+        # across them — the corpus was exploded once per consumer.
+        # One corpus-scale scratch table, the _exploded_shingles
+        # class (MEMORY_AND_DISK, evicted by caller clearCache or
+        # session end).
+        from pyspark import StorageLevel
+
+        cnt_top_pad = (
+            pad_occ.groupBy(*W)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(*names)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    # bottom: distinct-predecessor unigram over the bigram type table
-    t2 = type_tables[2]
-    last2 = t2.columns[1]
-    cont = (
-        t2.groupBy(last2)
-        .agg(F.count(F.lit(1)).alias("n_pred_1"))
-        .select(F.col(last2).alias(W[-1]), "n_pred_1")
-    )
-    # N₁₊(··) = Σ_w N₁₊(·w): derived from cont, not a second pass
-    # over t2 (exact long sum of exact long counts).
-    types2 = cont.agg(F.sum("n_pred_1").alias("n_types2"))
-    p = F.col("n_pred_1").cast("double") / F.col("n_types2")
-    stats: list[tuple[DataFrame, list[str]]] = []
-    for j in range(2, order):
-        t = type_tables[j + 1]
-        src = t.columns
-        tail, keys = src[1:], W[order - j:]
+        cnt_top_pad.count()  # prime: consumers must read the cache, not race it
+        cnt_pad: dict[int, DataFrame] = {order: cnt_top_pad}
+        for m in range(order - 1, 1, -1):
+            cnt_pad[m] = (
+                cnt_top_pad.groupBy(*W[:m]).agg(F.sum("cnt").alias("cnt"))
+            )
+        c_top = (
+            cnt_top_pad
+            .filter(F.col(W[-1]).isNotNull())
+            .select(*W, F.col("cnt").alias("cnt_top"))
+        )
+    else:
+        c_top = occ.groupBy(*W).agg(F.count(F.lit(1)).alias("cnt_top"))
+
+    def _gate(df: DataFrame, keys: list[str]) -> DataFrame:
+        # single-token-keyed statistics are vocabulary-bounded and ride
+        # the size gate; multi-token keys grow toward |V|ⁿ and shuffle
+        return broadcast_if_bounded(df) if len(keys) == 1 else df
+
+    gram = c_top
+    if order >= 3:
+        # context totals + top-order pred/mid as windows over the
+        # distinct top-gram table (change 1).
+        w_ctx = Window.partitionBy(*W[:-1])
+        w_pred = Window.partitionBy(*W[1:])
+        w_mid = Window.partitionBy(*W[1:-1])
+        j = order - 1
+        gram = (
+            gram.withColumn("ctx_top", F.sum("cnt_top").over(w_ctx))
+            .withColumn("n_succ_top", F.count(F.lit(1)).over(w_ctx))
+            .withColumn(f"n_pred_{j}", F.count(F.lit(1)).over(w_pred))
+            # first-row flag per distinct suffix: rows of one W[1:]
+            # partition differ exactly in w1, so the order is total
+            .withColumn(
+                "_sfx_first",
+                F.when(
+                    F.row_number().over(w_pred.orderBy(W[0])) == 1, F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(f"n_mid_{j}", F.count(F.lit(1)).over(w_mid))
+            .withColumn(f"n_sm_{j}", F.sum("_sfx_first").over(w_mid))
+            .drop("_sfx_first")
+        )
+    else:
+        ctx = c_top.groupBy(*W[:-1]).agg(
+            F.sum("cnt_top").alias("ctx_top"),
+            F.count(F.lit(1)).alias("n_succ_top"),
+        )
+        gram = gram.join(_gate(ctx, W[:-1]), W[:-1])
+    # middle orders j = 2..order-2 from the cascading rollups (change
+    # 4), pred+mid merged per order (change 2); order 2's bigram type
+    # table is the top table itself.
+    if order == 2:
+        t2 = c_top.select(*W)
+    else:
+        t2 = (
+            cnt_pad[2]
+            .filter(F.col(W[1]).isNotNull())
+            .select(F.col(W[0]).alias("g1"), F.col(W[1]).alias("g2"))
+        )
+    for j in range(order - 2, 1, -1):
+        names = [f"g{i}" for i in range(1, j + 2)]
+        t = (
+            cnt_pad[j + 1]
+            .filter(F.col(W[j]).isNotNull())
+            .select(*[F.col(W[i]).alias(names[i]) for i in range(j + 1)])
+        )
+        tail, keys = names[1:], W[order - j:]
         pred = (
             t.groupBy(*tail)
             .agg(F.count(F.lit(1)).alias(f"n_pred_{j}"))
@@ -882,15 +1004,29 @@ def _kn_rung(
                 *[F.col(c).alias(k) for c, k in zip(tail, keys)], f"n_pred_{j}"
             )
         )
-        # Rollup of pred, not a second pass over t: per shorter key,
-        # Σ n_pred = COUNT(*) of t rows = n_mid, and COUNT(*) of pred
-        # groups = COUNT(DISTINCT last-token) = n_sm — exact integer
-        # identities over the distinct-gram type table.
-        mid = pred.groupBy(*keys[:-1]).agg(
-            F.sum(f"n_pred_{j}").alias(f"n_mid_{j}"),
-            F.count(F.lit(1)).alias(f"n_sm_{j}"),
+        # window rollup of pred, not a groupBy + second join: per
+        # shorter key, Σ n_pred = COUNT(*) of t rows = n_mid, and
+        # COUNT(*) of pred groups = COUNT(DISTINCT last-token) = n_sm —
+        # exact integer identities over the distinct-gram type table.
+        w_roll = Window.partitionBy(*keys[:-1])
+        pm = pred.withColumn(f"n_mid_{j}", F.sum(f"n_pred_{j}").over(w_roll)).withColumn(
+            f"n_sm_{j}", F.count(F.lit(1)).over(w_roll)
         )
-        stats += [(pred, keys), (mid, keys[:-1])]
+        gram = gram.join(_gate(pm, keys), keys)
+    # bottom: distinct-predecessor unigram over the bigram type table
+    last2 = t2.columns[1]
+    cont = (
+        t2.groupBy(last2)
+        .agg(F.count(F.lit(1)).alias("n_pred_1"))
+        .select(F.col(last2).alias(W[-1]), "n_pred_1")
+    )
+    # N₁₊(··) = Σ_w N₁₊(·w): derived from cont, not a second pass
+    # over t2 (exact long sum of exact long counts). coalesce keeps
+    # the old count(*) semantics (0, not NULL) on an empty type table
+    # — advisor r13; unreachable on any corpus with a 2-token doc.
+    types2 = cont.agg(F.coalesce(F.sum("n_pred_1"), F.lit(0)).alias("n_types2"))
+    p = F.col("n_pred_1").cast("double") / F.col("n_types2")
+    for j in range(2, order):
         p = (
             F.greatest(F.col(f"n_pred_{j}").cast("double") - F.lit(KN_D), F.lit(0.0))
             + F.lit(KN_D) * F.col(f"n_sm_{j}").cast("double") * p
@@ -900,28 +1036,19 @@ def _kn_rung(
         + F.lit(KN_D) * F.col("n_succ_top").cast("double") * p
     ) / F.col("ctx_top")
     micro = F.floor(stable_round(-F.log(p), 6) * F.lit(1e6) + F.lit(0.5)).cast("long")
-
-    def _gate(df: DataFrame, keys: list[str]) -> DataFrame:
-        # single-token-keyed statistics are vocabulary-bounded and ride
-        # the size gate; multi-token keys grow toward |V|ⁿ and shuffle
-        return broadcast_if_bounded(df) if len(keys) == 1 else df
-
-    scored = dq.join(c_top, W).join(_gate(ctx, W[:-1]), W[:-1])
-    # top-down (j descending), pred before mid within each order — the
-    # original rungs' join order, kept for plan continuity
-    for pred_mid in reversed([stats[i : i + 2] for i in range(0, len(stats), 2)]):
-        for df_, keys in pred_mid:
-            scored = scored.join(_gate(df_, keys), keys)
-    scored = (
-        scored.join(_gate(cont, [W[-1]]), W[-1])
+    gram = (
+        gram.join(_gate(cont, [W[-1]]), W[-1])
         .crossJoin(F.broadcast(types2))
-        .select("doc_id", "m", micro.alias("micro"))
+        .select(*W, micro.alias("micro"))
     )
+    # raw occurrences join the annotated gram table ONCE (change 3);
+    # count(*) = Σ m and sum(micro) = Σ m·micro of the r13 pre-agg form.
+    scored = occ.join(gram, W).select("doc_id", "micro")
     return scored.groupBy("doc_id").agg(
-        F.sum("m").cast("int").alias(count_alias),
+        F.count(F.lit(1)).cast("int").alias(count_alias),
         stable_round(
-            (F.sum(F.col("m") * F.col("micro")).cast("double") / F.lit(1e6))
-            / F.sum("m"),
+            (F.sum("micro").cast("double") / F.lit(1e6))
+            / F.count(F.lit(1)),
             4,
         ).alias(nll_alias),
     )

@@ -126,16 +126,27 @@ def write_page_fixture(path: str, rows: list[tuple], page_size: int = 500) -> in
 
 def _walk_cursor_chain(path: str) -> list[str]:
     """The reference's cursor loop: start at page-0, follow each page's
-    next-cursor until exhausted. Driver-side metadata hops only."""
+    next-cursor until exhausted. Driver-side metadata hops only.
+
+    A page whose ``.next`` pointer is not yet visible is IN-FLIGHT
+    (writers publish page-N.json before page-N.next, non-atomically)
+    and is excluded: latestOffset polls concurrently with the writer,
+    and r14's load-flake postmortem showed the old unconditional open
+    crashing the whole streaming query with FileNotFoundError when a
+    poll landed between the two writes. The next poll sees the
+    completed pointer — offsets stay monotone."""
     pages, cur = [], "page-0.json"
     while cur:
         full = os.path.join(path, cur)
         if not os.path.isfile(full):
             break
-        pages.append(full)
         nxt_file = full[: -len(".json")] + ".next"
-        with open(nxt_file) as f:
-            cur = f.read().strip()
+        try:
+            with open(nxt_file) as f:
+                cur = f.read().strip()
+        except FileNotFoundError:
+            break  # pointer not yet published — page is in-flight
+        pages.append(full)
     return pages
 
 

@@ -332,3 +332,21 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     filtered = back.filter(back.o_orderkey == 1)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
+
+
+def test_walk_cursor_chain_excludes_inflight_page(tmp_path):
+    """A page whose .next pointer is not yet published is IN-FLIGHT and
+    must be excluded instead of crashing the poll (r14: latestOffset
+    races the writer's page-N.json → page-N.next publish sequence; the
+    old unconditional open killed the whole streaming query with
+    FileNotFoundError)."""
+    from labelmain_spark.sources import paged
+
+    rows = [(i, i % 3, "click", float(i)) for i in range(30)]
+    paged.write_page_fixture(str(tmp_path / "pages"), rows, page_size=10)
+    # simulate the writer mid-publish: page-2.json exists, .next not yet
+    os.remove(str(tmp_path / "pages" / "page-2.next"))
+    chain = paged._walk_cursor_chain(str(tmp_path / "pages"))
+    assert chain == [
+        str(tmp_path / "pages" / f"page-{i}.json") for i in range(2)
+    ]
