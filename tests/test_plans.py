@@ -126,6 +126,15 @@ def test_dedup_candidate_broadcast_strategy_flexible(spark, sf_dir):
     assert "ResolvedHint" not in analyzed and "broadcast" not in analyzed.lower(), (
         "forced broadcast hint survives in the logical plan"
     )
+    # ...and keep optimizer-stage coverage without the cached-relation
+    # false positive (advisor r13): the HINT NODE must be absent from
+    # the optimized plan too — only the node check, not the
+    # 'broadcast' substring a cached physical plan legitimately
+    # contains via its size-gated joins.
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, (
+        "forced broadcast hint survives past the optimizer"
+    )
 
 
 def test_range_join_avoids_nested_loop(spark, sf_dir):

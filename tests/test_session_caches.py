@@ -51,3 +51,39 @@ def test_release_caches_scoped_to_caller(spark, sf_dir):
     assert sess._TRACKED_PERSISTS.get(other) == ["sentinel"]
     del sess._TRACKED_PERSISTS[other]
     sess.release_caches(spark)
+
+
+def test_heavy_key_iteration_storage_bounded(spark, sf_dir):
+    """r14 cache-lifetime hygiene (VERDICT #6): a session iterating the
+    HEAVY registry keys — the ones whose internals persist
+    postings/signature/pair-scale intermediates (audit persists,
+    `_exploded_shingles`, the KN pad table) — must return to ZERO
+    cached storage after each `release_caches` call, so a long-lived
+    driver sweeping the registry cannot accumulate postings-sized
+    storage across keys. Ten keys, every one either persisting
+    internally or composing operators that do."""
+    from labelmain_spark import registry
+
+    heavy = [
+        "lsh_recall_audit",
+        "containment_dedup",
+        "dedup_minhash",
+        "dedup_clusters",
+        "dedup_incremental_near",
+        "split_leakage_safe",
+        "quality_kn5_nll",
+        "dsir_weights",
+        "corpus_incremental",
+        "ngram_jaccard",
+    ]
+    qs = registry.queries()
+    jsc = spark.sparkContext._jsc.sc()
+    for key in heavy:
+        qs[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sess.release_caches(spark)
+        leftover = [
+            str(i.name())
+            for i in jsc.getRDDStorageInfo()
+            if i.memSize() > 0 or i.diskSize() > 0
+        ]
+        assert not leftover, f"{key} left cached storage: {leftover}"
