@@ -888,7 +888,28 @@ def _kn_rung(
     plan `quality_kn5_nll_after_runtime.txt` pins Scan=2, and the
     unpersisted variant's runtime plan showed AQE exchange reuse
     NOT firing across the cascade, which is why the persist is
-    structural, not optional)."""
+    structural, not optional).
+
+    r14b (second pass, guide §2.4): the persisted pad table is
+    additionally hash-partitioned by the (w2, w3) PIVOT — w2 alone
+    at order 3, the single-token layout its n_mid window already
+    forced — a common SUBSET of every downstream grouping/window
+    key. HashPartitioning satisfies ClusteredDistribution whenever
+    the partitioning columns are a subset of the required clustering
+    (subset semantics), and InMemoryTableScan reports the cached
+    plan's partitioning through projections/aliases, so the gram
+    windows, every cnt_pad rollup and every middle-order pred
+    groupBy read the cache with NO exchange of their own; ordering
+    the ordered w_pred window bottom-most lets its (W[1:], w1) sort
+    serve the unordered w_pred/w_mid windows (prefix satisfaction),
+    leaving the whole gram chain at 2 sorts / 0 exchanges (was 3
+    exchanges + 4 sorts). types2 is COUNT(*) of t2 (≡ Σ n_pred_1,
+    one aggregation shallower). Cost: one extra exchange of the
+    ALREADY-AGGREGATED type table inside the cached build (partial
+    aggregation of the occurrence stream preserved). Interleaved
+    6-pair A/B at sf0.1: kn5 5.47 → 4.80 s (new side won every
+    pair), kn4 4.35 → 4.10, kn3 won 5/5 pairs; pinned by
+    test_kn_pad_cache_pivot_partitioned."""
     from pyspark.sql import Window
 
     W = [f"w{i}" for i in range(1, order + 1)]
@@ -924,9 +945,27 @@ def _kn_rung(
         # session end).
         from pyspark import StorageLevel
 
+        # r14b (guide §2.4, remove shuffles outright): hash-partition
+        # the CACHED pad table by a common SUBSET of every downstream
+        # grouping/window key — Spark's HashPartitioning satisfies
+        # ClusteredDistribution(keys) whenever the partitioning
+        # columns are a subset of the keys, and InMemoryTableScan
+        # reports the cached plan's partitioning — so the gram
+        # windows (W[1:], W[1:-1], W[:-1]), every cnt_pad rollup
+        # (W[:m], m ≥ pivot end) and every middle-order pred groupBy
+        # (tail ⊇ pivot) all run WITHOUT their own exchange. Pivot
+        # (w2, w3) for order ≥ 4; (w2,) at order 3 — the same
+        # single-token layout its n_mid window already required, so
+        # no new skew class. Cost: ONE extra exchange of the
+        # already-aggregated type table (partial aggregation of the
+        # occurrence stream is preserved); the kn5 plan drops from 7
+        # post-cache exchanges to 2 (pm₂'s window + cont, whose keys
+        # drop below the pivot).
+        pivot = W[1:2] if order == 3 else W[1:3]
         cnt_top_pad = (
             pad_occ.groupBy(*W)
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .repartition(*[F.col(c) for c in pivot])
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         cnt_top_pad.count()  # prime: consumers must read the cache, not race it
@@ -956,20 +995,26 @@ def _kn_rung(
         w_pred = Window.partitionBy(*W[1:])
         w_mid = Window.partitionBy(*W[1:-1])
         j = order - 1
+        # Window ORDER matters for sort reuse (r14b): the ordered
+        # w_pred window (row_number) is planned FIRST (bottom-most),
+        # so its sort (W[1:], W[0]) also satisfies the unordered
+        # w_pred count (prefix W[1:]) and the w_mid windows (prefix
+        # W[1:-1]) — with the pivot-partitioned cache the whole chain
+        # is 2 sorts, 0 exchanges (was 3 exchanges + 4 sorts).
         gram = (
-            gram.withColumn("ctx_top", F.sum("cnt_top").over(w_ctx))
-            .withColumn("n_succ_top", F.count(F.lit(1)).over(w_ctx))
-            .withColumn(f"n_pred_{j}", F.count(F.lit(1)).over(w_pred))
             # first-row flag per distinct suffix: rows of one W[1:]
             # partition differ exactly in w1, so the order is total
-            .withColumn(
+            gram.withColumn(
                 "_sfx_first",
                 F.when(
                     F.row_number().over(w_pred.orderBy(W[0])) == 1, F.lit(1)
                 ).otherwise(F.lit(0)),
             )
+            .withColumn(f"n_pred_{j}", F.count(F.lit(1)).over(w_pred))
             .withColumn(f"n_mid_{j}", F.count(F.lit(1)).over(w_mid))
             .withColumn(f"n_sm_{j}", F.sum("_sfx_first").over(w_mid))
+            .withColumn("ctx_top", F.sum("cnt_top").over(w_ctx))
+            .withColumn("n_succ_top", F.count(F.lit(1)).over(w_ctx))
             .drop("_sfx_first")
         )
     else:
@@ -1020,11 +1065,12 @@ def _kn_rung(
         .agg(F.count(F.lit(1)).alias("n_pred_1"))
         .select(F.col(last2).alias(W[-1]), "n_pred_1")
     )
-    # N₁₊(··) = Σ_w N₁₊(·w): derived from cont, not a second pass
-    # over t2 (exact long sum of exact long counts). coalesce keeps
-    # the old count(*) semantics (0, not NULL) on an empty type table
-    # — advisor r13; unreachable on any corpus with a 2-token doc.
-    types2 = cont.agg(F.coalesce(F.sum("n_pred_1"), F.lit(0)).alias("n_types2"))
+    # N₁₊(··) = Σ_w N₁₊(·w) = |{distinct bigram types}| = COUNT(*) of
+    # t2 — the exact same integer, one aggregation shallower than
+    # summing cont (r14b: the cont subtree was rebuilt under the
+    # scalar, 3 exchanges for one number; count(t2) is 2, and count
+    # of an empty table is 0, preserving the advisor-r13 semantics).
+    types2 = t2.agg(F.count(F.lit(1)).alias("n_types2"))
     p = F.col("n_pred_1").cast("double") / F.col("n_types2")
     for j in range(2, order):
         p = (

@@ -1263,3 +1263,29 @@ def test_minhash_signature_diamond_is_cached(spark, sf_dir):
         plan = checks.physical_plan(fn(spark, sf_dir))
         assert "InMemoryRelation" in plan, (fn.__name__, plan[:1500])
         spark.catalog.clearCache()
+
+
+def test_kn_pad_cache_pivot_partitioned(spark, sf_dir):
+    """r14b: the persisted padded gram table is hash-partitioned by
+    the (w2, w3) pivot — a subset of every downstream grouping/window
+    key — so the gram windows (W[1:], W[1:-1], W[:-1]), the cnt_pad
+    rollups and the middle-order pred groupBys all read the cache
+    WITHOUT re-exchanging. Pin: the pivot exchange exists inside the
+    cached plan, and the old per-window exchanges keyed on 4 gram
+    columns are gone from the consumer side."""
+    import re
+
+    from labelmain_spark.functions.text import quality_kn5_nll
+
+    spark.catalog.clearCache()
+    plan = checks.physical_plan(quality_kn5_nll(spark, sf_dir))
+    assert re.search(r"hashpartitioning\(w2#\d+, w3#\d+, \d+\)", plan), plan[:3000]
+    # old w_pred exchange (W[1:]) and w_ctx exchange (W[:-1]) must not
+    # reappear: no 4-gram-keyed exchange outside the cached build
+    assert not re.search(
+        r"hashpartitioning\(w2#\d+, w3#\d+, w4#\d+, w5#\d+, \d+\)", plan
+    ), plan[:3000]
+    assert not re.search(
+        r"hashpartitioning\(w1#\d+, w2#\d+, w3#\d+, w4#\d+, \d+\)", plan
+    ), plan[:3000]
+    spark.catalog.clearCache()
