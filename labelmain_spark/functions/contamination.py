@@ -36,7 +36,22 @@ CONTAM_THRESHOLD = 0.5  # overlap ratio at/above which a doc is flagged
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per eval-document n-gram overlap against the train corpus:
-    (doc_id, n_shingles, n_overlap, overlap_ratio, contaminated)."""
+    (doc_id, n_shingles, n_overlap, overlap_ratio, contaminated).
+
+    r14b A/B-REJECTED alternative (recorded per the round
+    discipline): inverting the membership direction — distinct the
+    EVAL shingles (benchmark-bounded), semi-filter train map-side,
+    probe the tiny intersection — removes the train-side distinct
+    exchange and is the right shape when train_sh cannot broadcast.
+    Measured at sf0.1 (adjacent 5-pass medians, steady tail): old
+    ~1.38-1.50 s vs new ~1.58-1.99 s — HERE train_sh (distinct
+    shingles ≪ 64 MB) already broadcasts, so the old plan is one
+    s-keyed exchange + one broadcast, while the inversion pays two
+    s-keyed exchanges + three broadcast builds of extra dispatch.
+    Kept the measured-faster shape; the inversion is the documented
+    fallback for corpora whose distinct-shingle set outgrows the
+    broadcast threshold (plans/r14/contamination_check_before.txt is
+    the kept plan)."""
     e = _exploded_shingles(spark, sf_dir)
     is_eval = F.expr(_hash_bp_expr("doc_id", "spark")) < CONTAM_EVAL_BP
     ev = e.filter(is_eval)

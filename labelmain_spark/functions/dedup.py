@@ -287,7 +287,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    e = _exploded_shingles(spark, sf_dir)
+    e = _exploded_shingles(spark, sf_dir, prime=False)  # sig prime fills it
     # r13 (guide §5): persist + prime the signatures — the nb/hb
     # batch/history filters below are differently-keyed consumers, so
     # without the persist BOTH sides re-ran the pruned-index anti-join
@@ -388,7 +388,9 @@ def _shingle_df(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+def _exploded_shingles(
+    spark: SparkSession, sf_dir: str, *extra: str, prime: bool = True
+) -> DataFrame:
     # explode_outer, not explode: plain explode pushes a size()>0
     # predicate below the repartition exchange, re-evaluating the whole
     # shingle expression on the unparallelized scan side (measured 5 s
@@ -419,7 +421,17 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str, *extra: str) -> DataFra
     # Prime eagerly: otherwise the first action runs all diamond
     # branches concurrently against a not-yet-populated cache and each
     # recomputes the shingling (observed 4× work on first run).
-    e.count()
+    # r14b: callers whose FIRST action on e is itself serial on a
+    # single e-reading leaf stage (the minhash signature prime — its
+    # hot-shingle broadcast build reads e before the probe stage can
+    # start) pass prime=False: the cache fills inside that stage and
+    # the separate prime job (one full dispatch + cache-write pass
+    # that the signature prime then re-reads) disappears. Callers
+    # that fan out on e concurrently in their first action
+    # (contamination_check/matrix, bloom_decontaminate,
+    # ngram_jaccard) keep the eager prime.
+    if prime:
+        e.count()
     return e
 
 
@@ -545,7 +557,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     n_docs = load_table(spark, sf_dir, "documents").count()
-    e = _exploded_shingles(spark, sf_dir)
+    e = _exploded_shingles(spark, sf_dir, prime=False)  # sig prime fills it
     sig = minhash_signatures(_pruned_index(e, _max_df(n_docs))).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -1071,7 +1083,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.catalog.clearCache()` between invocations — the bench and
     the test suite already do."""
     n_docs = load_table(spark, sf_dir, "documents").count()
-    e = _exploded_shingles(spark, sf_dir)
+    # prime=False: dedup_minhash's signature prime below is the first
+    # action on e and fills the cache inside its hot-set build stage.
+    e = _exploded_shingles(spark, sf_dir, prime=False)
     ea = e.select(F.col("doc_id").alias("doc_a"), "s")
     eb = e.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     # Ground truth, FUSED (r13, guide §2.3/§2.4): the unpruned
