@@ -940,7 +940,15 @@ def _pair_components(spark: SparkSession, sf_dir: str):
     instead of a groupBy + join + persist over a few-thousand-row
     frame. Labels are identical: component = min doc_id fixpoint,
     which is unique. At scale n_pairs blows the bound and the
-    distributed hash-min loop runs unchanged."""
+    distributed hash-min loop runs unchanged.
+
+    r14b: the tier gate and the driver-tier collect are ONE action —
+    a limit(SMALL_PLAN_ROWS + 1).toPandas() probe of the persisted
+    pair table. ≤ B rows back proves completeness (the limit dropped
+    nothing), so the old count() prime + separate full toPandas
+    collapse into the probe; over the bound, the exact count and the
+    distributed tier run exactly as before on the cache the probe
+    started populating."""
     from pyspark import StorageLevel
     from pyspark.sql.types import StructField, StructType
 
@@ -950,9 +958,18 @@ def _pair_components(spark: SparkSession, sf_dir: str):
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_pairs = pairs.count()
-    if n_pairs <= SMALL_PLAN_ROWS:
-        pdf = pairs.toPandas()
+    # r14b: the tier gate and the driver-tier collect share ONE action.
+    # limit(B+1).toPandas() returns AT MOST B+1 rows: ≤ B rows back
+    # means the limit dropped nothing — the collected frame IS the
+    # complete pair set AND its length is the exact count — so the
+    # driver tier no longer pays a count() prime plus a second
+    # toPandas job over the same cached table. Over the bound, the
+    # probe cost one bounded collect (the cache it populated is
+    # reused) and the distributed tier proceeds exactly as before,
+    # including the exact count.
+    pdf = pairs.limit(SMALL_PLAN_ROWS + 1).toPandas()
+    if len(pdf) <= SMALL_PLAN_ROWS:
+        n_pairs = len(pdf)
         parent: dict = {}
 
         def find(x):
@@ -984,6 +1001,7 @@ def _pair_components(spark: SparkSession, sf_dir: str):
         cc = spark.createDataFrame(list(labels.items()), schema)
         pairs.unpersist()
         return n_pairs, cc, labels
+    n_pairs = pairs.count()
     pk = F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))
     edges = pairs.select(F.col("doc_a").alias("u"), pk.alias("p")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), pk.alias("p"))
