@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from labelmain_spark.operators.parity import stable_round
-from labelmain_spark.sources.readers import load_table
+from labelmain_spark.sources.readers import load_table, table_row_count
 # one-directional: sampling → text → parity/readers never reaches back
 # into dedup, so this module-level import (the ORACLE literal needs it
 # at import time anyway) cannot cycle
@@ -286,7 +286,7 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from labelmain_spark.functions.sampling import _hash_bp_expr
     from pyspark import StorageLevel
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_row_count(spark, sf_dir, "documents")
     e = _exploded_shingles(spark, sf_dir, prime=False)  # sig prime fills it
     # r13 (guide §5): persist + prime the signatures — the nb/hb
     # batch/history filters below are differently-keyed consumers, so
@@ -556,7 +556,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     same cache entry (CacheManager keys by canonical plan)."""
     from pyspark import StorageLevel
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_row_count(spark, sf_dir, "documents")
     e = _exploded_shingles(spark, sf_dir, prime=False)  # sig prime fills it
     sig = minhash_signatures(_pruned_index(e, _max_df(n_docs))).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -611,7 +611,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hints — sizes/common are both unbounded at scale, AQE broadcasts
     whichever side actually fits.
     """
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_row_count(spark, sf_dir, "documents")
     e = _exploded_shingles(spark, sf_dir, "lang", "source")
     ep = _pruned_index(e, _max_df(n_docs))
 
@@ -1100,7 +1100,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs). Long-lived sessions invoking the audit repeatedly should
     `spark.catalog.clearCache()` between invocations — the bench and
     the test suite already do."""
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_row_count(spark, sf_dir, "documents")
     # prime=False: dedup_minhash's signature prime below is the first
     # action on e and fills the cache inside its hot-set build stage.
     e = _exploded_shingles(spark, sf_dir, prime=False)

@@ -107,6 +107,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+# Row-count memo, the _RELATION_MEMO companion (r14b): four dedup-family
+# operators open with `load_table(...).count()` to size their df-prune
+# threshold — a metadata-only count, but still one dispatched job per
+# key invocation (~0.1 s of the sub-second floor), re-counting the same
+# immutable landing-zone path a long bench session has already counted.
+# Same catalog contract as the relation memo (a metastore caches table
+# statistics; regenerated fixtures get NEW paths), same applicationId
+# scoping so a new session never trusts a dead session's numbers.
+_ROWCOUNT_MEMO: dict[tuple[str, str, str], int] = {}
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of one fixture table, memoized per
+    (session, path, table) — see ``_ROWCOUNT_MEMO``."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _ROWCOUNT_MEMO.get(memo_key)
+    if cached is None:
+        cached = load_table(spark, sf_dir, name).count()
+        _ROWCOUNT_MEMO[memo_key] = cached
+        if len(_ROWCOUNT_MEMO) > 4096:  # pathological many-path sessions
+            _ROWCOUNT_MEMO.clear()
+    return cached
+
+
 REBALANCE_MIN_BYTES = 32 << 20
 
 
