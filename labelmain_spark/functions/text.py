@@ -24,6 +24,7 @@ from labelmain_spark.sources.readers import (
     load_table,
     persist_counted,
     rebalance_dense_scan,
+    table_row_count,
 )
 
 # Exact-cardinality broadcast bound for the unigram frequency table
@@ -215,7 +216,7 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = table_row_count(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

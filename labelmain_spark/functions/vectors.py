@@ -40,7 +40,11 @@ from labelmain_spark.operators.parity import (
     sql_stable_round,
     stable_round,
 )
-from labelmain_spark.sources.readers import broadcast_if_bounded, load_table
+from labelmain_spark.sources.readers import (
+    broadcast_if_bounded,
+    load_table,
+    table_row_count,
+)
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -792,7 +796,7 @@ def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if q_row is None or q_row[0] is None:
         return e.select("vec_id", F.lit(0.0).alias("cos_sim")).filter(F.lit(False))
     qv = [float(x) for x in q_row[0]]
-    n = e.count()
+    n = table_row_count(spark, sf_dir, "embeddings")  # row-preserving projection
     k = max(2, min(IVF_K, n // 60))
     seeds = (
         e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hk"))
@@ -1540,7 +1544,7 @@ def ann_ivf_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in q_row[0]]
     if len(qv) != PQ_M * (64 // PQ_M):
         raise ValueError(f"frozen PQ codebooks assume dim 64, got {len(qv)}")
-    n = e.count()
+    n = table_row_count(spark, sf_dir, "embeddings")  # row-preserving projection
     k = max(2, min(IVF_K, n // 60))
     seeds = (
         e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hk"))
@@ -1883,7 +1887,7 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    n = e.count()
+    n = table_row_count(spark, sf_dir, "embeddings")  # row-preserving projection
     if n < 2:
         # nothing to cluster (empty partition / day filter): the plan
         # over frozen centroids yields the correct empty/degenerate
@@ -1935,7 +1939,7 @@ def semantic_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     space, scale-invariant, reproducible across reruns."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    n = e.count()
+    n = table_row_count(spark, sf_dir, "embeddings")  # row-preserving projection
     if n == 0:
         # empty corpus: nothing to seed — any centroid set yields the
         # same (empty) result; the frozen pair keeps the assign UDF's
